@@ -1,0 +1,45 @@
+"""TPU-native dense optical flow framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the pyramidal Lucas-Kanade pipeline
+behind "Speeding up Dense Optical Flow Estimation with CUDA" (Stameski &
+Gusev, TELFOR 2024; reference sources mounted at /root/reference).  See
+SURVEY.md for the structural analysis of the reference and the layer map this
+package implements.
+
+Public API:
+
+    import cuda_optical_flow_2_tpu as of
+
+    flow = of.pyramidal_lk(prev_gray, next_gray, of.LKConfig(levels=4))
+"""
+
+from cuda_optical_flow_2_tpu.config import (
+    BilateralConfig,
+    LKConfig,
+    PAPER_1080P,
+    REFERENCE_CPU,
+    REFERENCE_GPU,
+)
+from cuda_optical_flow_2_tpu.models.lucas_kanade import (
+    compose_flow_pyramid,
+    lk_level,
+    pyramidal_lk,
+    pyramidal_lk_jit,
+    pyramidal_lk_pyramid,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "BilateralConfig",
+    "LKConfig",
+    "REFERENCE_CPU",
+    "REFERENCE_GPU",
+    "PAPER_1080P",
+    "pyramidal_lk",
+    "pyramidal_lk_jit",
+    "pyramidal_lk_pyramid",
+    "lk_level",
+    "compose_flow_pyramid",
+    "__version__",
+]

@@ -1,0 +1,170 @@
+"""Pyramidal Lucas-Kanade dense optical flow — the production pipeline.
+
+TPU-native replacement for the reference's orchestration layer:
+gpu::calc_opt_flow (OptFlowGpu.cu:1909-1979) and the coarse-to-fine driver
+loop in main (main.cu:256-262).  Differences by design (SURVEY.md section 7):
+
+* The whole pipeline is one pure jitted function over float32 planar
+  grayscale ``jax.Array``s — no per-op host round trips (the reference crosses
+  the PCIe boundary ~24 times per level per frame).
+* Coarse-to-fine propagation carries ONE dense flow down the pyramid:
+  upsample x2 -> bilinear-warp the next frame -> solve for the residual ->
+  add.  The reference instead stores per-level flows and composes them at
+  visualization time (main.cu:138-147); :func:`compose_flow_pyramid`
+  reproduces that exact composition for parity checks.
+* The 2x2 solve is guarded (|det| < eps -> 0) instead of dividing by a raw,
+  possibly zero determinant (OptFlowGpu.cu:1835).
+* The hot per-level stage (gradients -> window sums -> solve) dispatches to
+  the fused Pallas kernel on TPU (kernels/lk_fused.py) and to the pure-XLA
+  ops elsewhere.
+
+All entry points accept leading batch dims: images (..., H, W), flows
+(..., H, W, 2).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from cuda_optical_flow_2_tpu.config import LKConfig
+from cuda_optical_flow_2_tpu.ops.bilateral import bilateral_filter
+from cuda_optical_flow_2_tpu.ops.gradients import spatial_gradients, temporal_gradient
+from cuda_optical_flow_2_tpu.ops.pyramid import build_pyramid
+from cuda_optical_flow_2_tpu.ops.resize import upsample_flow
+from cuda_optical_flow_2_tpu.ops.solve import solve_2x2, solve_2x2_unguarded
+from cuda_optical_flow_2_tpu.ops.warp import warp_bilinear, warp_nearest
+from cuda_optical_flow_2_tpu.ops.window import structure_tensor_sums
+
+__all__ = [
+    "lk_level",
+    "pyramidal_lk",
+    "pyramidal_lk_pyramid",
+    "compose_flow_pyramid",
+]
+
+
+def _lk_residual_xla(
+    prev: jax.Array, nxt: jax.Array, config: LKConfig
+) -> jax.Array:
+    """Residual flow between prev and (already warped) next — pure-XLA path."""
+    ix, iy = spatial_gradients(prev, config.normalize_gradients)
+    it = temporal_gradient(prev, nxt, config.temporal_kernel, config.normalize_gradients)
+    sums = structure_tensor_sums(ix, iy, it, config.window, config.window_method)
+    if config.det_eps == 0.0:
+        return solve_2x2_unguarded(*sums)
+    return solve_2x2(*sums, eps=config.det_eps)
+
+
+def _lk_residual(prev: jax.Array, nxt: jax.Array, config: LKConfig) -> jax.Array:
+    if config.use_pallas:
+        from cuda_optical_flow_2_tpu.kernels import lk_fused
+
+        if lk_fused.supported(prev, config):
+            return lk_fused.lk_residual(prev, nxt, config)
+    return _lk_residual_xla(prev, nxt, config)
+
+
+def lk_level(
+    prev: jax.Array,
+    nxt: jax.Array,
+    flow_init: jax.Array | None,
+    config: LKConfig,
+) -> jax.Array:
+    """One pyramid level: warp -> gradients -> window sums -> solve (+iterate).
+
+    Twin of gpu::calc_opt_flow (OptFlowGpu.cu:1909-1979) with the warp
+    implementing the documented intent (bilinear, per-pixel initial flow)
+    rather than the reference's (0,0)-sampling nearest shift.
+    ``config.iterations`` > 1 re-warps with the refined flow and re-solves,
+    which the reference never does but BASELINE config 2 requires.
+    """
+    if flow_init is None:
+        flow = jnp.zeros(prev.shape + (2,), dtype=prev.dtype)
+    else:
+        flow = flow_init
+    if config.warp_mode == "none":
+        # Without warping, re-iterating recomputes the same residual.
+        return flow + _lk_residual(prev, nxt, config)
+    warp = warp_bilinear if config.warp_mode == "bilinear" else warp_nearest
+    for _ in range(config.iterations):
+        warped = warp(nxt, flow)
+        flow = flow + _lk_residual(prev, warped, config)
+    return flow
+
+
+def pyramidal_lk_pyramid(
+    prev: jax.Array, nxt: jax.Array, config: LKConfig
+) -> list[jax.Array]:
+    """Coarse-to-fine LK returning the full flow pyramid (finest first).
+
+    Level k flow is in level-k pixel units, matching the reference's
+    per-level flow pyramid (main.cu:256-262).
+    """
+    if prev.shape != nxt.shape:
+        raise ValueError(f"frame shapes differ: {prev.shape} vs {nxt.shape}")
+    h, w = prev.shape[-2:]
+    top = config.levels - 1
+    if (h >> top) < 2 or (w >> top) < 2:
+        raise ValueError(
+            f"{config.levels} pyramid levels need an image of at least "
+            f"{2 << top}x{2 << top}; got {h}x{w}"
+        )
+    if config.prefilter is not None:
+        pf = config.prefilter
+        prev = bilateral_filter(
+            prev, None, pf.window, pf.sigma_spatial, pf.sigma_range
+        )
+        nxt = bilateral_filter(nxt, None, pf.window, pf.sigma_spatial, pf.sigma_range)
+    prev_pyr = build_pyramid(prev, config.levels)
+    next_pyr = build_pyramid(nxt, config.levels)
+
+    flows: list[jax.Array | None] = [None] * config.levels
+    flow = None
+    for k in range(config.levels - 1, -1, -1):
+        if flow is not None:
+            flow = upsample_flow(flow, prev_pyr[k].shape[-2:])
+        flow = lk_level(prev_pyr[k], next_pyr[k], flow, config)
+        flows[k] = flow
+    return flows  # type: ignore[return-value]
+
+
+def pyramidal_lk(prev: jax.Array, nxt: jax.Array, config: LKConfig) -> jax.Array:
+    """Dense flow (..., H, W, 2) from a frame pair — the flagship entry point.
+
+    ``prev``/``nxt`` are planar grayscale float images (any leading batch
+    dims).  Jit with ``static_argnames=("config",)``.
+    """
+    return pyramidal_lk_pyramid(prev, nxt, config)[0]
+
+
+# Jitted convenience wrapper; config is hashable (frozen dataclass).
+pyramidal_lk_jit = jax.jit(pyramidal_lk, static_argnames=("config",))
+
+
+def compose_flow_pyramid(
+    flow_pyramid: list[jax.Array], level: int = 0
+) -> jax.Array:
+    """Reference-exact composition of a per-level flow pyramid at ``level``.
+
+    Twin of the visualizer's accumulation (main.cu:138-147): at each pixel
+    (i, j) of the target level, total = sum over k >= level of
+    2^(k-level) * flow[k][i >> (k-level), j >> (k-level)].
+    """
+    target = flow_pyramid[level]
+    h, w = target.shape[-3:-1]
+    total = jnp.zeros_like(target)
+    for k in range(len(flow_pyramid) - 1, level - 1, -1):
+        scale = k - level
+        f = flow_pyramid[k]
+        # (i >> scale, j >> scale) sampling == nearest upsample by 2^scale.
+        up = jnp.repeat(jnp.repeat(f, 1 << scale, axis=-3), 1 << scale, axis=-2)
+        uh, uw = up.shape[-3:-1]
+        if uh < h or uw < w:  # floor-halved odd dims: extend with edge pixels
+            pad = [(0, 0)] * (up.ndim - 3) + [(0, h - uh), (0, w - uw), (0, 0)]
+            up = jnp.pad(up, pad, mode="edge")
+        up = up[..., :h, :w, :]
+        total = total + up * float(1 << scale)
+    return total

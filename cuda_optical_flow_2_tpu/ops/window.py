@@ -1,0 +1,96 @@
+"""Windowed structure-tensor sums ("srm" in the reference).
+
+TPU-native replacement for G13 (g_srm_1ch_float, OptFlowGpu.cu:1549-1625) and
+its int twin cpu::srm_1ch (OptFlowCPU.cpp:162-200).  The reference evaluates
+the full ww*wh tap loop per pixel (19x19 -> 361 MACs/pixel, five times); a box
+window is separable, so every backend here is O(window) or O(1) per pixel:
+
+* "sep_conv":      two 1-D all-ones convolutions (default — robust fp32
+                   accumulation, XLA fuses the surrounding elementwise work).
+* "cumsum":        integral image (cumsum + shifted differences) — O(1)/pixel;
+                   exact for integer dtypes, but fp32 suffers cancellation on
+                   large images, so it is the default only for int paths.
+* "reduce_window": lax.reduce_window with an add monoid (XLA's native form).
+
+Zero padding outside the image matches the reference's bounds-check-and-skip.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from cuda_optical_flow_2_tpu.ops.conv import sep_conv2d
+
+__all__ = ["window_sum", "structure_tensor_sums"]
+
+
+def _window_sum_cumsum(x: jax.Array, window: int) -> jax.Array:
+    """Integral-image box sum with zero padding; exact for integer dtypes."""
+    r = window // 2
+    h, w = x.shape[-2:]
+    # Integral image with a leading zero row/col: ii[i, j] = sum(x[:i, :j]).
+    ii = jnp.cumsum(jnp.cumsum(x, axis=-2, dtype=x.dtype), axis=-1, dtype=x.dtype)
+    pad = [(0, 0)] * (x.ndim - 2) + [(1, 0), (1, 0)]
+    ii = jnp.pad(ii, pad)
+
+    def corner(dy: int, dx: int) -> jax.Array:
+        ys = np.clip(np.arange(h) + dy, 0, h)
+        xs = np.clip(np.arange(w) + dx, 0, w)
+        return ii[..., ys, :][..., :, xs]
+
+    # sum over [i-r, i+r] x [j-r, j+r] clipped to the image.
+    return (
+        corner(r + 1, r + 1) - corner(-r, r + 1) - corner(r + 1, -r) + corner(-r, -r)
+    )
+
+
+def window_sum(x: jax.Array, window: int, method: str = "sep_conv") -> jax.Array:
+    """Sum of ``x`` over the window x window box centered at each pixel.
+
+    Zero contribution outside the image (reference: OptFlowGpu.cu:1569-1586
+    skips out-of-bounds taps).  ``window`` must be odd.
+    """
+    if window % 2 != 1:
+        raise ValueError(f"window must be odd, got {window}")
+    if method == "sep_conv":
+        ones = np.ones((window,), dtype=np.float32)
+        return sep_conv2d(x, ones, ones)
+    if method == "cumsum":
+        return _window_sum_cumsum(x, window)
+    if method == "reduce_window":
+        r = window // 2
+        lead = x.ndim - 2
+        return lax.reduce_window(
+            x,
+            jnp.zeros((), x.dtype),
+            lax.add,
+            window_dimensions=(1,) * lead + (window, window),
+            window_strides=(1,) * (lead + 2),
+            padding=((0, 0),) * lead + ((r, r), (r, r)),
+        )
+    raise ValueError(f"unknown window_sum method {method!r}")
+
+
+def structure_tensor_sums(
+    ix: jax.Array,
+    iy: jax.Array,
+    it: jax.Array,
+    window: int,
+    method: str = "sep_conv",
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """The five windowed product sums of the LK normal equations.
+
+    Replaces the reference's five separate srm_1ch_float launches
+    (OptFlowGpu.cu:1948-1960) with one fused, stacked window reduction: the
+    products are stacked on a leading axis so XLA runs a single windowed sum
+    over a (5, H, W) array.
+
+    Returns (sum_ix2, sum_iy2, sum_ixiy, sum_ixit, sum_iyit).
+    """
+    prods = jnp.stack([ix * ix, iy * iy, ix * iy, ix * it, iy * it])
+    sums = window_sum(prods, window, method)
+    return sums[0], sums[1], sums[2], sums[3], sums[4]

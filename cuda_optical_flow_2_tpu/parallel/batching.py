@@ -1,0 +1,69 @@
+"""Frame-pair batch sharding over a device mesh.
+
+TPU-native replacement for the reference's (absent) scale-out story: the
+64-frame 1080p stream of BASELINE config 5 becomes a (B, H, W) batch sharded
+over the mesh's "batch" axis.  The pipeline is elementwise in the batch
+dimension, so under ``jit`` with sharding annotations XLA partitions every op
+with zero communication; host<->device transfer happens once at the video I/O
+boundary, not per op like the reference's ~24 PCIe copies per level
+(SURVEY.md section 3.1).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cuda_optical_flow_2_tpu.config import LKConfig
+from cuda_optical_flow_2_tpu.models.lucas_kanade import pyramidal_lk
+
+__all__ = ["make_mesh", "shard_batch", "sharded_pyramidal_lk"]
+
+
+def make_mesh(n_devices: int | None = None, axis_name: str = "batch") -> Mesh:
+    """A 1-D mesh over the first ``n_devices`` devices (default: all)."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def shard_batch(x: jax.Array, mesh: Mesh, axis_name: str = "batch") -> jax.Array:
+    """Place a (B, ...) array with its leading axis sharded over the mesh."""
+    spec = P(axis_name, *([None] * (x.ndim - 1)))
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def sharded_pyramidal_lk(
+    prev_batch: jax.Array,
+    next_batch: jax.Array,
+    config: LKConfig,
+    mesh: Mesh,
+    axis_name: str = "batch",
+) -> jax.Array:
+    """Dense flow for a batch of frame pairs, sharded over ``mesh``.
+
+    Args:
+      prev_batch / next_batch: (B, H, W) planar grayscale; B must be divisible
+        by the mesh axis size.
+    Returns: (B, H, W, 2) flow, sharded the same way.
+    """
+    b = prev_batch.shape[0]
+    n = mesh.shape[axis_name]
+    if b % n != 0:
+        raise ValueError(f"batch {b} not divisible by mesh axis size {n}")
+    prev_s = shard_batch(prev_batch, mesh, axis_name)
+    next_s = shard_batch(next_batch, mesh, axis_name)
+    in_spec = NamedSharding(mesh, P(axis_name, None, None))
+    out_spec = NamedSharding(mesh, P(axis_name, None, None, None))
+    fn = jax.jit(
+        functools.partial(pyramidal_lk, config=config),
+        in_shardings=(in_spec, in_spec),
+        out_shardings=out_spec,
+    )
+    return fn(prev_s, next_s)

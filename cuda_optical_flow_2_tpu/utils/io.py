@@ -1,0 +1,168 @@
+"""Frame I/O and synthetic sequences (the demo's input boundary).
+
+The reference reads a webcam via OpenCV (main.cu:181-184); TPU hosts are
+headless, so the demo CLI consumes image files (PPM/PNG/NPY) or synthetic
+sequences.  PPM read/write and NPY are dependency-free; PNG reading uses the
+minimal decoder here (8-bit RGB/gray, the formats write_png produces).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+__all__ = [
+    "read_ppm",
+    "write_ppm",
+    "read_image",
+    "synthetic_sequence",
+]
+
+
+def read_ppm(path: str) -> np.ndarray:
+    """Read a binary P6 PPM / P5 PGM into (H, W, 3) / (H, W) uint8."""
+    with open(path, "rb") as f:
+        data = f.read()
+    tokens: list[bytes] = []
+    i = 0
+    while len(tokens) < 4:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if data[i : i + 1] == b"#":
+            while i < len(data) and data[i : i + 1] != b"\n":
+                i += 1
+            continue
+        start = i
+        while i < len(data) and not data[i : i + 1].isspace():
+            i += 1
+        tokens.append(data[start:i])
+    magic, w, h, maxval = tokens[0], int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxval}")
+    payload = data[i + 1 :]
+    if magic == b"P6":
+        return np.frombuffer(payload[: w * h * 3], np.uint8).reshape(h, w, 3).copy()
+    if magic == b"P5":
+        return np.frombuffer(payload[: w * h], np.uint8).reshape(h, w).copy()
+    raise ValueError(f"unsupported magic {magic!r}")
+
+
+def write_ppm(path: str, img: np.ndarray) -> None:
+    """Write (H, W, 3) uint8 as P6 or (H, W) uint8 as P5."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        raise ValueError("write_ppm expects uint8")
+    h, w = img.shape[:2]
+    magic = b"P6" if img.ndim == 3 else b"P5"
+    with open(path, "wb") as f:
+        f.write(magic + b"\n%d %d\n255\n" % (w, h))
+        f.write(img.tobytes())
+
+
+def _read_png(path: str) -> np.ndarray:
+    """Minimal PNG reader: 8-bit, color type 0 (gray) or 2 (RGB), no interlace."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    i = 8
+    idat = b""
+    w = h = bitdepth = ctype = None
+    while i < len(data):
+        (ln,) = struct.unpack(">I", data[i : i + 4])
+        tag = data[i + 4 : i + 8]
+        body = data[i + 8 : i + 8 + ln]
+        if tag == b"IHDR":
+            w, h, bitdepth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", body)
+            if bitdepth != 8 or ctype not in (0, 2) or interlace:
+                raise ValueError("only 8-bit non-interlaced gray/RGB PNG supported")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        i += 12 + ln
+    raw = zlib.decompress(idat)
+    ch = 3 if ctype == 2 else 1
+    stride = w * ch
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    pos = 0
+    for row in range(h):
+        ft = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw[pos : pos + stride], np.uint8).astype(np.int32)
+        pos += stride
+        if ft == 0:
+            rec = line
+        elif ft == 2:  # up
+            rec = (line + prev) % 256
+        elif ft == 1:  # sub
+            rec = line.copy()
+            for j in range(ch, stride):
+                rec[j] = (rec[j] + rec[j - ch]) % 256
+        elif ft == 3:  # average
+            rec = line.copy()
+            for j in range(stride):
+                left = rec[j - ch] if j >= ch else 0
+                rec[j] = (rec[j] + (left + int(prev[j])) // 2) % 256
+        elif ft == 4:  # paeth
+            rec = line.copy()
+            for j in range(stride):
+                a = int(rec[j - ch]) if j >= ch else 0
+                b = int(prev[j])
+                c = int(prev[j - ch]) if j >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[j] = (rec[j] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter {ft}")
+        out[row] = rec.astype(np.uint8)
+        prev = out[row].astype(np.uint8)
+    img = out.reshape(h, w, ch)
+    return img[..., 0] if ch == 1 else img
+
+
+def read_image(path: str) -> np.ndarray:
+    """Dispatch by extension: .ppm/.pgm, .png, .npy."""
+    lower = path.lower()
+    if lower.endswith((".ppm", ".pgm")):
+        return read_ppm(path)
+    if lower.endswith(".png"):
+        return _read_png(path)
+    if lower.endswith(".npy"):
+        return np.load(path)
+    raise ValueError(f"unsupported image format: {path}")
+
+
+def synthetic_sequence(
+    n_frames: int,
+    h: int = 480,
+    w: int = 640,
+    velocity: tuple[float, float] = (2.0, 1.0),
+    period: int = 16,
+    seed: int = 0,
+    noise: float = 1.0,
+) -> np.ndarray:
+    """(N, H, W) uint8 frames of a textured field translating at ``velocity``.
+
+    The texture translates by ``velocity`` pixels per frame (ground truth for
+    benchmark EPE).  Deterministic given the seed.
+    """
+    rng = np.random.default_rng(seed)
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+    frames = np.zeros((n_frames, h, w), np.uint8)
+    vx, vy = velocity
+    for t in range(n_frames):
+        sx, sy = xs - vx * t, ys - vy * t
+        img = (
+            127.0
+            + 55.0 * np.sin(2 * np.pi * sx / period) * np.sin(2 * np.pi * sy / period)
+            + 35.0 * np.sin(2 * np.pi * (sx + sy) / (period * 2.7))
+        )
+        if noise:
+            img = img + rng.normal(0, noise, img.shape)
+        frames[t] = np.clip(img, 0, 255).astype(np.uint8)
+    return frames
