@@ -1,0 +1,147 @@
+"""Demo CLI — the headless twin of the reference's webcam app (main.cu).
+
+The reference's only executable is a webcam loop with OpenCV debug windows;
+TPU hosts are headless, so this demo consumes synthetic sequences or image
+files and writes PNG artifacts (flow color wheel, arrow overlays, per-level
+gradient maps a la showTest) plus an fps/EPE report to stdout.
+
+Examples:
+
+    python -m cuda_optical_flow_2_tpu.cli.demo --synthetic 10 --out /tmp/flow
+    python -m cuda_optical_flow_2_tpu.cli.demo --frames 'seq/*.png' --levels 4 \
+        --window 19 --out /tmp/flow --debug-gradients
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import time
+
+import numpy as np
+
+import jax.numpy as jnp
+
+import cuda_optical_flow_2_tpu as of
+from cuda_optical_flow_2_tpu.models import streaming
+from cuda_optical_flow_2_tpu.ops.color import grayscale
+from cuda_optical_flow_2_tpu.ops.conv import conv2d
+from cuda_optical_flow_2_tpu.ops.pyramid import build_pyramid
+from cuda_optical_flow_2_tpu.ops.resize import upscale_nn
+from cuda_optical_flow_2_tpu.constants import DT_3X3_N, DX_3X3, DY_3X3
+from cuda_optical_flow_2_tpu.utils import io, viz
+
+__all__ = ["main"]
+
+
+def _load_frames(args) -> np.ndarray:
+    if args.frames:
+        paths = sorted(glob.glob(args.frames))
+        if len(paths) < 2:
+            raise SystemExit(f"need >= 2 frames, matched {len(paths)}: {args.frames}")
+        frames = []
+        for p in paths:
+            img = io.read_image(p)
+            if img.ndim == 3:
+                img = np.asarray(grayscale(jnp.asarray(img)))
+            frames.append(img.astype(np.float32))
+        return np.stack(frames)
+    h, w = (int(t) for t in args.size.split("x"))
+    return io.synthetic_sequence(
+        args.synthetic, h, w, velocity=tuple(args.velocity)
+    ).astype(np.float32)
+
+
+def _dump_gradients(frame, prev_frame, levels: int, out_dir: str, idx: int) -> None:
+    """showTest twin (main.cu:19-92): per-level Ix/Iy/It maps, binarized and
+    upscaled to full resolution."""
+    pyr = build_pyramid(jnp.asarray(frame), levels)
+    prev_pyr = build_pyramid(jnp.asarray(prev_frame), levels)
+    for k, (lvl, plvl) in enumerate(zip(pyr, prev_pyr)):
+        maps = {
+            "x": conv2d(lvl, DX_3X3),
+            "y": conv2d(lvl, DY_3X3),
+            "t": conv2d(lvl, DT_3X3_N) - conv2d(plvl, DT_3X3_N),
+        }
+        for name, m in maps.items():
+            u8 = np.asarray(jnp.clip(jnp.abs(m), 0, 255)).astype(np.uint8)
+            binz = viz.cleanup_outliers(u8)
+            up = np.asarray(upscale_nn(jnp.asarray(binz), k))
+            viz.write_png(
+                os.path.join(out_dir, f"frame{idx:04d}_L{k}_I{name}.png"), up
+            )
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    src = ap.add_mutually_exclusive_group()
+    src.add_argument("--frames", help="glob of input frames (png/ppm/npy)")
+    src.add_argument(
+        "--synthetic", type=int, default=8, help="number of synthetic frames"
+    )
+    ap.add_argument("--size", default="480x640", help="synthetic frame size HxW")
+    ap.add_argument(
+        "--velocity", type=float, nargs=2, default=(2.0, 1.0),
+        help="synthetic ground-truth velocity (vx vy) px/frame",
+    )
+    ap.add_argument("--levels", type=int, default=4)
+    ap.add_argument("--window", type=int, default=19)
+    ap.add_argument("--iterations", type=int, default=1)
+    ap.add_argument(
+        "--temporal-kernel", default="gauss3", choices=("dt3", "gauss3")
+    )
+    ap.add_argument("--bilateral", action="store_true", help="enable pre-filter")
+    ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--out", default=None, help="artifact output directory")
+    ap.add_argument("--arrow-res", type=int, default=30)
+    ap.add_argument(
+        "--debug-gradients", action="store_true",
+        help="dump per-level Ix/Iy/It maps (showTest twin)",
+    )
+    args = ap.parse_args(argv)
+
+    frames = _load_frames(args)
+    cfg = of.LKConfig(
+        levels=args.levels,
+        window=args.window,
+        iterations=args.iterations,
+        temporal_kernel=args.temporal_kernel,
+        prefilter=of.BilateralConfig() if args.bilateral else None,
+        use_pallas=not args.no_pallas,
+    )
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
+
+    vx, vy = args.velocity
+    t0 = time.perf_counter()
+    count = 0
+    for i, flow in streaming.process_sequence(frames, cfg):
+        flow_np = np.asarray(flow)
+        count += 1
+        msg = f"frame {i}: |flow| median {np.median(np.hypot(flow_np[...,0], flow_np[...,1])):.3f}"
+        if args.frames is None:
+            inner = flow_np[24:-24, 24:-24]
+            epe = float(np.hypot(inner[..., 0] - vx, inner[..., 1] - vy).mean())
+            msg += f"  EPE vs ({vx}, {vy}): {epe:.3f}"
+        print(msg, flush=True)
+        if args.out:
+            viz.write_png(
+                os.path.join(args.out, f"flow{i:04d}.png"), viz.flow_to_color(flow_np)
+            )
+            viz.write_png(
+                os.path.join(args.out, f"arrows{i:04d}.png"),
+                viz.draw_flow_arrows(
+                    frames[i].astype(np.uint8), flow_np, args.arrow_res
+                ),
+            )
+            if args.debug_gradients:
+                _dump_gradients(
+                    frames[i], frames[i - 1], min(args.levels, 3), args.out, i
+                )
+    dt = time.perf_counter() - t0
+    print(f"{count} frames in {dt:.2f}s  ({count/dt:.1f} fps end-to-end incl. host IO)")
+
+
+if __name__ == "__main__":
+    main()

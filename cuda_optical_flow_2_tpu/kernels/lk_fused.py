@@ -3,26 +3,284 @@
 Replaces the composition G7 + G13 + G16 of the reference hot path
 (OptFlowGpu.cu:1929-1964): where the reference launches 12 kernels with ~24
 PCIe transfers per level, this computes the residual flow for a whole image
-tile without leaving VMEM.
+row-band without leaving VMEM.
 
-This module is the dispatch point; the kernel itself lands in the next
-milestone — ``supported`` returns False until then and the pipeline uses the
-pure-XLA ops path.
+Design (TPU-first; see /opt/skills/guides/pallas_guide.md):
+
+* The image is zero-padded once in XLA — zero padding IS the reference's
+  boundary semantics (bounds-check-and-skip, OptFlowGpu.cu:1569-1586) — with a
+  row halo of ``>= r+1`` (rounded to sublane multiples) and the width padded
+  to a lane multiple of 128.
+* The grid tiles rows; input blocks overlap by the halo via
+  ``pl.Element``-indexed BlockSpecs, so Mosaic still auto-pipelines the
+  HBM->VMEM streaming (its own double buffering) — the TPU analogue of the
+  reference's shared-memory halo loads (OptFlowGpu.cu:504-707), minus the
+  manual index arithmetic.
+* All stencils are static-shift rolls on full (G, WP) tiles on the VPU.
+  Roll wraparound only ever contaminates the outermost row/column ring,
+  which the halo margin keeps out of every window read (proof in comments).
+* The box window sum uses a shift-doubling decomposition: O(log window)
+  vector adds instead of the reference's O(window^2) taps per pixel
+  (361 MACs for the 19x19 window, x5 sums).
+* The 2x2 solve runs fused on the same tile; only (u, v) ever return to HBM.
 """
 
 from __future__ import annotations
 
+import functools
+
+import numpy as np
+
 import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from cuda_optical_flow_2_tpu.config import LKConfig
+from cuda_optical_flow_2_tpu.constants import MASKS
+from cuda_optical_flow_2_tpu.ops.gradients import SOBEL_GAIN
 
 __all__ = ["supported", "lk_residual"]
 
+_LANE = 128
+_SUBLANE = 8
+_MAX_WINDOW = 33
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
 
 def supported(prev: jax.Array, config: LKConfig) -> bool:
-    """Whether the fused Pallas kernel can handle this shape/config."""
-    return False
+    """Whether the fused Pallas kernel handles this shape/config/backend."""
+    if prev.dtype != jnp.float32:
+        return False
+    if config.window > _MAX_WINDOW:
+        return False
+    h, w = prev.shape[-2:]
+    if h < 8 or w < 8:
+        return False
+    return jax.default_backend() == "tpu"
 
 
-def lk_residual(prev: jax.Array, nxt: jax.Array, config: LKConfig) -> jax.Array:
-    raise NotImplementedError("fused Pallas LK kernel lands in the next milestone")
+def _roll(x: jax.Array, d: int, axis: int) -> jax.Array:
+    """out[i] = x[i + d] along ``axis``, with wraparound.
+
+    pltpu.roll requires a non-negative shift; rolling by ``(-d) mod size`` is
+    the same rotation.
+    """
+    size = x.shape[axis]
+    s = (-d) % size
+    return pltpu.roll(x, s, axis) if s else x
+
+
+def _shift(x: jax.Array, dy: int, dx: int) -> jax.Array:
+    """out[i, j] = x[i + dy, j + dx] with wraparound (callers keep a margin)."""
+    if dy:
+        x = _roll(x, dy, 0)
+    if dx:
+        x = _roll(x, dx, 1)
+    return x
+
+
+def _stencil3(x: jax.Array, mask: np.ndarray) -> jax.Array:
+    """3x3 correlation via static shifted adds (zero taps skipped)."""
+    acc = None
+    for p in range(3):
+        for q in range(3):
+            c = float(mask[p, q])
+            if c == 0.0:
+                continue
+            t = _shift(x, p - 1, q - 1) * c
+            acc = t if acc is None else acc + t
+    return acc
+
+
+def _box_sum(x: jax.Array, r: int, axis: int) -> jax.Array:
+    """sum_{d=-r..r} shift(x, d) along ``axis`` via run-doubling.
+
+    Builds prefix-run sums of power-of-two lengths (runs[k][i] = sum of
+    x[i..i+k-1]) and composes the (2r+1)-run starting at offset -r from the
+    binary decomposition — O(log r) shifted adds instead of 2r.
+    """
+    n = 2 * r + 1
+    runs = {1: x}
+    k = 1
+    while 2 * k <= n:
+        prev = runs[k]
+        runs[2 * k] = prev + _roll(prev, k, axis)
+        k *= 2
+    total = None
+    offset = -r
+    rem = n
+    for p in sorted(runs, reverse=True):
+        while rem >= p:
+            piece = _roll(runs[p], offset, axis)
+            total = piece if total is None else total + piece
+            offset += p
+            rem -= p
+    return total
+
+
+def _lk_kernel(
+    prev_ref,
+    nxt_ref,
+    u_ref,
+    v_ref,
+    *,
+    tile_h: int,
+    halo_y: int,
+    halo_x: int,
+    img_h: int,
+    img_w: int,
+    r: int,
+    sobel_scale: float,
+    temporal_mask: np.ndarray,
+    det_eps: float,
+):
+    # Input blocks are (1, G, WP) — Mosaic requires every dim of an
+    # Element-indexed BlockSpec to be an Element, so the batch dim is a
+    # size-1 Element rather than squeezed.
+    p = prev_ref[0]
+    n = nxt_ref[0]
+    g, wp = p.shape
+
+    sx = MASKS["sobel_x"] * sobel_scale
+    sy = MASKS["sobel_y"] * sobel_scale
+    ix = _stencil3(p, sx)
+    iy = _stencil3(p, sy)
+    it = _stencil3(n - p, temporal_mask)
+
+    # Zero the gradients outside the image: the stencils produce nonzero
+    # values in the halo ring just outside the image border, but the
+    # reference's window sums see zero there (bounds-check-and-skip,
+    # OptFlowGpu.cu:1569-1586).
+    i = pl.program_id(1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (g, wp), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (g, wp), 1)
+    img_row = row_ids + i * tile_h - halo_y
+    inside = (
+        (img_row >= 0)
+        & (img_row < img_h)
+        & (col_ids >= halo_x)
+        & (col_ids < halo_x + img_w)
+    )
+    zero = jnp.zeros((g, wp), jnp.float32)
+    ix = jnp.where(inside, ix, zero)
+    iy = jnp.where(inside, iy, zero)
+    it = jnp.where(inside, it, zero)
+
+    def win(prod):
+        # Row box first, then crop to the output band, then column box.
+        # Reads stay in [1, G-2] x [1, WP-2]: gradient rolls only contaminate
+        # the outermost ring, and halo_y, halo_x >= r+1 keep every window
+        # read off it (see module docstring).
+        rows = _box_sum(prod, r, 0)[halo_y : halo_y + tile_h, :]
+        return _box_sum(rows, r, 1)
+
+    sum_ix2 = win(ix * ix)
+    sum_iy2 = win(iy * iy)
+    sum_ixiy = win(ix * iy)
+    sum_ixit = win(ix * it)
+    sum_iyit = win(iy * it)
+
+    det = sum_ix2 * sum_iy2 - sum_ixiy * sum_ixiy
+    if det_eps > 0.0:
+        safe = jnp.abs(det) >= det_eps
+        inv_det = 1.0 / jnp.where(safe, det, jnp.ones_like(det))
+        zero = jnp.zeros_like(det)
+        u = jnp.where(safe, (-sum_iy2 * sum_ixit + sum_ixiy * sum_iyit) * inv_det, zero)
+        v = jnp.where(safe, (sum_ixiy * sum_ixit - sum_ix2 * sum_iyit) * inv_det, zero)
+    else:
+        inv_det = 1.0 / det
+        u = (-sum_iy2 * sum_ixit + sum_ixiy * sum_iyit) * inv_det
+        v = (sum_ixiy * sum_ixit - sum_ix2 * sum_iyit) * inv_det
+    u_ref[:] = u
+    v_ref[:] = v
+
+
+def _pick_tile_h(h: int, wp: int, halo_y: int) -> int:
+    """Largest row band whose working set fits comfortably in VMEM (~10 MB)."""
+    budget = 10 * 1024 * 1024
+    for th in (256, 128, 64, 32, 16, 8):
+        g = th + 2 * halo_y
+        # ~7 live (G, WP) tiles (p, n, ix, iy, it, transients) + ~6 (TH, WP)
+        est = (7 * g + 6 * th) * wp * 4
+        if est <= budget:
+            return th
+    return 8
+
+
+@functools.partial(jax.jit, static_argnames=("config", "interpret"))
+def lk_residual(
+    prev: jax.Array,
+    nxt: jax.Array,
+    config: LKConfig,
+    interpret: bool = False,
+) -> jax.Array:
+    """Residual flow between prev and (already warped) next — fused TPU path.
+
+    Drop-in replacement for the XLA composition in
+    models/lucas_kanade._lk_residual_xla; returns (..., H, W, 2) float32.
+    """
+    lead = prev.shape[:-2]
+    h, w = prev.shape[-2:]
+    x = prev.reshape((-1,) + (h, w)).astype(jnp.float32)
+    y = nxt.reshape((-1,) + (h, w)).astype(jnp.float32)
+    b = x.shape[0]
+
+    r = config.window // 2
+    halo_x = r + 1
+    halo_y = _round_up(r + 1, _SUBLANE)
+    wp = _round_up(w + 2 * halo_x, _LANE)
+    tile_h = _pick_tile_h(h, wp, halo_y)
+    ht = pl.cdiv(h, tile_h)
+    hp = ht * tile_h + 2 * halo_y
+
+    pad = ((0, 0), (halo_y, hp - h - halo_y), (halo_x, wp - w - halo_x))
+    xp = jnp.pad(x, pad)
+    yp = jnp.pad(y, pad)
+
+    tmask = MASKS[config.temporal_kernel]
+    if config.normalize_gradients:
+        tmask = tmask / tmask.sum()
+        sobel_scale = 1.0 / SOBEL_GAIN
+    else:
+        sobel_scale = 1.0
+
+    g = tile_h + 2 * halo_y
+    kernel = functools.partial(
+        _lk_kernel,
+        tile_h=tile_h,
+        halo_y=halo_y,
+        halo_x=halo_x,
+        img_h=h,
+        img_w=w,
+        r=r,
+        sobel_scale=sobel_scale,
+        temporal_mask=tmask,
+        det_eps=config.det_eps,
+    )
+    in_spec = pl.BlockSpec(
+        (pl.Element(1), pl.Element(g), pl.Element(wp)),
+        lambda bb, i: (bb, i * tile_h, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (None, tile_h, wp), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM
+    )
+    u, v = pl.pallas_call(
+        kernel,
+        grid=(b, ht),
+        in_specs=[in_spec, in_spec],
+        out_specs=(out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, ht * tile_h, wp), jnp.float32),
+            jax.ShapeDtypeStruct((b, ht * tile_h, wp), jnp.float32),
+        ),
+        interpret=interpret,
+    )(xp, yp)
+    flow = jnp.stack(
+        [u[:, :h, halo_x : halo_x + w], v[:, :h, halo_x : halo_x + w]], axis=-1
+    )
+    return flow.reshape(lead + (h, w, 2))

@@ -1,10 +1,18 @@
 """Flow-estimation pipelines (the reference's L3 orchestration layer)."""
 
 from cuda_optical_flow_2_tpu.models.lucas_kanade import (
+    coarse_to_fine,
+    compose_flow_pyramid,
     lk_level,
+    preprocess,
     pyramidal_lk,
     pyramidal_lk_pyramid,
-    compose_flow_pyramid,
+)
+from cuda_optical_flow_2_tpu.models.streaming import (
+    FlowState,
+    init_state,
+    process_sequence,
+    step,
 )
 
 __all__ = [
@@ -12,4 +20,10 @@ __all__ = [
     "pyramidal_lk",
     "pyramidal_lk_pyramid",
     "compose_flow_pyramid",
+    "coarse_to_fine",
+    "preprocess",
+    "FlowState",
+    "init_state",
+    "step",
+    "process_sequence",
 ]

@@ -95,14 +95,7 @@ def lk_level(
     return flow
 
 
-def pyramidal_lk_pyramid(
-    prev: jax.Array, nxt: jax.Array, config: LKConfig
-) -> list[jax.Array]:
-    """Coarse-to-fine LK returning the full flow pyramid (finest first).
-
-    Level k flow is in level-k pixel units, matching the reference's
-    per-level flow pyramid (main.cu:256-262).
-    """
+def _validate(prev: jax.Array, nxt: jax.Array, config: LKConfig) -> None:
     if prev.shape != nxt.shape:
         raise ValueError(f"frame shapes differ: {prev.shape} vs {nxt.shape}")
     h, w = prev.shape[-2:]
@@ -112,15 +105,35 @@ def pyramidal_lk_pyramid(
             f"{config.levels} pyramid levels need an image of at least "
             f"{2 << top}x{2 << top}; got {h}x{w}"
         )
+
+
+def preprocess(frame: jax.Array, config: LKConfig) -> list[jax.Array]:
+    """Frame -> (optionally bilateral-filtered) Gaussian pyramid.
+
+    The per-frame half of the reference main loop (main.cu:232-250:
+    grayscale -> bilateral -> gauss_pyramid); grayscale conversion happens at
+    the ingestion boundary (ops/color.py), so this takes a planar float
+    frame.
+    """
     if config.prefilter is not None:
         pf = config.prefilter
-        prev = bilateral_filter(
-            prev, None, pf.window, pf.sigma_spatial, pf.sigma_range
+        frame = bilateral_filter(
+            frame, None, pf.window, pf.sigma_spatial, pf.sigma_range
         )
-        nxt = bilateral_filter(nxt, None, pf.window, pf.sigma_spatial, pf.sigma_range)
-    prev_pyr = build_pyramid(prev, config.levels)
-    next_pyr = build_pyramid(nxt, config.levels)
+    return build_pyramid(frame, config.levels)
 
+
+def coarse_to_fine(
+    prev_pyr: list[jax.Array],
+    next_pyr: list[jax.Array],
+    config: LKConfig,
+) -> list[jax.Array]:
+    """Coarse-to-fine pass over prebuilt pyramids; returns the flow pyramid.
+
+    Twin of the per-frame flow loop (main.cu:256-262), with the carried flow
+    upsampled and warped per level instead of the reference's per-level
+    residual fields.
+    """
     flows: list[jax.Array | None] = [None] * config.levels
     flow = None
     for k in range(config.levels - 1, -1, -1):
@@ -129,6 +142,20 @@ def pyramidal_lk_pyramid(
         flow = lk_level(prev_pyr[k], next_pyr[k], flow, config)
         flows[k] = flow
     return flows  # type: ignore[return-value]
+
+
+def pyramidal_lk_pyramid(
+    prev: jax.Array, nxt: jax.Array, config: LKConfig
+) -> list[jax.Array]:
+    """Coarse-to-fine LK returning the full flow pyramid (finest first).
+
+    Level k flow is in level-k pixel units, matching the reference's
+    per-level flow pyramid (main.cu:256-262).
+    """
+    _validate(prev, nxt, config)
+    return coarse_to_fine(
+        preprocess(prev, config), preprocess(nxt, config), config
+    )
 
 
 def pyramidal_lk(prev: jax.Array, nxt: jax.Array, config: LKConfig) -> jax.Array:

@@ -1,0 +1,161 @@
+// Native frame-ingestion runtime for the TPU optical-flow framework.
+//
+// The reference implements its whole runtime in C++/CUDA; on the TPU side the
+// compute path is JAX/XLA, but the host-side frame pipeline (decode, grayscale
+// conversion, synthetic generation) stays native for throughput: feeding a
+// >60 fps 1080p stream means converting ~190 MB/s of interleaved RGB on the
+// host, which NumPy does with several temporaries and one core.  These
+// routines are single-pass and multithreaded, exposed through a C ABI for
+// ctypes (no pybind11 in this environment).
+//
+// Semantics mirror the reference ops they replace:
+//  * of2_gray_u8  — exact integer (r+g+b)/3 with truncating division, the
+//    twin of g_grayscale_avg_2d (OptFlowGpu.cu:48-60).
+//  * of2_gray_f32 — float mean, the production ingestion path
+//    (ops/color.py grayscale), fused RGB->planar-float in one pass.
+//  * of2_synthetic_frame — the noise-free synthetic translating texture of
+//    utils/io.py synthetic_sequence (kept bit-compatible with the Python
+//    generator at noise=0 via the same double-precision formula).
+
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr double kPi = 3.14159265358979323846;
+
+int hardware_threads() {
+  unsigned n = std::thread::hardware_concurrency();
+  return n == 0 ? 1 : static_cast<int>(n);
+}
+
+template <typename Fn>
+void parallel_rows(int h, Fn&& fn) {
+  int nt = hardware_threads();
+  if (nt > h) nt = h;
+  if (nt <= 1) {
+    fn(0, h);
+    return;
+  }
+  std::vector<std::thread> threads;
+  threads.reserve(nt);
+  int chunk = (h + nt - 1) / nt;
+  for (int t = 0; t < nt; ++t) {
+    int y0 = t * chunk;
+    int y1 = y0 + chunk < h ? y0 + chunk : h;
+    if (y0 >= y1) break;
+    threads.emplace_back([&fn, y0, y1] { fn(y0, y1); });
+  }
+  for (auto& th : threads) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Interleaved (H, W, 3) uint8 -> planar (H, W) float32 mean of channels.
+void of2_gray_f32(const uint8_t* rgb, int h, int w, float* dst) {
+  parallel_rows(h, [=](int y0, int y1) {
+    for (int y = y0; y < y1; ++y) {
+      const uint8_t* src = rgb + static_cast<size_t>(y) * w * 3;
+      float* out = dst + static_cast<size_t>(y) * w;
+      for (int x = 0; x < w; ++x) {
+        int s = src[0] + src[1] + src[2];
+        out[x] = static_cast<float>(s) * (1.0f / 3.0f);
+        src += 3;
+      }
+    }
+  });
+}
+
+// Interleaved (H, W, 3) uint8 -> planar (H, W) uint8, C truncating (r+g+b)/3.
+void of2_gray_u8(const uint8_t* rgb, int h, int w, uint8_t* dst) {
+  parallel_rows(h, [=](int y0, int y1) {
+    for (int y = y0; y < y1; ++y) {
+      const uint8_t* src = rgb + static_cast<size_t>(y) * w * 3;
+      uint8_t* out = dst + static_cast<size_t>(y) * w;
+      for (int x = 0; x < w; ++x) {
+        out[x] = static_cast<uint8_t>((src[0] + src[1] + src[2]) / 3);
+        src += 3;
+      }
+    }
+  });
+}
+
+// uint8 (H, W) -> float32 (H, W) (planar gray ingestion without conversion).
+void of2_u8_to_f32(const uint8_t* src, int64_t n, float* dst) {
+  const int64_t stripe = 1 << 20;
+  int64_t nstripes = (n + stripe - 1) / stripe;
+  parallel_rows(static_cast<int>(nstripes), [=](int s0, int s1) {
+    for (int s = s0; s < s1; ++s) {
+      int64_t lo = static_cast<int64_t>(s) * stripe;
+      int64_t hi = lo + stripe < n ? lo + stripe : n;
+      for (int64_t i = lo; i < hi; ++i) dst[i] = static_cast<float>(src[i]);
+    }
+  });
+}
+
+// Noise-free synthetic translating texture frame (t-th frame), matching
+// utils/io.py synthetic_sequence(noise=0).
+void of2_synthetic_frame(int t, int h, int w, double vx, double vy, int period,
+                         uint8_t* dst) {
+  const double p1 = 2.0 * kPi / period;
+  const double p2 = 2.0 * kPi / (period * 2.7);
+  parallel_rows(h, [=](int y0, int y1) {
+    for (int y = y0; y < y1; ++y) {
+      double sy = y - vy * t;
+      uint8_t* out = dst + static_cast<size_t>(y) * w;
+      for (int x = 0; x < w; ++x) {
+        double sx = x - vx * t;
+        double v = 127.0 + 55.0 * std::sin(p1 * sx) * std::sin(p1 * sy) +
+                   35.0 * std::sin(p2 * (sx + sy));
+        if (v < 0.0) v = 0.0;
+        if (v > 255.0) v = 255.0;
+        out[x] = static_cast<uint8_t>(v);
+      }
+    }
+  });
+}
+
+// Binary P6/P5 PPM header probe: fills h, w, channels; returns 0 on success.
+int of2_ppm_probe(const char* path, int* h, int* w, int* channels) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  char magic[3] = {0, 0, 0};
+  int ww = 0, hh = 0, maxval = 0;
+  int ok = std::fscanf(f, "%2s %d %d %d", magic, &ww, &hh, &maxval);
+  std::fclose(f);
+  if (ok != 4 || maxval != 255) return -2;
+  if (std::strcmp(magic, "P6") == 0) {
+    *channels = 3;
+  } else if (std::strcmp(magic, "P5") == 0) {
+    *channels = 1;
+  } else {
+    return -3;
+  }
+  *w = ww;
+  *h = hh;
+  return 0;
+}
+
+// Read the payload of a P6/P5 PPM into dst (caller sized it via probe).
+int of2_ppm_read(const char* path, uint8_t* dst, int64_t n) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  char magic[3];
+  int ww, hh, maxval;
+  if (std::fscanf(f, "%2s %d %d %d", magic, &ww, &hh, &maxval) != 4) {
+    std::fclose(f);
+    return -2;
+  }
+  std::fgetc(f);  // single whitespace after maxval
+  size_t got = std::fread(dst, 1, static_cast<size_t>(n), f);
+  std::fclose(f);
+  return got == static_cast<size_t>(n) ? 0 : -3;
+}
+
+}  // extern "C"

@@ -1,0 +1,36 @@
+"""Streaming API: carried pyramid state across a synthetic video sequence."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+import cuda_optical_flow_2_tpu as of
+from cuda_optical_flow_2_tpu.models import streaming
+from cuda_optical_flow_2_tpu.utils import io
+
+
+def test_streaming_matches_pairwise():
+    frames = io.synthetic_sequence(4, 96, 128, velocity=(1.0, 0.5))
+    cfg = of.LKConfig(levels=2, window=9, temporal_kernel="gauss3", use_pallas=False)
+    flows = {i: np.asarray(f) for i, f in streaming.process_sequence(frames, cfg)}
+    assert sorted(flows) == [1, 2, 3]
+    for i in (1, 2, 3):
+        pair = np.asarray(
+            of.pyramidal_lk(
+                jnp.asarray(frames[i - 1].astype(np.float32)),
+                jnp.asarray(frames[i].astype(np.float32)),
+                cfg,
+            )
+        )
+        np.testing.assert_allclose(flows[i], pair, atol=1e-5)
+
+
+def test_streaming_recovers_velocity():
+    frames = io.synthetic_sequence(3, 96, 128, velocity=(2.0, 1.0))
+    cfg = of.LKConfig(
+        levels=3, window=11, temporal_kernel="gauss3", iterations=2, use_pallas=False
+    )
+    for _, flow in streaming.process_sequence(frames, cfg):
+        inner = np.asarray(flow)[24:-24, 24:-24]
+        assert abs(np.median(inner[..., 0]) - 2.0) < 0.2
+        assert abs(np.median(inner[..., 1]) - 1.0) < 0.2
