@@ -43,6 +43,10 @@ class LKConfig:
       window_method: backend for the windowed sums — "sep_conv" (separable
         ones-vector convolutions), "cumsum" (integral image) or
         "reduce_window" (lax.reduce_window).
+      max_displacement: per-level warp displacement budget in pixels (flow is
+        clamped to this before sampling).  Bounds the TPU select-warp kernel's
+        cost (linear in it) and the trackable per-level motion; the reference
+        implicitly clamps only its visualization arrows (main.cu:148-156).
       normalize_gradients: scale the derivative stencils to unit gain (Sobel
         has gain 8 on a unit ramp; the reference's Dt_3x3 sums to 15,
         kernels.cpp:20-24).  The reference never normalizes, which biases its
@@ -62,6 +66,7 @@ class LKConfig:
     det_eps: float = 1e-8
     window_method: str = "sep_conv"
     normalize_gradients: bool = True
+    max_displacement: int = 32
     prefilter: Optional[BilateralConfig] = None
     use_pallas: bool = True
 

@@ -51,6 +51,14 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def interpret_forced() -> bool:
+    """Test hook: OF2_PALLAS_INTERPRET=1 runs the kernel in interpreter mode
+    on any backend, so the dispatch path is exercisable without a TPU."""
+    import os
+
+    return os.environ.get("OF2_PALLAS_INTERPRET", "") == "1"
+
+
 def supported(prev: jax.Array, config: LKConfig) -> bool:
     """Whether the fused Pallas kernel handles this shape/config/backend."""
     if prev.dtype != jnp.float32:
@@ -60,7 +68,7 @@ def supported(prev: jax.Array, config: LKConfig) -> bool:
     h, w = prev.shape[-2:]
     if h < 8 or w < 8:
         return False
-    return jax.default_backend() == "tpu"
+    return jax.default_backend() == "tpu" or interpret_forced()
 
 
 def _roll(x: jax.Array, d: int, axis: int) -> jax.Array:

@@ -63,7 +63,9 @@ def _lk_residual(prev: jax.Array, nxt: jax.Array, config: LKConfig) -> jax.Array
         from cuda_optical_flow_2_tpu.kernels import lk_fused
 
         if lk_fused.supported(prev, config):
-            return lk_fused.lk_residual(prev, nxt, config)
+            return lk_fused.lk_residual(
+                prev, nxt, config, interpret=lk_fused.interpret_forced()
+            )
     return _lk_residual_xla(prev, nxt, config)
 
 
@@ -88,11 +90,51 @@ def lk_level(
     if config.warp_mode == "none":
         # Without warping, re-iterating recomputes the same residual.
         return flow + _lk_residual(prev, nxt, config)
-    warp = warp_bilinear if config.warp_mode == "bilinear" else warp_nearest
+    warp, clamps = _pick_warp(nxt, config)
     for _ in range(config.iterations):
+        # The accumulation base must be the flow the warp ACTUALLY applied:
+        # adding the residual to an unclamped flow double-counts whatever the
+        # warp's displacement budget cut off, inflating the estimate on every
+        # iteration.
+        if clamps:
+            flow = jnp.clip(
+                flow, -config.max_displacement, config.max_displacement
+            )
         warped = warp(nxt, flow)
         flow = flow + _lk_residual(prev, warped, config)
     return flow
+
+
+def _pick_warp(img: jax.Array, config: LKConfig):
+    """Warp backend: Pallas select-warp on TPU, XLA gather elsewhere.
+
+    Returns (warp_fn, clamps): ``clamps`` is True when the backend enforces
+    the max_displacement budget, in which case the caller must accumulate on
+    the clamped flow.
+    """
+    if config.warp_mode == "nearest":
+        return warp_nearest, False
+    if config.use_pallas:
+        from cuda_optical_flow_2_tpu.kernels import warp_select
+
+        if warp_select.supported(img, config.max_displacement) or (
+            _interpret_forced()
+        ):
+            return (
+                functools.partial(
+                    warp_select.warp_bilinear_select,
+                    max_displacement=config.max_displacement,
+                    interpret=_interpret_forced(),
+                ),
+                True,
+            )
+    return warp_bilinear, False
+
+
+def _interpret_forced() -> bool:
+    from cuda_optical_flow_2_tpu.kernels import lk_fused
+
+    return lk_fused.interpret_forced()
 
 
 def _validate(prev: jax.Array, nxt: jax.Array, config: LKConfig) -> None:

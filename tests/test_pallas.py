@@ -67,3 +67,76 @@ def test_supported_gates_backend(rng):
     prev, _ = _pair(rng, 32, 32)
     # tests force the CPU backend, so the TPU kernel must not claim support
     assert not lk_fused.supported(prev, of.LKConfig(levels=1, window=9))
+
+
+def test_full_pipeline_dispatches_pallas(rng, monkeypatch):
+    # levels=1: no warp, so the fused-LK dispatch must match XLA exactly even
+    # on rough random images (the select-warp's smoothness condition doesn't
+    # apply; the warped multi-level case is covered on realistic frames in
+    # test_pipeline_with_pallas_warp_matches_xla).
+    monkeypatch.setenv("OF2_PALLAS_INTERPRET", "1")
+    prev, nxt = _pair(rng, 64, 96)
+    cfg_pallas = of.LKConfig(levels=1, window=9, use_pallas=True)
+    cfg_xla = of.LKConfig(levels=1, window=9, use_pallas=False)
+    got = np.asarray(of.pyramidal_lk(prev, nxt, cfg_pallas))
+    want = np.asarray(of.pyramidal_lk(prev, nxt, cfg_xla))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def _smooth_flow(h, w, amp=5.0):
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    return np.stack(
+        [
+            amp * np.sin(2 * np.pi * ys / 90) + 3.0 * np.cos(2 * np.pi * xs / 120),
+            amp * 0.8 * np.cos(2 * np.pi * (xs + ys) / 150),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+
+
+def test_select_warp_matches_gather_on_smooth_flow(rng):
+    from cuda_optical_flow_2_tpu.kernels.warp_select import warp_bilinear_select
+    from cuda_optical_flow_2_tpu.ops.warp import warp_bilinear
+
+    img = jnp.asarray(rng.normal(0, 50, (96, 144)).astype(np.float32) + 128)
+    flow = jnp.asarray(_smooth_flow(96, 144))
+    want = np.asarray(warp_bilinear(img, flow))
+    got = np.asarray(warp_bilinear_select(img, flow, 16, interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_select_warp_out_of_bounds_keeps_pixels(rng):
+    from cuda_optical_flow_2_tpu.kernels.warp_select import warp_bilinear_select
+    from cuda_optical_flow_2_tpu.ops.warp import warp_bilinear
+
+    img = jnp.asarray(rng.normal(0, 50, (32, 64)).astype(np.float32))
+    flow = jnp.asarray(np.full((32, 64, 2), 7.0, np.float32))
+    want = np.asarray(warp_bilinear(img, flow))
+    got = np.asarray(warp_bilinear_select(img, flow, 8, interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_select_warp_clamps_to_budget(rng):
+    from cuda_optical_flow_2_tpu.kernels.warp_select import warp_bilinear_select
+
+    img = jnp.asarray(rng.normal(0, 50, (32, 64)).astype(np.float32))
+    flow = jnp.asarray(np.full((32, 64, 2), 100.0, np.float32))  # > budget
+    got = np.asarray(warp_bilinear_select(img, flow, 8, interpret=True))
+    assert np.isfinite(got).all()
+
+
+def test_pipeline_with_pallas_warp_matches_xla(rng, monkeypatch):
+    monkeypatch.setenv("OF2_PALLAS_INTERPRET", "1")
+    from conftest import make_translating_pair
+
+    prev, nxt = make_translating_pair(96, 96, dx=2, dy=1, period=16)
+    p = jnp.asarray(prev[..., 0].astype(np.float32))
+    n = jnp.asarray(nxt[..., 0].astype(np.float32))
+    cfg_pallas = of.LKConfig(levels=3, window=9, iterations=2, use_pallas=True)
+    cfg_xla = of.LKConfig(levels=3, window=9, iterations=2, use_pallas=False)
+    got = np.asarray(of.pyramidal_lk(p, n, cfg_pallas))
+    want = np.asarray(of.pyramidal_lk(p, n, cfg_xla))
+    # same algorithm, different warp kernels: flows agree to sub-centipixel
+    err = np.abs(got - want)
+    assert np.median(err) < 2e-3, np.median(err)
+    assert np.percentile(err, 99) < 0.1, np.percentile(err, 99)
