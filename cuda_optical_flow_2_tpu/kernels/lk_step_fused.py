@@ -1,0 +1,293 @@
+"""Fully-fused LK level step: warp + gradients + window sums + solve + update.
+
+One Pallas kernel per pyramid level computes, for each VMEM-resident row
+band:
+
+    warped   = backward-warp(next, flow)          (select_core.warp_core)
+    Ix, Iy   = Sobel(prev),  It = K_t (x) (warped - prev)
+    sums     = 5 windowed box sums (shift-doubling)
+    residual = guarded 2x2 solve
+    flow_out = applied_flow + residual
+
+This is the end state of SURVEY.md section 7 step 4: the reference's entire
+per-level stack — cpu::shift_back_pyramid + 4 convolution launches + 5 srm
+launches + the solve launch, with ~24 PCIe transfers (OptFlowGpu.cu:
+1909-1979) — as ONE kernel whose intermediates never leave VMEM.  Compared
+to running warp_select + lk_fused as separate kernels it also eliminates the
+intermediate warped image's HBM round trip and all the XLA padding/masking
+glue between them.
+
+Boundary semantics match the XLA ops path: zero padding outside the image
+for gradients and window sums, out-of-bounds warp samples keep the unwarped
+pixel, and the output flow accumulates on the flow the warp actually applied
+(budget-clamped + border-clamped + tile-recentered, see select_core).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cuda_optical_flow_2_tpu.config import LKConfig
+from cuda_optical_flow_2_tpu.constants import MASKS
+from cuda_optical_flow_2_tpu.kernels import select_core
+from cuda_optical_flow_2_tpu.kernels.lk_fused import (
+    _box_sum,
+    _stencil3,
+    supported as _lk_supported,
+)
+from cuda_optical_flow_2_tpu.ops.gradients import SOBEL_GAIN
+
+__all__ = ["supported", "lk_level_step"]
+
+_LANE = 128
+_SUBLANE = 8
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def supported(prev: jax.Array, config: LKConfig) -> bool:
+    return (
+        _lk_supported(prev, config)
+        and config.max_displacement <= 96
+        and config.warp_mode == "bilinear"
+    )
+
+
+def _kernel(
+    prev_ref,
+    nxt_ref,
+    u_ref,
+    v_ref,
+    uo_ref,
+    vo_ref,
+    *,
+    tile_h: int,
+    rw: int,
+    halo_p: int,
+    halo_n: int,
+    halo_x: int,
+    img_h: int,
+    img_w: int,
+    r: int,
+    d_max: int,
+    d_local: int,
+    c_max: int,
+    sobel_scale: float,
+    temporal_mask: np.ndarray,
+    det_eps: float,
+):
+    # prev tile: (tile_h + 2*halo_p, wp); next tile: (tile_h + 2*halo_n, wp);
+    # flow tiles: (tile_h + 2*rw, wp) — the warped band needs rw extra rows
+    # for the gradient + window stencils.
+    prev = prev_ref[0]
+    nxt = nxt_ref[0]
+    u_in = u_ref[0]
+    v_in = v_ref[0]
+    text, wp = u_in.shape  # text = tile_h + 2*rw
+
+    i = pl.program_id(1)
+    # Absolute image coordinates of the extended band's rows/cols.
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (text, wp), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (text, wp), 1)
+    img_row = row_ids + i * tile_h - rw
+    img_col = col_ids - halo_x
+    inside = (
+        (img_row >= 0) & (img_row < img_h) & (img_col >= 0) & (img_col < img_w)
+    )
+
+    # --- Budget + border clamping, valid mask (XLA-warp semantics).
+    xf = img_col.astype(jnp.float32)
+    yf = img_row.astype(jnp.float32)
+    u_b = jnp.clip(u_in, -d_max, d_max)
+    v_b = jnp.clip(v_in, -d_max, d_max)
+    # Outside the image the border-clamp formula produces huge pseudo-flow
+    # (it pulls padding pixels to the image edge), which would poison the
+    # recentering mean inside warp_core — zero it there.
+    fzero = jnp.zeros((text, wp), jnp.float32)
+    u_c = jnp.where(inside, jnp.clip(xf + u_b, 0.0, img_w - 1) - xf, fzero)
+    v_c = jnp.where(inside, jnp.clip(yf + v_b, 0.0, img_h - 1) - yf, fzero)
+    valid = (
+        (xf + u_in >= 0)
+        & (xf + u_in <= img_w - 1)
+        & (yf + v_in >= 0)
+        & (yf + v_in <= img_h - 1)
+    )
+
+    # --- Warp: next sampled at x + flow over the extended band.
+    warped, au, av = select_core.warp_core(
+        nxt,
+        u_c,
+        v_c,
+        row0=halo_n - rw,
+        d_local=d_local,
+        c_max=c_max,
+    )
+    # Out-of-bounds samples keep the unwarped pixel; outside the image the
+    # warped band must read as ZERO so the temporal stencil keeps the XLA
+    # path's zero-padding semantics (the gather leaves arbitrary content in
+    # the padding rows otherwise).
+    nxt_center = nxt[halo_n - rw : halo_n - rw + text, :]
+    zero = jnp.zeros((text, wp), jnp.float32)
+    warped = jnp.where(valid, warped, nxt_center)
+    warped = jnp.where(inside, warped, zero)
+
+    # --- Gradients on the extended band, masked to the image (zero-pad
+    # window semantics, see lk_fused.py).
+    prev_band = prev[halo_p - rw : halo_p - rw + text, :]
+    sx = MASKS["sobel_x"] * sobel_scale
+    sy = MASKS["sobel_y"] * sobel_scale
+    ix = jnp.where(inside, _stencil3(prev_band, sx), zero)
+    iy = jnp.where(inside, _stencil3(prev_band, sy), zero)
+    it = jnp.where(inside, _stencil3(warped - prev_band, temporal_mask), zero)
+
+    def win(prod):
+        rows = _box_sum(prod, r, 0)[rw : rw + tile_h, :]
+        return _box_sum(rows, r, 1)
+
+    sum_ix2 = win(ix * ix)
+    sum_iy2 = win(iy * iy)
+    sum_ixiy = win(ix * iy)
+    sum_ixit = win(ix * it)
+    sum_iyit = win(iy * it)
+
+    det = sum_ix2 * sum_iy2 - sum_ixiy * sum_ixiy
+    if det_eps > 0.0:
+        safe = jnp.abs(det) >= det_eps
+        inv_det = 1.0 / jnp.where(safe, det, jnp.ones_like(det))
+        zc = jnp.zeros_like(det)
+        res_u = jnp.where(
+            safe, (-sum_iy2 * sum_ixit + sum_ixiy * sum_iyit) * inv_det, zc
+        )
+        res_v = jnp.where(
+            safe, (sum_ixiy * sum_ixit - sum_ix2 * sum_iyit) * inv_det, zc
+        )
+    else:
+        inv_det = 1.0 / det
+        res_u = (-sum_iy2 * sum_ixit + sum_ixiy * sum_iyit) * inv_det
+        res_v = (sum_ixiy * sum_ixit - sum_ix2 * sum_iyit) * inv_det
+
+    # Accumulate on the budget-clamped flow (matching the XLA path, which
+    # clips to max_displacement before warping): the border clamp and the
+    # rare local-range clamp inside the warp are sampling details, not flow
+    # truncations — feeding them back would zero out estimates at the image
+    # border where out-of-bounds motion is simply unobservable.
+    del au, av
+    uo_ref[:, :] = u_b[rw : rw + tile_h, :] + res_u
+    vo_ref[:, :] = v_b[rw : rw + tile_h, :] + res_v
+
+
+@functools.partial(jax.jit, static_argnames=("config", "interpret"))
+def lk_level_step(
+    prev: jax.Array,
+    nxt: jax.Array,
+    flow: jax.Array,
+    config: LKConfig,
+    interpret: bool = False,
+) -> jax.Array:
+    """One warp + solve + update iteration of an LK level, fully fused.
+
+    Args: prev/nxt (..., H, W) float32, flow (..., H, W, 2).
+    Returns the updated flow (..., H, W, 2).
+    """
+    lead = prev.shape[:-2]
+    h, w = prev.shape[-2:]
+    p = prev.reshape((-1, h, w)).astype(jnp.float32)
+    n = nxt.reshape((-1, h, w)).astype(jnp.float32)
+    f = flow.reshape((-1, h, w, 2)).astype(jnp.float32)
+    b = p.shape[0]
+
+    r = config.window // 2
+    rw = r + 1
+    d = int(config.max_displacement)
+    d_local = select_core.DEFAULT_D_LOCAL
+    # c_max=1 keeps the VMEM working set down; the row-choice correction
+    # condition (|d(vi)| <= 1 across floor(u) columns) holds for the smooth
+    # upsampled fields the pyramid feeds this kernel.
+    c_max = 1
+
+    halo_p = _round_up(rw + rw, _SUBLANE)  # band extension + gradient margin
+    halo_n = _round_up(select_core.halo_y(d, d_local, c_max) + rw, _SUBLANE)
+    halo_x = max(select_core.halo_x(d, d_local), rw + 1)
+    wp = _round_up(w + 2 * halo_x, _LANE)
+
+    # VMEM: with the scratch-based core the peak live set is ~3*ncands
+    # accumulators plus ~12 temporaries/index maps on the extended band,
+    # plus the prev/next tiles and the sums (headroom in the budget).
+    ncands = 2 * c_max + 2
+    arrays = 20 + 5 * ncands  # measured ~37 live band arrays at ncands=4
+    budget = 11 * 1024 * 1024 // 4
+    th_max = (budget // wp - 2 * (halo_n + rw)) // arrays
+    tile_h = max(
+        _SUBLANE, min(_round_up(h, _SUBLANE), (th_max // _SUBLANE) * _SUBLANE)
+    )
+    ht = pl.cdiv(h, tile_h)
+
+    hp_p = ht * tile_h + 2 * halo_p
+    hp_n = ht * tile_h + 2 * halo_n
+    hp_f = ht * tile_h + 2 * rw
+
+    pp = jnp.pad(p, ((0, 0), (halo_p, hp_p - h - halo_p), (halo_x, wp - w - halo_x)))
+    np_ = jnp.pad(n, ((0, 0), (halo_n, hp_n - h - halo_n), (halo_x, wp - w - halo_x)))
+    pad_f = ((0, 0), (rw, hp_f - h - rw), (halo_x, wp - w - halo_x))
+    uf = jnp.pad(f[..., 0], pad_f)
+    vf = jnp.pad(f[..., 1], pad_f)
+
+    tmask = MASKS[config.temporal_kernel]
+    if config.normalize_gradients:
+        tmask = tmask / tmask.sum()
+        sobel_scale = 1.0 / SOBEL_GAIN
+    else:
+        sobel_scale = 1.0
+
+    kernel = functools.partial(
+        _kernel,
+        tile_h=tile_h,
+        rw=rw,
+        halo_p=halo_p,
+        halo_n=halo_n,
+        halo_x=halo_x,
+        img_h=h,
+        img_w=w,
+        r=r,
+        d_max=d,
+        d_local=d_local,
+        c_max=c_max,
+        sobel_scale=sobel_scale,
+        temporal_mask=tmask,
+        det_eps=config.det_eps,
+    )
+
+    def espec(gy):
+        return pl.BlockSpec(
+            (pl.Element(1), pl.Element(tile_h + 2 * gy), pl.Element(wp)),
+            lambda bb, i: (bb, i * tile_h, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    out_spec = pl.BlockSpec(
+        (None, tile_h, wp), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM
+    )
+    uo, vo = pl.pallas_call(
+        kernel,
+        grid=(b, ht),
+        in_specs=[espec(halo_p), espec(halo_n), espec(rw), espec(rw)],
+        out_specs=(out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, ht * tile_h, wp), jnp.float32),
+            jax.ShapeDtypeStruct((b, ht * tile_h, wp), jnp.float32),
+        ),
+        interpret=interpret,
+    )(pp, np_, uf, vf)
+    out = jnp.stack(
+        [uo[:, :h, halo_x : halo_x + w], vo[:, :h, halo_x : halo_x + w]], axis=-1
+    )
+    return out.reshape(lead + (h, w, 2))

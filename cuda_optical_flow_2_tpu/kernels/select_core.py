@@ -1,0 +1,179 @@
+"""Shared in-kernel select-gather warp core.
+
+Used by warp_select.py (standalone warp) and lk_step_fused.py (fused
+warp + LK level).  See warp_select.py's module docstring for the corrected
+two-pass select-gather scheme; this core adds two throughput refinements
+measured on v5e (tests/microbench in round logs):
+
+* **Per-tile recentering**: dynamic rolls absorb a per-tile integer offset
+  (u0, v0) = round(mean flow), so the select-loops only cover the *local*
+  displacement range ``d_local`` (default 15) instead of the global budget —
+  iteration count, the dominant cost, drops proportionally.  Correctness
+  requires the within-tile flow range to fit in +-d_local after recentering;
+  beyond that the local residual clamps (the caller receives the APPLIED
+  flow, so accumulation stays consistent).
+* **Chunked dynamic rolls**: dynamic-shift lane rolls cost ~6x a static
+  roll, so the horizontal pass rolls each array dynamically once per
+  8-iteration chunk and steps with static 1-rolls in between.
+
+All rolls wrap; callers must provide margins (see the halo helpers) so no
+window read ever touches a wrapped row/column.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["warp_core", "halo_y", "halo_x", "DEFAULT_D_LOCAL"]
+
+DEFAULT_D_LOCAL = 15
+_CHUNK = 8
+
+
+def halo_y(d_max: int, d_local: int, c_max: int) -> int:
+    """Rows of margin the img tile needs above/below the warped band."""
+    return d_max + d_local + c_max + 2
+
+
+def halo_x(d_max: int, d_local: int) -> int:
+    """Columns of margin the img tile needs left/right of the image.
+
+    Includes the chunk-rounding overshoot of the horizontal pass.
+    """
+    return d_max + d_local + _CHUNK
+
+
+def _roll(x: jax.Array, d: int, axis: int) -> jax.Array:
+    size = x.shape[axis]
+    s = (-d) % size
+    return pltpu.roll(x, s, axis) if s else x
+
+
+def _roll_dyn(x: jax.Array, d: jax.Array, axis: int) -> jax.Array:
+    return pltpu.roll(x, jnp.mod(-d, x.shape[axis]), axis)
+
+
+def warp_core(
+    img: jax.Array,
+    u: jax.Array,
+    v: jax.Array,
+    *,
+    row0: int,
+    d_local: int = DEFAULT_D_LOCAL,
+    c_max: int = 2,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Bilinear warp of ``img`` by (u, v) with per-tile recentering.
+
+    Args:
+      img: (Gi, WP) source tile; output row t samples around img row
+        t + row0 (+ v).
+      u, v: (To, WP) flow, already budget- and border-clamped by the caller.
+      row0: img-row offset of output row 0.
+      d_local: local displacement range after recentering.
+      c_max: row-choice correction range (see warp_select.py).
+
+    Returns (warped, applied_u, applied_v), each (To, WP): the warped tile
+    and the flow actually applied (recentered + locally clamped) — callers
+    accumulating flow must use the applied values.
+    """
+    to, wp = u.shape
+    ncands = 2 * c_max + 2
+
+    # Per-tile integer recentering.
+    u0 = jnp.round(jnp.mean(u)).astype(jnp.int32)
+    v0 = jnp.round(jnp.mean(v)).astype(jnp.int32)
+    ul = jnp.clip(u - u0.astype(jnp.float32), -d_local, d_local)
+    vl = jnp.clip(v - v0.astype(jnp.float32), -d_local, d_local)
+    applied_u = u0.astype(jnp.float32) + ul
+    applied_v = v0.astype(jnp.float32) + vl
+
+    vi_f = jnp.floor(vl)
+    ui_f = jnp.floor(ul)
+    ty = vl - vi_f
+    tx = ul - ui_f
+    vi = vi_f.astype(jnp.int32)
+    ui = ui_f.astype(jnp.int32)
+
+    # Accumulators live in explicit VMEM scratch and are mutated in place:
+    # fori_loop carries are double-buffered by the Mosaic stack allocator,
+    # which blows the VMEM budget at ~20 band-sized arrays (observed
+    # compile-time OOMs); scratch refs are single-buffered.
+    def scoped(acc_ref, g0_ref, g1_ref, vig_ref):
+        zero = jnp.zeros((to, wp), jnp.float32)
+
+        # --- Pass 1 (vertical): A_c(t, x) = img(t + row0 + v0 + vi + c, x).
+        for ci in range(ncands):
+            acc_ref[ci] = zero
+
+        def body_v(i, _):
+            d = i - d_local
+            sel = vi == d
+            base = _roll_dyn(img, v0 + d - c_max + row0, 0)
+            for ci in range(ncands):
+                acc_ref[ci] = acc_ref[ci] + jnp.where(sel, base[:to, :], 0.0)
+                if ci + 1 < ncands:
+                    base = _roll(base, 1, 0)
+            return 0
+
+        jax.lax.fori_loop(0, 2 * d_local + 1, body_v, 0)
+
+        # --- Pass 2 (horizontal): gather A_c and vi at x + u0 + ui, for
+        # both x-corners, chunked so each array takes one dynamic roll per
+        # chunk and static 1-rolls in between.
+        for ci in range(ncands):
+            g0_ref[ci] = zero
+            g1_ref[ci] = zero
+        vig_ref[0] = jnp.zeros((to, wp), jnp.int32)
+        vig_ref[1] = jnp.zeros((to, wp), jnp.int32)
+
+        n_iter = 2 * d_local + 2
+        n_chunks = -(-n_iter // _CHUNK)
+
+        def body_h(q, _):
+            d_base = q * _CHUNK - d_local
+            rolled = [_roll_dyn(acc_ref[ci], u0 + d_base, 1) for ci in range(ncands)]
+            vi_rolled = _roll_dyn(vi, u0 + d_base, 1)
+            for j in range(_CHUNK):
+                d = d_base + j
+                sel0 = ui == d
+                sel1 = ui == (d - 1)
+                for ci in range(ncands):
+                    g0_ref[ci] = g0_ref[ci] + jnp.where(sel0, rolled[ci], 0.0)
+                    g1_ref[ci] = g1_ref[ci] + jnp.where(sel1, rolled[ci], 0.0)
+                vig_ref[0] = vig_ref[0] + jnp.where(sel0, vi_rolled, 0)
+                vig_ref[1] = vig_ref[1] + jnp.where(sel1, vi_rolled, 0)
+                if j + 1 < _CHUNK:
+                    rolled = [_roll(a, 1, 1) for a in rolled]
+                    vi_rolled = _roll(vi_rolled, 1, 1)
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, body_h, 0)
+
+        # --- Correction select per x-corner, then the bilinear blend.
+        corners = []
+        for gref, vigi in ((g0_ref, 0), (g1_ref, 1)):
+            cstar = jnp.clip(vi - vig_ref[vigi], -c_max, c_max)
+            v0c = zero
+            v1c = zero
+            for ci, c in enumerate(range(-c_max, c_max + 1)):
+                sel = cstar == c
+                v0c = v0c + jnp.where(sel, gref[ci], 0.0)
+                v1c = v1c + jnp.where(sel, gref[ci + 1], 0.0)
+            corners.append((v0c, v1c))
+        (v00, v10), (v01, v11) = corners
+        top = v00 + tx * (v01 - v00)
+        bot = v10 + tx * (v11 - v10)
+        return top + ty * (bot - top)
+
+    import jax.experimental.pallas as pl  # local: core is kernel-side only
+
+    warped = pl.run_scoped(
+        scoped,
+        acc_ref=pltpu.VMEM((ncands, to, wp), jnp.float32),
+        g0_ref=pltpu.VMEM((ncands, to, wp), jnp.float32),
+        g1_ref=pltpu.VMEM((ncands, to, wp), jnp.float32),
+        vig_ref=pltpu.VMEM((2, to, wp), jnp.int32),
+    )
+    return warped, applied_u, applied_v

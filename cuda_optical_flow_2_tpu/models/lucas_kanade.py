@@ -84,12 +84,30 @@ def lk_level(
     which the reference never does but BASELINE config 2 requires.
     """
     if flow_init is None:
-        flow = jnp.zeros(prev.shape + (2,), dtype=prev.dtype)
-    else:
-        flow = flow_init
+        # Coarsest level: no prior flow, so no warp (reference:
+        # OptFlowGpu.cu:1917-1921 skips the shift at level == maxLevel-1).
+        flow = _lk_residual(prev, nxt, config)
+        if config.warp_mode == "none" or config.iterations == 1:
+            return flow
+        return lk_level(prev, nxt, flow, _with_iterations(config, config.iterations - 1))
+    flow = flow_init
     if config.warp_mode == "none":
         # Without warping, re-iterating recomputes the same residual.
         return flow + _lk_residual(prev, nxt, config)
+    if config.use_pallas:
+        from cuda_optical_flow_2_tpu.kernels import lk_step_fused
+
+        if lk_step_fused.supported(prev, config) or (
+            _interpret_forced() and config.warp_mode == "bilinear"
+        ):
+            # Fully-fused path: warp + gradients + window sums + solve +
+            # accumulate in one kernel per iteration (accumulation on the
+            # applied flow happens in-kernel).
+            for _ in range(config.iterations):
+                flow = lk_step_fused.lk_level_step(
+                    prev, nxt, flow, config, interpret=_interpret_forced()
+                )
+            return flow
     warp, clamps = _pick_warp(nxt, config)
     for _ in range(config.iterations):
         # The accumulation base must be the flow the warp ACTUALLY applied:
@@ -103,6 +121,12 @@ def lk_level(
         warped = warp(nxt, flow)
         flow = flow + _lk_residual(prev, warped, config)
     return flow
+
+
+def _with_iterations(config: LKConfig, iterations: int) -> LKConfig:
+    import dataclasses
+
+    return dataclasses.replace(config, iterations=iterations)
 
 
 def _pick_warp(img: jax.Array, config: LKConfig):

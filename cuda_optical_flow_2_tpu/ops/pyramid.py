@@ -26,13 +26,20 @@ from cuda_optical_flow_2_tpu.constants import BINOMIAL_1D
 __all__ = ["pyr_down", "build_pyramid"]
 
 
-def pyr_down(x: jax.Array, kernel_1d=BINOMIAL_1D) -> jax.Array:
+def pyr_down(x: jax.Array, kernel_1d=BINOMIAL_1D, use_pallas: bool = True) -> jax.Array:
     """Blur + 2x downsample: (..., H, W) -> (..., H//2, W//2).
 
     ``kernel_1d`` is the separable factor of the smoothing mask (default: the
     binomial {1,2,1}/4, whose outer product is the reference's
-    GAUS_KERNEL_3x3, kernels.cpp:61-64).
+    GAUS_KERNEL_3x3, kernels.cpp:61-64).  On TPU with the default kernel the
+    fused Pallas tile kernel handles it; elsewhere a strided separable XLA
+    convolution.
     """
+    if use_pallas and kernel_1d is BINOMIAL_1D:
+        from cuda_optical_flow_2_tpu.kernels import pyr_down as pd
+
+        if pd.supported(x):
+            return pd.pyr_down_pallas(x)
     k = np.asarray(kernel_1d).reshape(-1)
     if k.size % 2 != 1:
         raise ValueError("pyramid kernel must have odd length")

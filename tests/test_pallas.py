@@ -140,3 +140,53 @@ def test_pipeline_with_pallas_warp_matches_xla(rng, monkeypatch):
     err = np.abs(got - want)
     assert np.median(err) < 2e-3, np.median(err)
     assert np.percentile(err, 99) < 0.1, np.percentile(err, 99)
+
+
+def test_lk_step_fused_matches_xla_composition(rng):
+    from cuda_optical_flow_2_tpu.kernels import lk_step_fused
+    from cuda_optical_flow_2_tpu.models.lucas_kanade import _lk_residual_xla
+    from cuda_optical_flow_2_tpu.ops.warp import warp_bilinear
+
+    for h, w in [(96, 144), (61, 200)]:
+        prev = jnp.asarray(rng.normal(0, 50, (h, w)).astype(np.float32) + 128)
+        nxt = jnp.asarray(rng.normal(0, 50, (h, w)).astype(np.float32) + 128)
+        ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+        flow = jnp.asarray(
+            np.stack(
+                [4.0 * np.sin(2 * np.pi * ys / 90) + 1.5,
+                 3.0 * np.cos(2 * np.pi * (xs + ys) / 150)],
+                -1,
+            ).astype(np.float32)
+        )
+        cfg = of.LKConfig(levels=1, window=11, temporal_kernel="gauss3", use_pallas=False)
+        want = np.asarray(flow + _lk_residual_xla(prev, warp_bilinear(nxt, flow), cfg))
+        got = np.asarray(
+            lk_step_fused.lk_level_step(prev, nxt, flow, cfg, interpret=True)
+        )
+        np.testing.assert_allclose(got, want, atol=1e-4), (h, w)
+
+
+def test_lk_step_fused_batched(rng):
+    from cuda_optical_flow_2_tpu.kernels import lk_step_fused
+
+    prev = jnp.asarray(rng.normal(0, 50, (2, 48, 64)).astype(np.float32))
+    nxt = jnp.asarray(rng.normal(0, 50, (2, 48, 64)).astype(np.float32))
+    flow = jnp.asarray(np.full((2, 48, 64, 2), 1.5, np.float32))
+    cfg = of.LKConfig(levels=1, window=9, use_pallas=False)
+    batched = np.asarray(lk_step_fused.lk_level_step(prev, nxt, flow, cfg, interpret=True))
+    for b in range(2):
+        single = np.asarray(
+            lk_step_fused.lk_level_step(prev[b], nxt[b], flow[b], cfg, interpret=True)
+        )
+        np.testing.assert_allclose(batched[b], single, rtol=1e-6)
+
+
+def test_pyr_down_pallas_matches_xla(rng):
+    from cuda_optical_flow_2_tpu.kernels.pyr_down import pyr_down_pallas
+    from cuda_optical_flow_2_tpu.ops.pyramid import pyr_down
+
+    for h, w in [(64, 128), (61, 200)]:
+        x = jnp.asarray(rng.normal(0, 50, (h, w)).astype(np.float32))
+        want = np.asarray(pyr_down(x, use_pallas=False))
+        got = np.asarray(pyr_down_pallas(x, interpret=True))
+        np.testing.assert_allclose(got, want, atol=1e-4)
