@@ -206,7 +206,10 @@ def lk_level_step(
     b = p.shape[0]
 
     r = config.window // 2
-    rw = r + 1
+    # Band margin: needs r+1 rows for the gradient+window stencils, rounded
+    # so the Element block height (tile_h + 2*rw) stays divisible by 8
+    # (Mosaic requires sublane-divisible block shapes).
+    rw = _round_up(r + 1, 4)
     d = int(config.max_displacement)
     d_local = select_core.DEFAULT_D_LOCAL
     # c_max=1 keeps the VMEM working set down; the row-choice correction

@@ -19,17 +19,54 @@ import jax.numpy as jnp
 __all__ = ["upsample_flow", "upscale_nn"]
 
 
+def _up2x_axis(x: jax.Array, axis: int) -> jax.Array:
+    """Exact 2x bilinear upsample along ``axis`` (half-pixel convention).
+
+    Matches jax.image.resize(..., "bilinear", antialias=False) for a 2x
+    target: out[2k] = 0.75*in[k] + 0.25*in[k-1], out[2k+1] = 0.75*in[k] +
+    0.25*in[k+1], edges clamped.  Pure shifts + interleave — resize's
+    general-scale path lowers to gather-heavy code on TPU when fused into a
+    larger program (measured ~12 ms inside the 1080p pipeline vs ~0.4 ms for
+    this form).
+    """
+    lo = jnp.concatenate(
+        [jax.lax.slice_in_dim(x, 0, 1, axis=axis), jax.lax.slice_in_dim(x, 0, -1, axis=axis)],
+        axis=axis,
+    )
+    hi = jnp.concatenate(
+        [jax.lax.slice_in_dim(x, 1, None, axis=axis), jax.lax.slice_in_dim(x, -1, None, axis=axis)],
+        axis=axis,
+    )
+    even = 0.75 * x + 0.25 * lo
+    odd = 0.75 * x + 0.25 * hi
+    stacked = jnp.stack([even, odd], axis=axis + 1 if axis >= 0 else x.ndim + axis + 1)
+    new_shape = list(x.shape)
+    ax = axis if axis >= 0 else x.ndim + axis
+    new_shape[ax] = 2 * new_shape[ax]
+    return stacked.reshape(new_shape)
+
+
 def upsample_flow(flow: jax.Array, shape: tuple[int, int]) -> jax.Array:
     """Resize (..., h, w, 2) flow to (..., H, W, 2) and scale values by H/h.
 
-    Bilinear resize (jax.image) with the pixel-magnitude scaling the finer
-    grid requires; for the exact 2x pyramid step this is a doubling, matching
-    the visualizer's 2^scale multiplier (main.cu:144-146).
+    Bilinear with the pixel-magnitude scaling the finer grid requires; for
+    the exact 2x pyramid step this is a doubling, matching the visualizer's
+    2^scale multiplier (main.cu:144-146).  The (near-)2x case — the only one
+    the pyramid produces — runs the dedicated stencil upsampler (odd target
+    dims get one edge-replicated row/column); other scales fall back to
+    jax.image.resize.
     """
     th, tw = shape
     h, w = flow.shape[-3:-1]
     if (th, tw) == (h, w):
         return flow
+    if th in (2 * h, 2 * h + 1) and tw in (2 * w, 2 * w + 1):
+        out = _up2x_axis(_up2x_axis(flow, -3), -2)
+        if th == 2 * h + 1:
+            out = jnp.concatenate([out, out[..., -1:, :, :]], axis=-3)
+        if tw == 2 * w + 1:
+            out = jnp.concatenate([out, out[..., :, -1:, :]], axis=-2)
+        return out * jnp.asarray([2.0, 2.0], dtype=flow.dtype)
     scale = jnp.asarray([tw / w, th / h], dtype=flow.dtype)
     out = jax.image.resize(
         flow, flow.shape[:-3] + (th, tw, 2), method="bilinear", antialias=False
