@@ -55,13 +55,15 @@ def main() -> None:
     sn = float(fn(prev, nxt))
     assert np.isfinite(s1) and np.isfinite(sn), (s1, sn)
 
-    t0 = time.perf_counter()
-    float(f1(prev, nxt))
-    t1 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(fn(prev, nxt))
-    tn = time.perf_counter() - t0
-    per_frame = (tn - t1) / ITERS
+    per_frame = float("inf")
+    for _ in range(3):  # best-of-3: tunnel round-trip jitter
+        t0 = time.perf_counter()
+        float(f1(prev, nxt))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(fn(prev, nxt))
+        tn = time.perf_counter() - t0
+        per_frame = min(per_frame, (tn - t1) / ITERS)
     fps = 1.0 / per_frame
 
     print(

@@ -227,7 +227,11 @@ def lk_level_step(
     # plus the prev/next tiles and the sums (headroom in the budget).
     ncands = 2 * c_max + 2
     arrays = 20 + 5 * ncands  # measured ~37 live band arrays at ncands=4
-    budget = 11 * 1024 * 1024 // 4
+    # v5e has far more physical VMEM than Mosaic's 16 MB default scoped
+    # limit; raise the kernel's cap and budget accordingly (bigger bands =
+    # less halo DMA amplification).  Mosaic's stack allocation also varies
+    # slightly between compiles of the same kernel, so leave ~30% headroom.
+    budget = 22 * 1024 * 1024 // 4
     th_max = (budget // wp - 2 * (halo_n + rw)) // arrays
     tile_h = max(
         _SUBLANE, min(_round_up(h, _SUBLANE), (th_max // _SUBLANE) * _SUBLANE)
@@ -289,6 +293,9 @@ def lk_level_step(
             jax.ShapeDtypeStruct((b, ht * tile_h, wp), jnp.float32),
         ),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
     )(pp, np_, uf, vf)
     out = jnp.stack(
         [uo[:, :h, halo_x : halo_x + w], vo[:, :h, halo_x : halo_x + w]], axis=-1

@@ -26,6 +26,29 @@ from cuda_optical_flow_2_tpu.constants import BINOMIAL_1D
 __all__ = ["pyr_down", "build_pyramid"]
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _decimation_matrix_cached(n_out: int, n_in: int, k_bytes: bytes, k_len: int):
+    k = np.frombuffer(k_bytes, dtype=np.float32, count=k_len)
+    r = k_len // 2
+    d = np.zeros((n_out, n_in), np.float32)
+    for j, c in enumerate(k):
+        col0 = -r + j
+        for i in range(n_out):
+            src = 2 * i + col0
+            if 0 <= src < n_in:
+                d[i, src] = c
+    return d
+
+
+def _decimation_matrix(n_out: int, n_in: int, k: np.ndarray) -> np.ndarray:
+    """Banded matrix D with D[i, 2i + j - r] = k[j], zero-clipped at borders."""
+    k32 = np.asarray(k, np.float32).reshape(-1)
+    return _decimation_matrix_cached(n_out, n_in, k32.tobytes(), k32.size)
+
+
 def pyr_down(x: jax.Array, kernel_1d=BINOMIAL_1D, use_pallas: bool = True) -> jax.Array:
     """Blur + 2x downsample: (..., H, W) -> (..., H//2, W//2).
 
@@ -43,29 +66,24 @@ def pyr_down(x: jax.Array, kernel_1d=BINOMIAL_1D, use_pallas: bool = True) -> ja
     k = np.asarray(kernel_1d).reshape(-1)
     if k.size % 2 != 1:
         raise ValueError("pyramid kernel must have odd length")
-    r = k.size // 2
     h, w = x.shape[-2:]
     oh, ow = h // 2, w // 2
     dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
     xb = x[..., : 2 * oh, : 2 * ow].astype(dtype)
 
-    # Separable blur as shifted adds, then a strided slice.  Deliberately
-    # NOT lax.conv: when a TPU convolution's output feeds a custom-call
-    # (whose operand layout is constrained), XLA falls back to a slow conv
-    # emitter — measured 11.6 ms vs 0.9 ms for this form at 1080p.
-    def blur_axis(a: jax.Array, axis: int) -> jax.Array:
-        pad = [(0, 0)] * a.ndim
-        pad[axis] = (r, r)
-        ap = jnp.pad(a, pad)
-        n = a.shape[axis]
-        acc = None
-        for i, c in enumerate(k):
-            piece = lax.slice_in_dim(ap, i, i + n, axis=axis) * jnp.asarray(c, dtype)
-            acc = piece if acc is None else acc + piece
-        return acc
-
-    b = blur_axis(blur_axis(xb, -2), -1)
-    return b[..., ::2, ::2]
+    # Fused blur + subsample as two banded matmuls on the MXU:
+    # out = D_h @ x @ D_w^T with D[i, 2i + j - r] = k[j] (rows clipped at the
+    # border = zero padding).  Deliberately NOT lax.conv or strided slices:
+    # a TPU conv whose output layout is pinned by a downstream custom call
+    # falls back to a slow emitter (11.6 ms vs 0.9 ms at 1080p), and
+    # lane-axis stride-2 slices lower to slow relayouts.  The matmuls are
+    # ~4 GFLOP at 1080p — noise on the MXU — and layout-friendly.
+    dh = jnp.asarray(_decimation_matrix(oh, 2 * oh, k), dtype)
+    dw = jnp.asarray(_decimation_matrix(ow, 2 * ow, k), dtype)
+    tmp = jnp.einsum("hi,...iw->...hw", dh, xb, precision=lax.Precision.HIGHEST)
+    return jnp.einsum(
+        "...hw,jw->...hj", tmp, dw, precision=lax.Precision.HIGHEST
+    )
 
 
 def build_pyramid(x: jax.Array, levels: int, kernel_1d=BINOMIAL_1D) -> list[jax.Array]:
