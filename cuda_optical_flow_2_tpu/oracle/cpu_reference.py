@@ -42,6 +42,8 @@ __all__ = [
     "downscale_gaussian",
     "gauss_pyramid",
     "srm_1ch",
+    "srm_3ch",
+    "inverse_matrix",
     "shift_back_pyramid",
     "calc_optical_flow",
     "calc_optical_flow_pyramid",
@@ -173,6 +175,71 @@ def srm_1ch(arr1: np.ndarray, arr2: np.ndarray, ww: int, wh: int) -> np.ndarray:
         for q in range(ww):
             acc += padded[p : p + h, q : q + w]
     return acc.astype(np.int32)
+
+
+def srm_3ch(arr1: np.ndarray, arr2: np.ndarray, ww: int, wh: int) -> np.ndarray:
+    """Per-channel windowed sum of products — bug-exact off-by-one bounds.
+
+    Twin of cpu::srm_3ch (OptFlowCPU.cpp:202-238, dead in the reference).  The
+    reference's bounds check is ``cx > w || cy > h`` instead of ``>=``, so taps
+    at cx == w are NOT skipped: the flat index ``cy * w + w`` wraps to pixel
+    (cy + 1, 0) of the interleaved buffer, and that wrapped read is reproduced
+    here exactly.  Taps whose flat index falls past the end of the buffer
+    (cy == h, and the cx == w tap of row h - 1) are undefined behavior in C;
+    the oracle reads them as zero (documented deviation).
+
+    Args: (h, w, 3) uint8 arrays. Returns (h, w, 3) int32.
+    """
+    h, w, _ = arr1.shape
+    flat1 = arr1.reshape(-1).astype(np.int64)
+    flat2 = arr2.reshape(-1).astype(np.int64)
+    # One extra zero pixel so flat reads at index h*w (first out-of-buffer
+    # pixel) are representable; anything past that is also zero.
+    prod = np.concatenate([flat1 * flat2, np.zeros(3, np.int64)]).reshape(
+        h * w + 1, 3
+    )
+    hkw, hkh = ww >> 1, wh >> 1
+    dest = np.zeros((h, w, 3), dtype=np.int64)
+    jj = np.arange(w)[None, :]
+    ii = np.arange(h)[:, None]
+    for y in range(wh):
+        for x in range(ww):
+            cx = jj - hkw + x
+            cy = ii - hkh + y
+            # Reference keeps taps with 0 <= cx <= w and 0 <= cy <= h.
+            keep = (cx >= 0) & (cy >= 0) & (cx <= w) & (cy <= h)
+            pos = np.clip(cy * w + cx, 0, h * w)  # flat, wraps at cx == w
+            dest += np.where(keep[..., None], prod[pos], 0)
+    return dest.astype(np.int32)
+
+
+def inverse_matrix(
+    sum_ix2: np.ndarray,
+    sum_iy2: np.ndarray,
+    sum_ixiy: np.ndarray,
+    sum_ixit: np.ndarray,
+    sum_iyit: np.ndarray,
+) -> np.ndarray:
+    """Per-pixel 2x2 LK solve from int sums, no determinant guard.
+
+    Twin of cpu::inverse_matrix (OptFlowCPU.cpp:285-309; header comment at
+    OptFlowCpu.hpp:284 flags it as "did not work properly" — the int-sum path
+    is dead in the reference, superseded by the inline float solve in
+    cpu::calc_optical_flow).  ``prefix = 1 / det`` with no |det| guard: det == 0
+    produces inf/nan, which pass through exactly as in C.
+
+    Args: (h, w) int32 sums. Returns (h, w, 2) float32 interleaved (u, v).
+    """
+    a = sum_ix2.astype(np.float32)
+    b = sum_ixiy.astype(np.float32)
+    c = sum_ixiy.astype(np.float32)
+    d = sum_iy2.astype(np.float32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        prefix = np.float32(1.0) / (a * d - b * c)
+        a, b, c, d = a * prefix, b * prefix, c * prefix, d * prefix
+        u = -d * sum_ixit.astype(np.float32) + b * sum_iyit.astype(np.float32)
+        v = c * sum_ixit.astype(np.float32) - a * sum_iyit.astype(np.float32)
+    return np.stack([u, v], axis=-1).astype(np.float32)
 
 
 def shift_back_pyramid(

@@ -179,3 +179,61 @@ def test_bilateral_close_to_identity_on_flat_image():
     out = cpu.bilateral_filter_3ch(img, img, 9, 9, 2.0, 10.0)
     # flat image: weighted average of identical values, trunc -> 99 or 100
     assert np.all((out >= 99) & (out <= 100))
+
+
+def loop_srm_3ch(arr1, arr2, ww, wh):
+    """Direct transliteration of cpu::srm_3ch (OptFlowCPU.cpp:202-238),
+    including the `cx > w || cy > h` off-by-one: in-buffer flat reads at
+    cx == w wrap to pixel (cy+1, 0); genuinely past-the-end reads -> 0."""
+    h, w = arr1.shape[:2]
+    f1 = arr1.reshape(-1).astype(np.int64)
+    f2 = arr2.reshape(-1).astype(np.int64)
+    n = h * w * 3
+    out = np.zeros((h, w, 3), np.int64)
+    hkw, hkh = ww >> 1, wh >> 1
+    for i in range(h):
+        for j in range(w):
+            for y in range(wh):
+                for x in range(ww):
+                    cx, cy = j - hkw + x, i - hkh + y
+                    if cx < 0 or cy < 0 or cx > w or cy > h:
+                        continue
+                    pos = cy * w + cx
+                    for ch in range(3):
+                        if pos * 3 + ch < n:
+                            out[i, j, ch] += f1[pos * 3 + ch] * f2[pos * 3 + ch]
+    return out.astype(np.int32)
+
+
+def test_srm_3ch_matches_loop(rng):
+    a = rng.integers(0, 256, (7, 6, 3), dtype=np.uint8)
+    b = rng.integers(0, 256, (7, 6, 3), dtype=np.uint8)
+    got = cpu.srm_3ch(a, b, 3, 3)
+    want = loop_srm_3ch(a, b, 3, 3)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_inverse_matrix_int_twin(rng):
+    """Int-sum solve (OptFlowCPU.cpp:285-309): formula check + unguarded det."""
+    shape = (5, 4)
+    ix2 = rng.integers(1, 100, shape).astype(np.int32)
+    iy2 = rng.integers(1, 100, shape).astype(np.int32)
+    ixiy = rng.integers(-30, 30, shape).astype(np.int32)
+    ixit = rng.integers(-50, 50, shape).astype(np.int32)
+    iyit = rng.integers(-50, 50, shape).astype(np.int32)
+    flow = cpu.inverse_matrix(ix2, iy2, ixiy, ixit, iyit)
+    a, b = ix2.astype(np.float64), ixiy.astype(np.float64)
+    d = iy2.astype(np.float64)
+    det = a * d - b * b
+    ok = np.abs(det) > 1e-6
+    u = (-d * ixit + b * iyit) / det
+    v = (b * ixit - a * iyit) / det
+    np.testing.assert_allclose(flow[..., 0][ok], u[ok], rtol=1e-4)
+    np.testing.assert_allclose(flow[..., 1][ok], v[ok], rtol=1e-4)
+    # det == 0 passes inf/nan through, as in the C code (no guard).
+    zero = cpu.inverse_matrix(
+        np.ones(shape, np.int32), np.ones(shape, np.int32),
+        np.ones(shape, np.int32), np.ones(shape, np.int32),
+        np.ones(shape, np.int32),
+    )
+    assert not np.isfinite(zero).all()
