@@ -22,7 +22,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["warp_bilinear", "warp_nearest"]
+__all__ = ["warp_bilinear", "warp_bilinear_band", "warp_nearest"]
 
 
 def _gather_2d(img: jax.Array, yi: jax.Array, xi: jax.Array) -> jax.Array:
@@ -72,6 +72,71 @@ def warp_bilinear(img: jax.Array, flow: jax.Array) -> jax.Array:
     bot = v10 + tx * (v11 - v10)
     out = top + ty * (bot - top)
     return jnp.where(valid, out, img)
+
+
+def warp_bilinear_band(
+    img: jax.Array,
+    flow: jax.Array,
+    img_row0,
+    out_row0,
+    h_global: int,
+) -> jax.Array:
+    """Bilinear backward warp of a horizontal band of a taller global image.
+
+    The building block of the spatially-sharded pipeline (parallel/spatial.py):
+    ``img`` holds global rows [img_row0, img_row0 + img.shape[-2]) of an
+    ``h_global``-row image, ``flow`` covers output rows
+    [out_row0, out_row0 + flow.shape[-3]).  Sample validity is judged against
+    the GLOBAL image bounds — so out-of-image samples fall back to the
+    unwarped pixel exactly like :func:`warp_bilinear` on the full image —
+    while gathers stay inside the band.  The caller must provide enough band
+    overhang that every globally-valid sample lands inside ``img``
+    (|v| <= img overhang beyond the output rows, minus 1 for the bilinear
+    neighbor).  With img_row0 = out_row0 = 0 and h_global = img rows this is
+    exactly :func:`warp_bilinear`.  Row origins may be traced scalars.
+    """
+    hi, w = img.shape[-2:]
+    hf = flow.shape[-3]
+    ys = jax.lax.broadcasted_iota(jnp.float32, (hf, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (hf, w), 1)
+    fx = xs + flow[..., 0]
+    fy_g = ys + out_row0 + flow[..., 1]
+    valid = (fx >= 0) & (fx <= w - 1) & (fy_g >= 0) & (fy_g <= h_global - 1)
+
+    fx_c = jnp.clip(fx, 0.0, w - 1)
+    fy_l = jnp.clip(fy_g - img_row0, 0.0, hi - 1)
+    x0 = jnp.floor(fx_c)
+    y0 = jnp.floor(fy_l)
+    tx = fx_c - x0
+    ty = fy_l - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x1i = jnp.minimum(x0i + 1, w - 1)
+    y1i = jnp.minimum(y0i + 1, hi - 1)
+
+    v00 = _gather_2d_band(img, y0i, x0i)
+    v01 = _gather_2d_band(img, y0i, x1i)
+    v10 = _gather_2d_band(img, y1i, x0i)
+    v11 = _gather_2d_band(img, y1i, x1i)
+    top = v00 + tx * (v01 - v00)
+    bot = v10 + tx * (v11 - v10)
+    out = top + ty * (bot - top)
+    # Fallback: the band's own pixels at the output rows.
+    start = jnp.asarray(out_row0 - img_row0, jnp.int32)
+    own = jax.lax.dynamic_slice_in_dim(img, start, hf, axis=-2)
+    return jnp.where(valid, out, own)
+
+
+def _gather_2d_band(img: jax.Array, yi: jax.Array, xi: jax.Array) -> jax.Array:
+    """Like _gather_2d but index maps may have fewer rows than ``img``."""
+    h, w = img.shape[-2:]
+    flat = img.reshape(img.shape[:-2] + (h * w,))
+    idx = yi * w + xi
+    n = idx.shape[-2] * idx.shape[-1]
+    out = jnp.take_along_axis(
+        flat[..., :], idx.reshape(idx.shape[:-2] + (n,)), axis=-1
+    )
+    return out.reshape(idx.shape)
 
 
 def warp_nearest(img: jax.Array, flow: jax.Array) -> jax.Array:

@@ -1,10 +1,13 @@
-"""Multi-chip scaling (mesh + sharded batching).
+"""Multi-chip scaling: batch (data-parallel) and spatial (tensor-parallel).
 
 The reference is strictly single-GPU/single-process (SURVEY.md section 2.5);
-video scale-out here is TPU-native: frame pairs are batched on a leading axis
-and sharded over a ``jax.sharding.Mesh`` so the work rides ICI, with XLA
-inserting any needed collectives (none are algorithmically required — frame
-pairs are independent, BASELINE config 5).
+scale-out here is TPU-native over a ``jax.sharding.Mesh``:
+
+* batching — frame pairs on a leading axis, sharded over the mesh; zero
+  collectives (pairs are independent, BASELINE config 5).
+* spatial — ONE frame's rows sharded over the mesh under ``shard_map``, every
+  stencil stage exchanging halo rows with its neighbors via ``lax.ppermute``
+  over ICI (for frames too large for one chip, or single-pair latency).
 """
 
 from cuda_optical_flow_2_tpu.parallel.batching import (
@@ -12,5 +15,17 @@ from cuda_optical_flow_2_tpu.parallel.batching import (
     sharded_pyramidal_lk,
     shard_batch,
 )
+from cuda_optical_flow_2_tpu.parallel.spatial import (
+    halo_exchange,
+    spatial_pyramidal_lk,
+    validate_spatial,
+)
 
-__all__ = ["make_mesh", "sharded_pyramidal_lk", "shard_batch"]
+__all__ = [
+    "make_mesh",
+    "sharded_pyramidal_lk",
+    "shard_batch",
+    "halo_exchange",
+    "spatial_pyramidal_lk",
+    "validate_spatial",
+]

@@ -1,6 +1,7 @@
 """Sharded batching tests on the virtual 8-device CPU mesh (BASELINE config 5)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -42,3 +43,86 @@ def test_batch_not_divisible_raises():
     except ValueError:
         raised = True
     assert raised
+
+
+# ---------------------------------------------------------------------------
+# Spatial (tensor-parallel) sharding: rows of ONE pair over the mesh
+# ---------------------------------------------------------------------------
+
+
+def _smooth_pair(h, w, dx, dy):
+    prev, nxt = make_translating_pair(h, w, dx=dx, dy=dy)
+    return (
+        jnp.asarray(prev[..., 0].astype(np.float32)),
+        jnp.asarray(nxt[..., 0].astype(np.float32)),
+    )
+
+
+def test_halo_exchange_matches_numpy():
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+    from cuda_optical_flow_2_tpu.parallel.spatial import halo_exchange, shard_map
+
+    mesh = parallel.make_mesh(axis_name="space")
+    x = jnp.arange(8 * 4 * 6, dtype=jnp.float32).reshape(8 * 4, 6)
+
+    def local(blk):
+        return halo_exchange(blk, 2, 1, "space", 8)
+
+    out = shard_map(
+        local, mesh=mesh, in_specs=(P("space", None),), out_specs=P("space", None)
+    )(x)
+    out = np.asarray(out).reshape(8, 7, 6)
+    xn = np.asarray(x).reshape(8, 4, 6)
+    padded = np.concatenate(
+        [np.zeros((1, 4, 6), np.float32), xn, np.zeros((1, 4, 6), np.float32)]
+    )
+    for i in range(8):
+        np.testing.assert_array_equal(out[i, :2], padded[i, -2:])
+        np.testing.assert_array_equal(out[i, 2:6], xn[i])
+        np.testing.assert_array_equal(out[i, 6:], padded[i + 2, :1])
+
+
+def test_spatial_matches_unsharded():
+    """Row-sharded pipeline == unsharded pipeline, float-for-float tolerance.
+
+    Flow magnitudes stay under max_displacement so the sharded path's clamp
+    (its one documented semantic difference) never binds.
+    """
+    p, n = _smooth_pair(1024, 64, dx=2, dy=1)
+    cfg = of.LKConfig(
+        levels=3, window=9, iterations=2, temporal_kernel="gauss3",
+        use_pallas=False, max_displacement=16.0,
+    )
+    mesh = parallel.make_mesh(axis_name="space")
+    flow = parallel.spatial_pyramidal_lk(p, n, cfg, mesh)
+    assert flow.shape == (1024, 64, 2)
+    assert len(flow.sharding.device_set) == 8
+    single = of.pyramidal_lk(p, n, cfg)
+    # Tolerance note: the coarse-to-fine warp amplifies float reduction-order
+    # noise (each level's flow feeds the next warp's sample coordinates), so
+    # deep pyramids drift ~1e-3; single-level exactness is pinned at 1e-4 by
+    # test_spatial_single_level_exact.
+    np.testing.assert_allclose(np.asarray(flow), np.asarray(single), atol=5e-3)
+
+
+def test_spatial_single_level_exact():
+    p, n = _smooth_pair(64, 48, dx=1, dy=0)
+    cfg = of.LKConfig(levels=1, window=11, use_pallas=False)
+    mesh = parallel.make_mesh(axis_name="space")
+    flow = parallel.spatial_pyramidal_lk(p, n, cfg, mesh)
+    single = of.pyramidal_lk(p, n, cfg)
+    np.testing.assert_allclose(np.asarray(flow), np.asarray(single), atol=1e-4)
+
+
+def test_spatial_validation_errors():
+    mesh = parallel.make_mesh(axis_name="space")
+    p = jnp.zeros((100, 64), jnp.float32)  # 100 not divisible by 8*4
+    cfg = of.LKConfig(levels=3, window=9, use_pallas=False)
+    with pytest.raises(ValueError):
+        parallel.spatial_pyramidal_lk(p, p, cfg, mesh)
+    # coarsest level too short for the halos
+    q = jnp.zeros((128, 64), jnp.float32)
+    big = of.LKConfig(levels=3, window=31, use_pallas=False)
+    with pytest.raises(ValueError):
+        parallel.spatial_pyramidal_lk(q, q, big, mesh)
