@@ -83,10 +83,16 @@ class LKConfig:
             raise ValueError(f"unknown window_method {self.window_method!r}")
 
 
-# The reference GPU operating point (main.cu:192; OptFlowGpu.cu:1944-1945),
-# including its raw (unnormalized) gradient gains.
+# The reference GPU operating point — the full live loop of main.cu:
+# bilateral pre-filter (ww=wh=9, sigmaS=2, sigmaB=10, main.cu:236-240), 4
+# pyramid levels (main.cu:192), 19x19 window (OptFlowGpu.cu:1944-1945),
+# raw (unnormalized) gradient gains.
 REFERENCE_GPU = LKConfig(
-    levels=4, window=19, temporal_kernel="dt3", normalize_gradients=False
+    levels=4,
+    window=19,
+    temporal_kernel="dt3",
+    normalize_gradients=False,
+    prefilter=BilateralConfig(),
 )
 
 # The reference CPU twin operating point (OptFlowCPU.cpp:344-345, :336-338).

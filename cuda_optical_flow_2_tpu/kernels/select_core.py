@@ -33,8 +33,11 @@ _CHUNK = 8
 
 
 def halo_y(d_max: int, d_local: int, c_max: int) -> int:
-    """Rows of margin the img tile needs above/below the warped band."""
-    return d_max + d_local + c_max + 2
+    """Rows of margin the img tile needs above/below the warped band.
+
+    Includes the chunk-rounding overshoot of the vertical pass.
+    """
+    return d_max + d_local + c_max + 2 + _CHUNK
 
 
 def halo_x(d_max: int, d_local: int) -> int:
@@ -104,20 +107,33 @@ def warp_core(
         zero = jnp.zeros((to, wp), jnp.float32)
 
         # --- Pass 1 (vertical): A_c(t, x) = img(t + row0 + v0 + vi + c, x).
+        # Chunked like pass 2: one dynamic sublane roll per 8 iterations and
+        # static 1-rolls in between (a dynamic sublane roll costs ~60x a
+        # static one, docs/PERF.md).  Iterations j and j+1 share all but one
+        # candidate roll, so a sliding window of ncands rolled copies needs
+        # exactly one new static roll per iteration.  Chunk-tail iterations
+        # with d > d_local select nothing (vi is clipped) and only cost the
+        # wasted adds; their rolls are covered by halo_y's _CHUNK overshoot.
         for ci in range(ncands):
             acc_ref[ci] = zero
 
-        def body_v(i, _):
-            d = i - d_local
-            sel = vi == d
-            base = _roll_dyn(img, v0 + d - c_max + row0, 0)
-            for ci in range(ncands):
-                acc_ref[ci] = acc_ref[ci] + jnp.where(sel, base[:to, :], 0.0)
-                if ci + 1 < ncands:
-                    base = _roll(base, 1, 0)
+        n_iter_v = 2 * d_local + 1
+        n_chunks_v = -(-n_iter_v // _CHUNK)
+
+        def body_v(q, _):
+            d_base = q * _CHUNK - d_local
+            cands = [_roll_dyn(img, v0 + d_base - c_max + row0, 0)]
+            for _ in range(ncands - 1):
+                cands.append(_roll(cands[-1], 1, 0))
+            for j in range(_CHUNK):
+                sel = vi == (d_base + j)
+                for ci in range(ncands):
+                    acc_ref[ci] = acc_ref[ci] + jnp.where(sel, cands[ci][:to, :], 0.0)
+                if j + 1 < _CHUNK:
+                    cands = cands[1:] + [_roll(cands[-1], 1, 0)]
             return 0
 
-        jax.lax.fori_loop(0, 2 * d_local + 1, body_v, 0)
+        jax.lax.fori_loop(0, n_chunks_v, body_v, 0)
 
         # --- Pass 2 (horizontal): gather A_c and vi at x + u0 + ui, for
         # both x-corners, chunked so each array takes one dynamic roll per
