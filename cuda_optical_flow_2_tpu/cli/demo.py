@@ -30,7 +30,7 @@ from cuda_optical_flow_2_tpu.ops.conv import conv2d
 from cuda_optical_flow_2_tpu.ops.pyramid import build_pyramid
 from cuda_optical_flow_2_tpu.ops.resize import upscale_nn
 from cuda_optical_flow_2_tpu.constants import DT_3X3_N, DX_3X3, DY_3X3
-from cuda_optical_flow_2_tpu.utils import io, viz
+from cuda_optical_flow_2_tpu.utils import io, native, viz
 
 __all__ = ["main"]
 
@@ -99,9 +99,38 @@ def main(argv=None) -> None:
         "--debug-gradients", action="store_true",
         help="dump per-level Ix/Iy/It maps (showTest twin)",
     )
+    ap.add_argument(
+        "--native-stream", action="store_true",
+        help="feed frames through the native prefetching FrameStream "
+        "(C++ worker + ring buffer) instead of materializing the sequence",
+    )
     args = ap.parse_args(argv)
 
-    frames = _load_frames(args)
+    if args.native_stream:
+        if args.frames:
+            paths = sorted(glob.glob(args.frames))
+            if len(paths) < 2:
+                raise SystemExit(f"need >= 2 frames, matched {len(paths)}")
+            stream = native.FrameStream.from_ppm(paths)
+        else:
+            h, w = (int(t) for t in args.size.split("x"))
+            vx_, vy_ = args.velocity
+            stream = native.FrameStream.synthetic(
+                args.synthetic, h, w, vx=vx_, vy=vy_
+            )
+        recent: dict[int, np.ndarray] = {}
+
+        def _record(src):
+            for i, (_, f) in enumerate(src):
+                recent[i] = f
+                recent.pop(i - 2, None)
+                yield f
+
+        frames = None
+        frame_iter = _record(stream)
+    else:
+        frames = _load_frames(args)
+        frame_iter = iter(frames)
     cfg = of.LKConfig(
         levels=args.levels,
         window=args.window,
@@ -116,7 +145,7 @@ def main(argv=None) -> None:
     vx, vy = args.velocity
     t0 = time.perf_counter()
     count = 0
-    for i, flow in streaming.process_sequence(frames, cfg):
+    for i, flow in streaming.process_sequence(frame_iter, cfg):
         flow_np = np.asarray(flow)
         count += 1
         msg = f"frame {i}: |flow| median {np.median(np.hypot(flow_np[...,0], flow_np[...,1])):.3f}"
@@ -126,19 +155,17 @@ def main(argv=None) -> None:
             msg += f"  EPE vs ({vx}, {vy}): {epe:.3f}"
         print(msg, flush=True)
         if args.out:
+            cur = frames[i] if frames is not None else recent[i]
+            prv = frames[i - 1] if frames is not None else recent.get(i - 1, cur)
             viz.write_png(
                 os.path.join(args.out, f"flow{i:04d}.png"), viz.flow_to_color(flow_np)
             )
             viz.write_png(
                 os.path.join(args.out, f"arrows{i:04d}.png"),
-                viz.draw_flow_arrows(
-                    frames[i].astype(np.uint8), flow_np, args.arrow_res
-                ),
+                viz.draw_flow_arrows(cur.astype(np.uint8), flow_np, args.arrow_res),
             )
             if args.debug_gradients:
-                _dump_gradients(
-                    frames[i], frames[i - 1], min(args.levels, 3), args.out, i
-                )
+                _dump_gradients(cur, prv, min(args.levels, 3), args.out, i)
     dt = time.perf_counter() - t0
     print(f"{count} frames in {dt:.2f}s  ({count/dt:.1f} fps end-to-end incl. host IO)")
 

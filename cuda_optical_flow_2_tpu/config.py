@@ -56,6 +56,12 @@ class LKConfig:
       prefilter: optional joint-bilateral pre-smoothing of the input frames.
       use_pallas: fuse gradients + window sums + solve into the Pallas TPU
         kernel where supported; falls back to pure-XLA ops otherwise.
+      d_local: the fused TPU warp's per-tile displacement range AFTER mean
+        recentering (select_core.py).  Kernel time is roughly linear in it;
+        within-tile flow variation beyond +-d_local is clamped before
+        sampling (the residual solve then recovers what the window can see).
+        15 is conservative for video; 7 is ~25% faster end-to-end and safe
+        when the flow field varies slowly within any 64-row stripe.
     """
 
     levels: int = 4
@@ -69,6 +75,7 @@ class LKConfig:
     max_displacement: int = 32
     prefilter: Optional[BilateralConfig] = None
     use_pallas: bool = True
+    d_local: int = 15
 
     def __post_init__(self) -> None:
         if self.window % 2 != 1:
@@ -77,6 +84,8 @@ class LKConfig:
             raise ValueError(f"levels must be >= 1, got {self.levels}")
         if self.warp_mode not in ("bilinear", "nearest", "none"):
             raise ValueError(f"unknown warp_mode {self.warp_mode!r}")
+        if self.d_local < 1:
+            raise ValueError(f"d_local must be >= 1, got {self.d_local}")
         if self.temporal_kernel not in ("dt3", "gauss3"):
             raise ValueError(f"unknown temporal_kernel {self.temporal_kernel!r}")
         if self.window_method not in ("sep_conv", "cumsum", "reduce_window"):

@@ -211,7 +211,7 @@ def lk_level_step(
     # (Mosaic requires sublane-divisible block shapes).
     rw = _round_up(r + 1, 4)
     d = int(config.max_displacement)
-    d_local = select_core.DEFAULT_D_LOCAL
+    d_local = config.d_local
     # c_max=1 keeps the VMEM working set down; the row-choice correction
     # condition (|d(vi)| <= 1 across floor(u) columns) holds for the smooth
     # upsampled fields the pyramid feeds this kernel.

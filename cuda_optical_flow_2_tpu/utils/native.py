@@ -22,6 +22,7 @@ __all__ = [
     "gray_f32",
     "gray_u8",
     "synthetic_frame",
+    "FrameStream",
 ]
 
 _NATIVE_DIR = os.path.join(
@@ -57,6 +58,27 @@ def _try_load() -> ctypes.CDLL | None:
             ctypes.c_int,
             u8p,
         ]
+        lib.of2_stream_open_synthetic.argtypes = [
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_double,
+            ctypes.c_double,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.of2_stream_open_synthetic.restype = ctypes.c_void_p
+        lib.of2_stream_open_ppm.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        lib.of2_stream_open_ppm.restype = ctypes.c_void_p
+        lib.of2_stream_info.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.of2_stream_next.argtypes = [ctypes.c_void_p, f32p]
+        lib.of2_stream_next.restype = ctypes.c_int
+        lib.of2_stream_close.argtypes = [ctypes.c_void_p]
         _lib = lib
     except OSError:
         _lib = None
@@ -133,3 +155,102 @@ def synthetic_frame(
     out = np.empty((h, w), np.uint8)
     lib.of2_synthetic_frame(t, h, w, float(vx), float(vy), period, _u8p(out))
     return out
+
+
+class FrameStream:
+    """Prefetching planar-float32 frame stream (native worker + ring buffer).
+
+    The data-loader of the streaming pipeline: where the reference's main
+    loop serializes capture with compute (main.cu:222-275), here a C++
+    worker thread decodes/generates/grayscales frames ahead of the consumer
+    so host-side frame prep overlaps TPU compute.  Iterates (index, frame)
+    pairs; frames are (H, W) float32.  Falls back to synchronous Python
+    generation/decoding when the native library isn't built — identical
+    frames either way.
+
+        with FrameStream.synthetic(100, 1080, 1920, vx=2, vy=1) as src:
+            for t, frame in src: ...
+    """
+
+    def __init__(self, handle, h, w, nframes, fallback=None):
+        self._handle = handle
+        self.h, self.w, self.nframes = h, w, nframes
+        self._fallback = fallback  # callable t -> np.ndarray, when no native
+        self._t = 0
+
+    @classmethod
+    def synthetic(
+        cls, nframes: int, h: int, w: int, vx: float, vy: float,
+        period: int = 16, prefetch: int = 4,
+    ) -> "FrameStream":
+        lib = _try_load()
+        if lib is None:
+            return cls(
+                None, h, w, nframes,
+                fallback=lambda t: synthetic_frame(t, h, w, vx, vy, period)
+                .astype(np.float32),
+            )
+        handle = lib.of2_stream_open_synthetic(
+            h, w, float(vx), float(vy), period, nframes, prefetch
+        )
+        return cls(handle, h, w, nframes)
+
+    @classmethod
+    def from_ppm(cls, paths: list[str], prefetch: int = 4) -> "FrameStream":
+        from cuda_optical_flow_2_tpu.utils import io as _io
+
+        lib = _try_load()
+        if lib is None:
+            first = _io.read_image(paths[0])
+            h, w = first.shape[:2]
+
+            def fb(t, _paths=list(paths)):
+                img = _io.read_image(_paths[t])
+                if img.ndim == 3:
+                    return gray_f32(img)
+                return img.astype(np.float32)
+
+            return cls(None, h, w, len(paths), fallback=fb)
+        joined = "\n".join(paths).encode()
+        handle = lib.of2_stream_open_ppm(joined, prefetch)
+        if not handle:
+            raise ValueError(f"cannot open PPM stream starting at {paths[0]}")
+        h = ctypes.c_int()
+        w = ctypes.c_int()
+        n = ctypes.c_int()
+        lib.of2_stream_info(
+            handle, ctypes.byref(h), ctypes.byref(w), ctypes.byref(n)
+        )
+        return cls(handle, h.value, w.value, n.value)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._t >= self.nframes:
+            raise StopIteration
+        if self._handle is None:
+            t = self._t
+            self._t += 1
+            return t, self._fallback(t)
+        out = np.empty((self.h, self.w), np.float32)
+        t = _try_load().of2_stream_next(self._handle, _f32p(out))
+        if t < 0:
+            if t == -2:
+                raise IOError("native frame stream: decode failure")
+            raise StopIteration
+        self._t += 1
+        return t, out
+
+    def close(self) -> None:
+        if self._handle is not None:
+            _try_load().of2_stream_close(self._handle)
+            self._handle = None
+        self.nframes = 0
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False

@@ -18,9 +18,12 @@
 //    generator at noise=0 via the same double-precision formula).
 
 #include <cmath>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <mutex>
+#include <string>
 #include <thread>
 #include <vector>
 
@@ -156,6 +159,182 @@ int of2_ppm_read(const char* path, uint8_t* dst, int64_t n) {
   size_t got = std::fread(dst, 1, static_cast<size_t>(n), f);
   std::fclose(f);
   return got == static_cast<size_t>(n) ? 0 : -3;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Prefetching frame stream: the data-loader half of the runtime.
+//
+// The reference's main loop is strictly serial: capture a frame, THEN process
+// it (main.cu:222-275) — decode latency lands on the compute path.  Here a
+// worker thread decodes/generates/grayscales frames ahead of the consumer
+// into a bounded ring buffer of planar float32 frames, so host-side frame
+// prep overlaps TPU compute.  C ABI for ctypes; one worker per stream is
+// plenty (the per-frame ops are themselves row-parallel).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct FrameStream {
+  int h = 0, w = 0;
+  int nframes = 0;           // total frames to produce
+  int capacity = 0;          // ring slots
+  // source: synthetic params or file list
+  bool synthetic = false;
+  double vx = 0, vy = 0;
+  int period = 16;
+  std::vector<std::string> paths;
+
+  std::vector<float> ring;   // capacity * h * w
+  std::vector<int> slot_idx; // frame index in each slot, -1 empty
+  int head = 0;              // next slot the consumer reads
+  int produced = 0;          // frames produced so far
+  int consumed = 0;          // frames consumed so far
+  bool failed = false;
+  bool stop = false;
+
+  std::mutex mu;
+  std::condition_variable cv_full, cv_empty;
+  std::thread worker;
+};
+
+bool produce_frame(FrameStream* s, int t, float* dst) {
+  if (s->synthetic) {
+    std::vector<uint8_t> u8(static_cast<size_t>(s->h) * s->w);
+    of2_synthetic_frame(t, s->h, s->w, s->vx, s->vy, s->period, u8.data());
+    of2_u8_to_f32(u8.data(), static_cast<int64_t>(s->h) * s->w, dst);
+    return true;
+  }
+  int h, w, ch;
+  if (of2_ppm_probe(s->paths[t].c_str(), &h, &w, &ch) != 0) return false;
+  if (h != s->h || w != s->w) return false;
+  std::vector<uint8_t> raw(static_cast<size_t>(h) * w * ch);
+  if (of2_ppm_read(s->paths[t].c_str(), raw.data(),
+                   static_cast<int64_t>(raw.size())) != 0)
+    return false;
+  if (ch == 3) {
+    of2_gray_f32(raw.data(), h, w, dst);
+  } else {
+    of2_u8_to_f32(raw.data(), static_cast<int64_t>(h) * w, dst);
+  }
+  return true;
+}
+
+void stream_worker(FrameStream* s) {
+  for (int t = 0; t < s->nframes; ++t) {
+    int slot;
+    {
+      std::unique_lock<std::mutex> lk(s->mu);
+      s->cv_full.wait(lk, [s] {
+        return s->stop || s->produced - s->consumed < s->capacity;
+      });
+      if (s->stop) return;
+      slot = s->produced % s->capacity;
+    }
+    float* dst = s->ring.data() + static_cast<size_t>(slot) * s->h * s->w;
+    bool ok = produce_frame(s, t, dst);
+    {
+      std::lock_guard<std::mutex> lk(s->mu);
+      if (!ok) {
+        s->failed = true;  // never published: consumer sees failed, not a frame
+      } else {
+        s->slot_idx[slot] = t;
+        s->produced += 1;
+      }
+    }
+    s->cv_empty.notify_one();
+    if (!ok) return;
+  }
+}
+
+FrameStream* stream_start(FrameStream* s, int prefetch) {
+  s->capacity = prefetch < 1 ? 1 : prefetch;
+  s->ring.resize(static_cast<size_t>(s->capacity) * s->h * s->w);
+  s->slot_idx.assign(s->capacity, -1);
+  s->worker = std::thread(stream_worker, s);
+  return s;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Synthetic translating-texture stream of ``nframes`` (h, w) frames.
+void* of2_stream_open_synthetic(int h, int w, double vx, double vy, int period,
+                                int nframes, int prefetch) {
+  auto* s = new FrameStream();
+  s->h = h;
+  s->w = w;
+  s->synthetic = true;
+  s->vx = vx;
+  s->vy = vy;
+  s->period = period;
+  s->nframes = nframes;
+  return stream_start(s, prefetch);
+}
+
+// PPM(P6)/PGM(P5) file stream; ``paths`` is a '\n'-joined list.  All frames
+// must match the first frame's dimensions (probed here).  Returns null if the
+// first file can't be probed.
+void* of2_stream_open_ppm(const char* paths, int prefetch) {
+  auto* s = new FrameStream();
+  const char* p = paths;
+  while (*p) {
+    const char* nl = std::strchr(p, '\n');
+    size_t len = nl ? static_cast<size_t>(nl - p) : std::strlen(p);
+    if (len > 0) s->paths.emplace_back(p, len);
+    p += len + (nl ? 1 : 0);
+    if (!nl) break;
+  }
+  int ch;
+  if (s->paths.empty() ||
+      of2_ppm_probe(s->paths[0].c_str(), &s->h, &s->w, &ch) != 0) {
+    delete s;
+    return nullptr;
+  }
+  s->nframes = static_cast<int>(s->paths.size());
+  return stream_start(s, prefetch);
+}
+
+void of2_stream_info(void* sp, int* h, int* w, int* nframes) {
+  auto* s = static_cast<FrameStream*>(sp);
+  *h = s->h;
+  *w = s->w;
+  *nframes = s->nframes;
+}
+
+// Copy the next frame into dst (h*w floats).  Returns the frame index,
+// -1 at end of stream, -2 on a decode failure.
+int of2_stream_next(void* sp, float* dst) {
+  auto* s = static_cast<FrameStream*>(sp);
+  int t;
+  {
+    std::unique_lock<std::mutex> lk(s->mu);
+    if (s->consumed >= s->nframes) return -1;
+    s->cv_empty.wait(lk, [s] { return s->failed || s->produced > s->consumed; });
+    if (s->failed && s->produced <= s->consumed) return -2;
+    int slot = s->consumed % s->capacity;
+    t = s->slot_idx[slot];
+    std::memcpy(dst, s->ring.data() + static_cast<size_t>(slot) * s->h * s->w,
+                static_cast<size_t>(s->h) * s->w * sizeof(float));
+    s->consumed += 1;
+  }
+  s->cv_full.notify_one();
+  return t;
+}
+
+void of2_stream_close(void* sp) {
+  auto* s = static_cast<FrameStream*>(sp);
+  {
+    std::lock_guard<std::mutex> lk(s->mu);
+    s->stop = true;
+    // unblock a worker waiting for ring space by draining the ledger
+    s->consumed = s->produced;
+  }
+  s->cv_full.notify_all();
+  if (s->worker.joinable()) s->worker.join();
+  delete s;
 }
 
 }  // extern "C"

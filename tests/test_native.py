@@ -42,3 +42,45 @@ def test_fallbacks_without_native(rng, monkeypatch):
     )
     want = uio.synthetic_sequence(2, 24, 32, velocity=(1.0, 0.0), noise=0)[1]
     assert np.array_equal(native.synthetic_frame(1, 24, 32, 1.0, 0.0), want)
+
+
+def test_frame_stream_synthetic_matches_direct():
+    from cuda_optical_flow_2_tpu.utils import io
+    from cuda_optical_flow_2_tpu.utils.native import FrameStream
+
+    frames = io.synthetic_sequence(5, 24, 32, velocity=(2.0, 1.0), noise=0.0)
+    got = []
+    with FrameStream.synthetic(5, 24, 32, vx=2.0, vy=1.0) as src:
+        for t, frame in src:
+            assert frame.shape == (24, 32) and frame.dtype == np.float32
+            got.append((t, frame))
+    assert [t for t, _ in got] == [0, 1, 2, 3, 4]
+    for t, frame in got:
+        np.testing.assert_allclose(frame, frames[t].astype(np.float32))
+
+
+def test_frame_stream_ppm(tmp_path):
+    from cuda_optical_flow_2_tpu.utils import io
+    from cuda_optical_flow_2_tpu.utils.native import FrameStream, gray_f32
+
+    rng = np.random.default_rng(3)
+    paths = []
+    imgs = []
+    for t in range(3):
+        img = rng.integers(0, 256, (16, 20, 3), dtype=np.uint8)
+        path = str(tmp_path / f"f{t}.ppm")
+        io.write_ppm(path, img)
+        paths.append(path)
+        imgs.append(img)
+    with FrameStream.from_ppm(paths, prefetch=2) as src:
+        assert (src.h, src.w, src.nframes) == (16, 20, 3)
+        for t, frame in src:
+            np.testing.assert_allclose(frame, gray_f32(imgs[t]), atol=1e-5)
+
+
+def test_frame_stream_early_close():
+    from cuda_optical_flow_2_tpu.utils.native import FrameStream
+
+    src = FrameStream.synthetic(100, 64, 64, vx=1.0, vy=0.0, prefetch=2)
+    next(src)
+    src.close()  # must not deadlock or leak the worker
