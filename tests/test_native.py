@@ -84,3 +84,18 @@ def test_frame_stream_early_close():
     src = FrameStream.synthetic(100, 64, 64, vx=1.0, vy=0.0, prefetch=2)
     next(src)
     src.close()  # must not deadlock or leak the worker
+
+
+def test_frame_stream_python_fallback(monkeypatch):
+    """FrameStream must yield identical frames with the native lib disabled."""
+    from cuda_optical_flow_2_tpu.utils import native as nat
+
+    with nat.FrameStream.synthetic(3, 24, 32, vx=2.0, vy=1.0) as src:
+        native_frames = [f for _, f in src]
+    monkeypatch.setattr(nat, "_lib", None)
+    monkeypatch.setattr(nat, "_load_attempted", True)
+    with nat.FrameStream.synthetic(3, 24, 32, vx=2.0, vy=1.0) as src:
+        fallback_frames = [f for _, f in src]
+    assert len(fallback_frames) == 3
+    for a, b in zip(native_frames, fallback_frames):
+        np.testing.assert_allclose(a, b)

@@ -34,3 +34,31 @@ def test_streaming_recovers_velocity():
         inner = np.asarray(flow)[24:-24, 24:-24]
         assert abs(np.median(inner[..., 0]) - 2.0) < 0.2
         assert abs(np.median(inner[..., 1]) - 1.0) < 0.2
+
+
+def test_flow_state_checkpoints_with_orbax(tmp_path):
+    """The carried FlowState is a pytree, so checkpoint/resume is plain orbax
+    (the reference has no checkpointing at all — SURVEY.md section 5)."""
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    import cuda_optical_flow_2_tpu as of
+    from cuda_optical_flow_2_tpu.models import streaming
+
+    cfg = of.LKConfig(levels=2, window=9, use_pallas=False)
+    frame0 = jnp.asarray(np.arange(32 * 40, dtype=np.float32).reshape(32, 40))
+    state = streaming.init_state(frame0, cfg)
+
+    path = tmp_path / "ckpt"
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, tuple(state.pyramid))
+        restored = ckptr.restore(path, tuple(state.pyramid))
+    restored_state = streaming.FlowState(tuple(restored))
+    for a, b in zip(state.pyramid, restored_state.pyramid):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # resuming from the restored state produces the same flow
+    frame1 = frame0 + 1.0
+    _, flow_a = streaming.step(streaming.init_state(frame0, cfg), frame1, cfg)
+    _, flow_b = streaming.step(restored_state, frame1, cfg)
+    np.testing.assert_allclose(np.asarray(flow_a), np.asarray(flow_b), atol=1e-6)
