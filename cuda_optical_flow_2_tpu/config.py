@@ -57,11 +57,14 @@ class LKConfig:
       use_pallas: fuse gradients + window sums + solve into the Pallas TPU
         kernel where supported; falls back to pure-XLA ops otherwise.
       d_local: the fused TPU warp's per-tile displacement range AFTER mean
-        recentering (select_core.py).  Kernel time is roughly linear in it;
-        within-tile flow variation beyond +-d_local is clamped before
-        sampling (the residual solve then recovers what the window can see).
-        15 is conservative for video; 7 is ~25% faster end-to-end and safe
-        when the flow field varies slowly within any 64-row stripe.
+        recentering (select_core.py).  Kernel time is roughly linear in it.
+        Within-tile flow variation beyond +-d_local is clamped before
+        sampling, and the residual solve recovers the clamped remainder as
+        long as it stays inside the window's trackable range — measured on
+        1080p rotation fields with 19 px within-tile variation, d_local=7
+        matches d_local=15 to 4 decimals of EPE at 1.5x the speed
+        (docs/PERF.md).  Raise it for flow fields that jump more than
+        (d_local + window/2) px within a 64-row stripe.
     """
 
     levels: int = 4
@@ -75,7 +78,7 @@ class LKConfig:
     max_displacement: int = 32
     prefilter: Optional[BilateralConfig] = None
     use_pallas: bool = True
-    d_local: int = 15
+    d_local: int = 7
 
     def __post_init__(self) -> None:
         if self.window % 2 != 1:
