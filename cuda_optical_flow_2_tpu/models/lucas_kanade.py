@@ -148,6 +148,7 @@ def _pick_warp(img: jax.Array, config: LKConfig):
                 functools.partial(
                     warp_select.warp_bilinear_select,
                     max_displacement=config.max_displacement,
+                    d_local=config.d_local,
                     interpret=_interpret_forced(),
                 ),
                 True,
