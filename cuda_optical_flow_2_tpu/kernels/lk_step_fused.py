@@ -229,9 +229,10 @@ def lk_level_step(
     arrays = 20 + 5 * ncands  # measured ~37 live band arrays at ncands=4
     # v5e has far more physical VMEM than Mosaic's 16 MB default scoped
     # limit; raise the kernel's cap and budget accordingly (bigger bands =
-    # less halo DMA amplification).  Mosaic's stack allocation also varies
+    # less halo DMA amplification; 40 MB measured best: 22->479 fps vs 448,
+    # 60 MB over-sizes bands and drops to 421).  Mosaic stack allocation varies
     # slightly between compiles of the same kernel, so leave ~30% headroom.
-    budget = 22 * 1024 * 1024 // 4
+    budget = 40 * 1024 * 1024 // 4
     th_max = (budget // wp - 2 * (halo_n + rw)) // arrays
     tile_h = max(
         _SUBLANE, min(_round_up(h, _SUBLANE), (th_max // _SUBLANE) * _SUBLANE)
