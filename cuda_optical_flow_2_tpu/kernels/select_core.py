@@ -66,6 +66,7 @@ def warp_core(
     row0: int,
     d_local: int = DEFAULT_D_LOCAL,
     c_max: int = 2,
+    compute_dtype=jnp.float32,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Bilinear warp of ``img`` by (u, v) with per-tile recentering.
 
@@ -76,6 +77,13 @@ def warp_core(
       row0: img-row offset of output row 0.
       d_local: local displacement range after recentering.
       c_max: row-choice correction range (see warp_select.py).
+      compute_dtype: dtype of the select-pass accumulators.  The passes only
+        MOVE image values (each pixel is selected, never summed), so bfloat16
+        would be bit-lossless for integer-valued (uint8-derived) frames and
+        halve the pass footprint — but the current Mosaic rejects rotates on
+        non-32-bit data ("Rotate with non-32-bit data", tpu.dynamic_rotate),
+        so only float32 compiles on TPU today; the parameter is kept for when
+        that lands.  The bilinear blend always runs float32.
 
     Returns (warped, applied_u, applied_v), each (To, WP): the warped tile
     and the flow actually applied (recentered + locally clamped) — callers
@@ -83,6 +91,7 @@ def warp_core(
     """
     to, wp = u.shape
     ncands = 2 * c_max + 2
+    img = img.astype(compute_dtype)
 
     # Per-tile integer recentering.
     u0 = jnp.round(jnp.mean(u)).astype(jnp.int32)
@@ -104,7 +113,7 @@ def warp_core(
     # which blows the VMEM budget at ~20 band-sized arrays (observed
     # compile-time OOMs); scratch refs are single-buffered.
     def scoped(acc_ref, g0_ref, g1_ref, vig_ref):
-        zero = jnp.zeros((to, wp), jnp.float32)
+        zero = jnp.zeros((to, wp), compute_dtype)
 
         # --- Pass 1 (vertical): A_c(t, x) = img(t + row0 + v0 + vi + c, x).
         # Chunked like pass 2: one dynamic sublane roll per 8 iterations and
@@ -128,7 +137,9 @@ def warp_core(
             for j in range(_CHUNK):
                 sel = vi == (d_base + j)
                 for ci in range(ncands):
-                    acc_ref[ci] = acc_ref[ci] + jnp.where(sel, cands[ci][:to, :], 0.0)
+                    acc_ref[ci] = acc_ref[ci] + jnp.where(
+                        sel, cands[ci][:to, :], jnp.zeros((), compute_dtype)
+                    )
                 if j + 1 < _CHUNK:
                     cands = cands[1:] + [_roll(cands[-1], 1, 0)]
             return 0
@@ -155,9 +166,10 @@ def warp_core(
                 d = d_base + j
                 sel0 = ui == d
                 sel1 = ui == (d - 1)
+                zc = jnp.zeros((), compute_dtype)
                 for ci in range(ncands):
-                    g0_ref[ci] = g0_ref[ci] + jnp.where(sel0, rolled[ci], 0.0)
-                    g1_ref[ci] = g1_ref[ci] + jnp.where(sel1, rolled[ci], 0.0)
+                    g0_ref[ci] = g0_ref[ci] + jnp.where(sel0, rolled[ci], zc)
+                    g1_ref[ci] = g1_ref[ci] + jnp.where(sel1, rolled[ci], zc)
                 vig_ref[0] = vig_ref[0] + jnp.where(sel0, vi_rolled, 0)
                 vig_ref[1] = vig_ref[1] + jnp.where(sel1, vi_rolled, 0)
                 if j + 1 < _CHUNK:
@@ -167,17 +179,18 @@ def warp_core(
 
         jax.lax.fori_loop(0, n_chunks, body_h, 0)
 
-        # --- Correction select per x-corner, then the bilinear blend.
+        # --- Correction select per x-corner, then the bilinear blend (f32).
         corners = []
+        zc = jnp.zeros((), compute_dtype)
         for gref, vigi in ((g0_ref, 0), (g1_ref, 1)):
             cstar = jnp.clip(vi - vig_ref[vigi], -c_max, c_max)
             v0c = zero
             v1c = zero
             for ci, c in enumerate(range(-c_max, c_max + 1)):
                 sel = cstar == c
-                v0c = v0c + jnp.where(sel, gref[ci], 0.0)
-                v1c = v1c + jnp.where(sel, gref[ci + 1], 0.0)
-            corners.append((v0c, v1c))
+                v0c = v0c + jnp.where(sel, gref[ci], zc)
+                v1c = v1c + jnp.where(sel, gref[ci + 1], zc)
+            corners.append((v0c.astype(jnp.float32), v1c.astype(jnp.float32)))
         (v00, v10), (v01, v11) = corners
         top = v00 + tx * (v01 - v00)
         bot = v10 + tx * (v11 - v10)
@@ -187,9 +200,9 @@ def warp_core(
 
     warped = pl.run_scoped(
         scoped,
-        acc_ref=pltpu.VMEM((ncands, to, wp), jnp.float32),
-        g0_ref=pltpu.VMEM((ncands, to, wp), jnp.float32),
-        g1_ref=pltpu.VMEM((ncands, to, wp), jnp.float32),
+        acc_ref=pltpu.VMEM((ncands, to, wp), compute_dtype),
+        g0_ref=pltpu.VMEM((ncands, to, wp), compute_dtype),
+        g1_ref=pltpu.VMEM((ncands, to, wp), compute_dtype),
         vig_ref=pltpu.VMEM((2, to, wp), jnp.int32),
     )
     return warped, applied_u, applied_v

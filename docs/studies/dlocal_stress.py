@@ -1,4 +1,7 @@
 """Stress d_local: strong rotation (within-tile v variation ~ +-9.6 px) + shear."""
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+
 import numpy as np
 import jax, jax.numpy as jnp
 import dataclasses

@@ -1,4 +1,7 @@
 """d_local perf/accuracy study on TPU: rotation+zoom 1080p field."""
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+
 import time
 import numpy as np
 import jax, jax.numpy as jnp

@@ -1,4 +1,7 @@
 """Per-stage timing at the PAPER_1080P operating point (one v5e chip)."""
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+
 import numpy as np
 import jax, jax.numpy as jnp
 import cuda_optical_flow_2_tpu as of
