@@ -1,0 +1,56 @@
+"""CLI smoke tests: demo and benchmark mains end-to-end on CPU."""
+
+import json
+import os
+
+import numpy as np
+
+
+def test_demo_synthetic_writes_artifacts(tmp_path, capsys):
+    from cuda_optical_flow_2_tpu.cli import demo
+
+    out = str(tmp_path / "flow")
+    demo.main([
+        "--synthetic", "3", "--size", "64x80", "--levels", "2", "--window", "9",
+        "--no-pallas", "--out", out, "--debug-gradients",
+    ])
+    text = capsys.readouterr().out
+    assert "EPE vs (2.0, 1.0)" in text
+    files = os.listdir(out)
+    assert any(f.startswith("flow") for f in files)
+    assert any(f.startswith("arrows") for f in files)
+    assert any("_I" in f for f in files)  # gradient maps (showTest twin)
+
+
+def test_demo_native_stream_matches_materialized(tmp_path, capsys):
+    from cuda_optical_flow_2_tpu.cli import demo
+
+    demo.main([
+        "--synthetic", "3", "--size", "64x80", "--levels", "2", "--window", "9",
+        "--no-pallas", "--native-stream",
+    ])
+    streamed = capsys.readouterr().out
+    demo.main([
+        "--synthetic", "3", "--size", "64x80", "--levels", "2", "--window", "9",
+        "--no-pallas",
+    ])
+    direct = capsys.readouterr().out
+    # The native stream generates the noise-free texture; the materialized
+    # path adds noise=1.0 (io.synthetic_sequence default) — so compare EPE
+    # loosely, not bitwise.
+    pick = lambda s: [
+        float(l.rsplit(":", 1)[1]) for l in s.splitlines() if "EPE" in l
+    ]
+    a, b = pick(streamed), pick(direct)
+    assert len(a) == len(b) == 2
+    assert all(abs(x - y) < 0.05 for x, y in zip(a, b))
+
+
+def test_benchmark_cli_config1(capsys):
+    from cuda_optical_flow_2_tpu.cli import benchmark
+
+    benchmark.main(["--configs", "1", "--iters", "3"])
+    out = capsys.readouterr().out
+    rows = [json.loads(l) for l in out.splitlines() if l.startswith("{")]
+    assert rows and rows[0]["config"] == 1
+    assert rows[0]["epe_vs_truth"] < 0.5
