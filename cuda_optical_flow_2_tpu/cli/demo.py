@@ -106,6 +106,7 @@ def main(argv=None) -> None:
     )
     args = ap.parse_args(argv)
 
+    stream = None
     if args.native_stream:
         if args.frames:
             paths = sorted(glob.glob(args.frames))
@@ -145,27 +146,32 @@ def main(argv=None) -> None:
     vx, vy = args.velocity
     t0 = time.perf_counter()
     count = 0
-    for i, flow in streaming.process_sequence(frame_iter, cfg):
-        flow_np = np.asarray(flow)
-        count += 1
-        msg = f"frame {i}: |flow| median {np.median(np.hypot(flow_np[...,0], flow_np[...,1])):.3f}"
-        if args.frames is None:
-            inner = flow_np[24:-24, 24:-24]
-            epe = float(np.hypot(inner[..., 0] - vx, inner[..., 1] - vy).mean())
-            msg += f"  EPE vs ({vx}, {vy}): {epe:.3f}"
-        print(msg, flush=True)
-        if args.out:
-            cur = frames[i] if frames is not None else recent[i]
-            prv = frames[i - 1] if frames is not None else recent.get(i - 1, cur)
-            viz.write_png(
-                os.path.join(args.out, f"flow{i:04d}.png"), viz.flow_to_color(flow_np)
-            )
-            viz.write_png(
-                os.path.join(args.out, f"arrows{i:04d}.png"),
-                viz.draw_flow_arrows(cur.astype(np.uint8), flow_np, args.arrow_res),
-            )
-            if args.debug_gradients:
-                _dump_gradients(cur, prv, min(args.levels, 3), args.out, i)
+    try:
+        for i, flow in streaming.process_sequence(frame_iter, cfg):
+            flow_np = np.asarray(flow)
+            count += 1
+            msg = f"frame {i}: |flow| median {np.median(np.hypot(flow_np[...,0], flow_np[...,1])):.3f}"
+            if args.frames is None:
+                inner = flow_np[24:-24, 24:-24]
+                epe = float(np.hypot(inner[..., 0] - vx, inner[..., 1] - vy).mean())
+                msg += f"  EPE vs ({vx}, {vy}): {epe:.3f}"
+            print(msg, flush=True)
+            if args.out:
+                cur = frames[i] if frames is not None else recent[i]
+                prv = frames[i - 1] if frames is not None else recent[i - 1]
+                viz.write_png(
+                    os.path.join(args.out, f"flow{i:04d}.png"),
+                    viz.flow_to_color(flow_np),
+                )
+                viz.write_png(
+                    os.path.join(args.out, f"arrows{i:04d}.png"),
+                    viz.draw_flow_arrows(cur.astype(np.uint8), flow_np, args.arrow_res),
+                )
+                if args.debug_gradients:
+                    _dump_gradients(cur, prv, min(args.levels, 3), args.out, i)
+    finally:
+        if stream is not None:
+            stream.close()  # joins the C++ worker even on mid-loop errors
     dt = time.perf_counter() - t0
     print(f"{count} frames in {dt:.2f}s  ({count/dt:.1f} fps end-to-end incl. host IO)")
 

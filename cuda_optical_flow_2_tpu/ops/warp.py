@@ -26,11 +26,16 @@ __all__ = ["warp_bilinear", "warp_bilinear_band", "warp_nearest"]
 
 
 def _gather_2d(img: jax.Array, yi: jax.Array, xi: jax.Array) -> jax.Array:
-    """img (..., H, W) indexed at integer maps yi, xi (..., H, W)."""
+    """img (..., H, W) indexed at integer maps yi, xi (index maps may have
+    fewer rows than ``img`` — used by the band warp)."""
     h, w = img.shape[-2:]
     flat = img.reshape(img.shape[:-2] + (h * w,))
     idx = yi * w + xi
-    return jnp.take_along_axis(flat, idx.reshape(idx.shape[:-2] + (h * w,)), axis=-1).reshape(img.shape)
+    n = idx.shape[-2] * idx.shape[-1]
+    out = jnp.take_along_axis(
+        flat, idx.reshape(idx.shape[:-2] + (n,)), axis=-1
+    )
+    return out.reshape(idx.shape)
 
 
 def _coords(img: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -114,10 +119,10 @@ def warp_bilinear_band(
     x1i = jnp.minimum(x0i + 1, w - 1)
     y1i = jnp.minimum(y0i + 1, hi - 1)
 
-    v00 = _gather_2d_band(img, y0i, x0i)
-    v01 = _gather_2d_band(img, y0i, x1i)
-    v10 = _gather_2d_band(img, y1i, x0i)
-    v11 = _gather_2d_band(img, y1i, x1i)
+    v00 = _gather_2d(img, y0i, x0i)
+    v01 = _gather_2d(img, y0i, x1i)
+    v10 = _gather_2d(img, y1i, x0i)
+    v11 = _gather_2d(img, y1i, x1i)
     top = v00 + tx * (v01 - v00)
     bot = v10 + tx * (v11 - v10)
     out = top + ty * (bot - top)
@@ -125,18 +130,6 @@ def warp_bilinear_band(
     start = jnp.asarray(out_row0 - img_row0, jnp.int32)
     own = jax.lax.dynamic_slice_in_dim(img, start, hf, axis=-2)
     return jnp.where(valid, out, own)
-
-
-def _gather_2d_band(img: jax.Array, yi: jax.Array, xi: jax.Array) -> jax.Array:
-    """Like _gather_2d but index maps may have fewer rows than ``img``."""
-    h, w = img.shape[-2:]
-    flat = img.reshape(img.shape[:-2] + (h * w,))
-    idx = yi * w + xi
-    n = idx.shape[-2] * idx.shape[-1]
-    out = jnp.take_along_axis(
-        flat[..., :], idx.reshape(idx.shape[:-2] + (n,)), axis=-1
-    )
-    return out.reshape(idx.shape)
 
 
 def warp_nearest(img: jax.Array, flow: jax.Array) -> jax.Array:

@@ -24,10 +24,7 @@ XLA gather warp.
 
 from __future__ import annotations
 
-import functools
 import math
-
-import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -35,10 +32,8 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 try:  # jax.shard_map on new versions, experimental on older
-    from jax import shard_map as _shard_map_mod  # type: ignore[attr-defined]
-
-    shard_map = jax.shard_map
-except AttributeError:  # pragma: no cover
+    from jax import shard_map  # type: ignore[attr-defined]
+except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map  # type: ignore
 
 from cuda_optical_flow_2_tpu.config import LKConfig
@@ -256,22 +251,25 @@ def validate_spatial(h: int, w: int, config: LKConfig, n: int) -> None:
     if config.warp_mode == "nearest":
         raise NotImplementedError("spatial sharding supports bilinear/none warps")
     r_grad, r_img = _halo_radius(config)
-    warps = config.warp_mode != "none" and (
-        config.levels > 1 or config.iterations > 1
-    )
     top = config.levels - 1
     if h % (n << top) or (top and w % (1 << top)):
         raise ValueError(
             f"spatial sharding needs H divisible by n_shards * 2^(levels-1) "
             f"= {n << top} and W by {1 << top}; got {h}x{w}"
         )
-    coarse_h = (h >> top) // n
-    need = max(r_img if warps else r_grad, 2)
-    if coarse_h < need:
-        raise ValueError(
-            f"coarsest level holds {coarse_h} rows/shard but halos need "
-            f"{need}; reduce levels, window, max_displacement or shards"
+    for k in range(config.levels):
+        # Level k warps (and so needs the image halo r_img) unless it is the
+        # coarsest level running a single iteration, which never warps.
+        warps = config.warp_mode != "none" and (
+            k < top or config.iterations > 1
         )
+        hk = (h >> k) // n
+        need = max(r_img if warps else r_grad, 2)
+        if hk < need:
+            raise ValueError(
+                f"level {k} holds {hk} rows/shard but its halos need {need}; "
+                f"reduce levels, window, max_displacement or shards"
+            )
 
 
 def spatial_pyramidal_lk(

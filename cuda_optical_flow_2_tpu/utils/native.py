@@ -80,7 +80,9 @@ def _try_load() -> ctypes.CDLL | None:
         lib.of2_stream_next.restype = ctypes.c_int
         lib.of2_stream_close.argtypes = [ctypes.c_void_p]
         _lib = lib
-    except OSError:
+    except (OSError, AttributeError):
+        # AttributeError: a stale .so built before a symbol was added —
+        # fall back to Python rather than crash (ctypes raises it, not OSError).
         _lib = None
     return _lib
 

@@ -13,7 +13,7 @@ rng = np.random.default_rng(0)
 base = rng.normal(0, 1, (H + 120, W + 120)).astype(np.float32)
 k = np.exp(-np.linspace(-3,3,13)**2/2); k/=k.sum()
 tex = np.apply_along_axis(lambda r: np.convolve(r, k, 'same'), 0, base)
-tex = np.apply_along_axis(lambda r: np.convolve(r, k, 'same'), 1, base)
+tex = np.apply_along_axis(lambda r: np.convolve(r, k, 'same'), 1, tex)
 tex = (tex - tex.min()) / (tex.max() - tex.min()) * 255.0
 ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
 cy, cx = H/2, W/2

@@ -13,13 +13,14 @@ H, W = 1080, 1920
 rng = np.random.default_rng(0)
 # smooth random texture
 base = rng.normal(0, 1, (H + 80, W + 80)).astype(np.float32)
-from scipy import ndimage  # may not exist; fall back
 try:
+    from scipy import ndimage  # may not exist; fall back
+
     tex = ndimage.gaussian_filter(base, 3.0)
-except Exception:
+except ImportError:
     k = np.exp(-np.linspace(-3,3,13)**2/2); k/=k.sum()
     tex = np.apply_along_axis(lambda r: np.convolve(r, k, 'same'), 0, base)
-    tex = np.apply_along_axis(lambda r: np.convolve(r, k, 'same'), 1, base)
+    tex = np.apply_along_axis(lambda r: np.convolve(r, k, 'same'), 1, tex)
 tex = (tex - tex.min()) / (tex.max() - tex.min()) * 255.0
 
 ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)

@@ -126,3 +126,16 @@ def test_spatial_validation_errors():
     big = of.LKConfig(levels=3, window=31, use_pallas=False)
     with pytest.raises(ValueError):
         parallel.spatial_pyramidal_lk(q, q, big, mesh)
+
+
+def test_spatial_coarsest_level_needs_no_warp_halo():
+    """iterations=1 => the coarsest level never warps, so it only needs the
+    gradient halo; this config was wrongly rejected before the per-level
+    validation (level-2 has 32 rows/shard < r_img=40 but never warps)."""
+    p, n = _smooth_pair(1024, 64, dx=1, dy=0)
+    cfg = of.LKConfig(levels=3, window=9, iterations=1, use_pallas=False,
+                      temporal_kernel="gauss3", max_displacement=32)
+    mesh = parallel.make_mesh(axis_name="space")
+    flow = parallel.spatial_pyramidal_lk(p, n, cfg, mesh)
+    single = of.pyramidal_lk(p, n, cfg)
+    np.testing.assert_allclose(np.asarray(flow), np.asarray(single), atol=5e-3)
