@@ -16,6 +16,7 @@ from cuda_optical_flow_2_tpu.parallel.batching import (
     shard_batch,
 )
 from cuda_optical_flow_2_tpu.parallel.spatial import (
+    grid_pyramidal_lk,
     halo_exchange,
     spatial_pyramidal_lk,
     validate_spatial,
@@ -25,6 +26,7 @@ __all__ = [
     "make_mesh",
     "sharded_pyramidal_lk",
     "shard_batch",
+    "grid_pyramidal_lk",
     "halo_exchange",
     "spatial_pyramidal_lk",
     "validate_spatial",

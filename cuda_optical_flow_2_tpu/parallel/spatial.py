@@ -44,7 +44,12 @@ from cuda_optical_flow_2_tpu.ops.solve import solve_2x2, solve_2x2_unguarded
 from cuda_optical_flow_2_tpu.ops.warp import warp_bilinear_band
 from cuda_optical_flow_2_tpu.ops.window import structure_tensor_sums
 
-__all__ = ["halo_exchange", "spatial_pyramidal_lk", "validate_spatial"]
+__all__ = [
+    "halo_exchange",
+    "spatial_pyramidal_lk",
+    "grid_pyramidal_lk",
+    "validate_spatial",
+]
 
 
 def halo_exchange(
@@ -272,6 +277,30 @@ def validate_spatial(h: int, w: int, config: LKConfig, n: int) -> None:
             )
 
 
+def _local_pipeline(
+    prev_blk: jax.Array,
+    nxt_blk: jax.Array,
+    config: LKConfig,
+    axis_name: str,
+    n: int,
+    h: int,
+) -> jax.Array:
+    """The full per-shard pipeline on one row block (one frame pair)."""
+    prev_pyr = [prev_blk]
+    next_pyr = [nxt_blk]
+    for _ in range(1, config.levels):
+        prev_pyr.append(_local_pyr_down(prev_pyr[-1], axis_name, n))
+        next_pyr.append(_local_pyr_down(next_pyr[-1], axis_name, n))
+    flow = None
+    for k in range(config.levels - 1, -1, -1):
+        if flow is not None:
+            flow = _local_upsample2x_flow(flow, axis_name, n)
+        flow = _local_lk_level(
+            prev_pyr[k], next_pyr[k], flow, config, axis_name, n, h >> k
+        )
+    return flow
+
+
 def spatial_pyramidal_lk(
     prev: jax.Array,
     nxt: jax.Array,
@@ -291,19 +320,7 @@ def spatial_pyramidal_lk(
     validate_spatial(h, w, config, n)
 
     def local(prev_blk, nxt_blk):
-        prev_pyr = [prev_blk]
-        next_pyr = [nxt_blk]
-        for _ in range(1, config.levels):
-            prev_pyr.append(_local_pyr_down(prev_pyr[-1], axis_name, n))
-            next_pyr.append(_local_pyr_down(next_pyr[-1], axis_name, n))
-        flow = None
-        for k in range(config.levels - 1, -1, -1):
-            if flow is not None:
-                flow = _local_upsample2x_flow(flow, axis_name, n)
-            flow = _local_lk_level(
-                prev_pyr[k], next_pyr[k], flow, config, axis_name, n, h >> k
-            )
-        return flow
+        return _local_pipeline(prev_blk, nxt_blk, config, axis_name, n, h)
 
     fn = shard_map(
         local,
@@ -312,3 +329,43 @@ def spatial_pyramidal_lk(
         out_specs=P(axis_name, None, None),
     )
     return jax.jit(fn)(prev, nxt)
+
+
+def grid_pyramidal_lk(
+    prev_batch: jax.Array,
+    nxt_batch: jax.Array,
+    config: LKConfig,
+    mesh: Mesh,
+    batch_axis: str = "batch",
+    space_axis: str = "space",
+) -> jax.Array:
+    """Combined DP x TP: a frame-pair batch sharded over a 2-D mesh.
+
+    The batch axis is data-parallel (zero communication) and each pair's rows
+    are sharded over the space axis with ppermute halo exchange — the full
+    production layout for high-throughput large-frame serving: e.g. a v5e-16
+    as (4 batch, 4 space) runs 4 concurrent 8K streams.
+
+    Args:
+      prev_batch / nxt_batch: (B, H, W), B divisible by the batch axis size,
+        H by space-size * 2^(levels-1).
+    Returns: (B, H, W, 2) flow, sharded the same way.
+    """
+    b, h, w = prev_batch.shape[-3:]
+    nb = mesh.shape[batch_axis]
+    ns = mesh.shape[space_axis]
+    if b % nb != 0:
+        raise ValueError(f"batch {b} not divisible by {batch_axis} size {nb}")
+    validate_spatial(h, w, config, ns)
+
+    def local(pb, nbk):
+        f = lambda p, n_: _local_pipeline(p, n_, config, space_axis, ns, h)  # noqa: E731
+        return jax.vmap(f)(pb, nbk)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(batch_axis, space_axis, None),) * 2,
+        out_specs=P(batch_axis, space_axis, None, None),
+    )
+    return jax.jit(fn)(prev_batch, nxt_batch)

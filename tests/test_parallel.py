@@ -139,3 +139,25 @@ def test_spatial_coarsest_level_needs_no_warp_halo():
     flow = parallel.spatial_pyramidal_lk(p, n, cfg, mesh)
     single = of.pyramidal_lk(p, n, cfg)
     np.testing.assert_allclose(np.asarray(flow), np.asarray(single), atol=5e-3)
+
+
+def test_grid_dp_x_tp_matches_unsharded():
+    """2-D mesh: batch data-parallel x rows tensor-parallel (2x4 of 8 CPUs)."""
+    from jax.sharding import Mesh
+
+    p0, n0 = _smooth_pair(256, 48, dx=1, dy=0)
+    p1, n1 = _smooth_pair(256, 48, dx=2, dy=1)
+    pb = jnp.stack([p0, p1, p0, p1])
+    nb = jnp.stack([n0, n1, n0, n1])
+    cfg = of.LKConfig(levels=2, window=9, iterations=1, use_pallas=False,
+                      temporal_kernel="gauss3", max_displacement=4.0)
+    devices = np.asarray(jax.devices()).reshape(2, 4)
+    mesh = Mesh(devices, ("batch", "space"))
+    flow = parallel.grid_pyramidal_lk(pb, nb, cfg, mesh)
+    assert flow.shape == (4, 256, 48, 2)
+    assert len(flow.sharding.device_set) == 8
+    for i, (p, n) in enumerate([(p0, n0), (p1, n1)] * 2):
+        single = of.pyramidal_lk(p, n, cfg)
+        np.testing.assert_allclose(
+            np.asarray(flow[i]), np.asarray(single), atol=5e-4
+        )
