@@ -57,14 +57,15 @@ class LKConfig:
       use_pallas: fuse gradients + window sums + solve into the Pallas TPU
         kernel where supported; falls back to pure-XLA ops otherwise.
       d_local: the fused TPU warp's per-tile displacement range AFTER mean
-        recentering (select_core.py).  Kernel time is roughly linear in it.
-        Within-tile flow variation beyond +-d_local is clamped before
-        sampling, and the residual solve recovers the clamped remainder as
-        long as it stays inside the window's trackable range — measured on
-        1080p rotation fields with 19 px within-tile variation, d_local=7
-        matches d_local=15 to 4 decimals of EPE at 1.5x the speed
-        (docs/PERF.md).  Raise it for flow fields that jump more than
-        (d_local + window/2) px within a 64-row stripe.
+        recentering (select_core.py).  Kernel time is roughly linear in it
+        (useful values quantize to 8-iteration chunks: 7, 15, 23...).  The
+        rule is sharp (docs/PERF.md d_local study): EPE is bit-identical to
+        an unbounded warp while the within-tile flow variation stays inside
+        +-d_local (a 64-row full-width stripe); beyond that the clamped
+        remainder is only partially recovered by the residual solve and mean
+        EPE grows (0.09 -> 0.20 px at 19 px variation with d_local=7).
+        Default 7 covers rotation up to ~0.0036 rad/frame at 1920 px width
+        at 479 fps; raise to 11/15 for stronger within-frame rotation/zoom.
     """
 
     levels: int = 4

@@ -31,7 +31,7 @@ def study(theta, s, label):
     p, n = jnp.asarray(prev), jnp.asarray(nxt)
     print(f"--- {label}: max|flow| {np.abs(np.stack([u_true,v_true])).max():.1f}, "
           f"within-64row-tile v-range {np.ptp(v_true[:1,:]):.1f}px")
-    for dl in (15, 7):
+    for dl in (15, 11, 7):
         cfg = dataclasses.replace(of.PAPER_1080P, d_local=dl)
         f = jax.jit(of.pyramidal_lk, static_argnames=("config",))
         flow = np.asarray(f(p, n, config=cfg))
@@ -41,5 +41,6 @@ def study(theta, s, label):
         ms = device_time(lambda a,b: of.pyramidal_lk(a,b,cfg), p, n, iters=30)*1e3
         print(f"  d_local={dl}: mean EPE {epe.mean():.4f} p95 {np.percentile(epe,95):.3f}  {ms:.2f} ms ({1e3/ms:.0f} fps)")
 
+study(0.004, 0.002, "moderate rotation 0.004 rad (7.7px within-tile range)")
 study(0.010, 0.002, "strong rotation 0.010 rad")
 study(0.018, 0.000, "extreme rotation 0.018 rad (17px within-tile range)")
