@@ -127,3 +127,23 @@ def test_degenerate_shapes_raise_cleanly():
             jnp.zeros((8, 8)), jnp.zeros((8, 9)),
             of.LKConfig(levels=1, use_pallas=False),
         )
+
+
+def test_odd_sizes_recover_translation():
+    """Floor-halved odd dims through the full pyramid (reference semantics,
+    main.cu:98-102) must not degrade accuracy.  Uses the aperiodic synthetic
+    texture — the checkerboard helper aliases at coarse levels and measures
+    the texture, not the code (see docs/PERF.md)."""
+    from cuda_optical_flow_2_tpu.utils import io
+
+    for h, w in [(135, 241), (97, 123)]:
+        fr = io.synthetic_sequence(2, h, w, velocity=(2.0, 1.0), period=24)
+        p = jnp.asarray(fr[0].astype(np.float32))
+        n = jnp.asarray(fr[1].astype(np.float32))
+        cfg = of.LKConfig(
+            levels=3, window=11, temporal_kernel="gauss3", use_pallas=False
+        )
+        flow = np.asarray(of.pyramidal_lk(p, n, cfg))
+        inner = flow[24:-24, 24:-24]
+        epe = np.hypot(inner[..., 0] - 2.0, inner[..., 1] - 1.0)
+        assert epe.mean() < 0.2, (h, w, epe.mean())
