@@ -55,15 +55,18 @@ def main() -> None:
     sn = float(fn(prev, nxt))
     assert np.isfinite(s1) and np.isfinite(sn), (s1, sn)
 
-    per_frame = float("inf")
-    for _ in range(3):  # best-of-3: tunnel round-trip jitter
+    # Tunnel round-trip jitter is additive noise on each sample; min() over
+    # independent samples of t1 and tn filters it, whereas min over the
+    # PAIRED differences can overestimate fps when only t1 catches a spike.
+    t1s, tns = [], []
+    for _ in range(3):
         t0 = time.perf_counter()
         float(f1(prev, nxt))
-        t1 = time.perf_counter() - t0
+        t1s.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         float(fn(prev, nxt))
-        tn = time.perf_counter() - t0
-        per_frame = min(per_frame, (tn - t1) / ITERS)
+        tns.append(time.perf_counter() - t0)
+    per_frame = (min(tns) - min(t1s)) / ITERS
     fps = 1.0 / per_frame
 
     print(

@@ -100,6 +100,10 @@ def main(argv=None) -> None:
         help="dump per-level Ix/Iy/It maps (showTest twin)",
     )
     ap.add_argument(
+        "--flo", action="store_true",
+        help="also write Middlebury .flo flow files next to the PNGs",
+    )
+    ap.add_argument(
         "--native-stream", action="store_true",
         help="feed frames through the native prefetching FrameStream "
         "(C++ worker + ring buffer) instead of materializing the sequence",
@@ -163,6 +167,10 @@ def main(argv=None) -> None:
                     os.path.join(args.out, f"flow{i:04d}.png"),
                     viz.flow_to_color(flow_np),
                 )
+                if args.flo:
+                    io.write_flo(
+                        os.path.join(args.out, f"flow{i:04d}.flo"), flow_np
+                    )
                 viz.write_png(
                     os.path.join(args.out, f"arrows{i:04d}.png"),
                     viz.draw_flow_arrows(cur.astype(np.uint8), flow_np, args.arrow_res),

@@ -17,6 +17,8 @@ __all__ = [
     "read_ppm",
     "write_ppm",
     "read_image",
+    "read_flo",
+    "write_flo",
     "synthetic_sequence",
 ]
 
@@ -166,3 +168,37 @@ def synthetic_sequence(
             img = img + rng.normal(0, noise, img.shape)
         frames[t] = np.clip(img, 0, 255).astype(np.uint8)
     return frames
+
+
+_FLO_MAGIC = 202021.25  # Middlebury sanity constant ("PIEH")
+
+
+def write_flo(path: str, flow: np.ndarray) -> None:
+    """Write an (H, W, 2) float32 flow field in Middlebury .flo format.
+
+    The de-facto interchange format for dense optical flow (header: the
+    float 202021.25, then int32 width/height, then row-major interleaved
+    (u, v) float32).  The reference has no flow IO at all — its fields only
+    ever exist as arrows on a debug window (main.cu:114-174).
+    """
+    flow = np.ascontiguousarray(flow, dtype=np.float32)
+    if flow.ndim != 3 or flow.shape[-1] != 2:
+        raise ValueError(f"expected (H, W, 2) flow, got {flow.shape}")
+    h, w = flow.shape[:2]
+    with open(path, "wb") as f:
+        np.float32(_FLO_MAGIC).tofile(f)
+        np.asarray([w, h], np.int32).tofile(f)
+        flow.tofile(f)
+
+
+def read_flo(path: str) -> np.ndarray:
+    """Read a Middlebury .flo file into an (H, W, 2) float32 array."""
+    with open(path, "rb") as f:
+        magic = np.fromfile(f, np.float32, 1)
+        if magic.size != 1 or magic[0] != np.float32(_FLO_MAGIC):
+            raise ValueError(f"{path} is not a .flo file (magic {magic})")
+        w, h = np.fromfile(f, np.int32, 2)
+        data = np.fromfile(f, np.float32, int(w) * int(h) * 2)
+    if data.size != w * h * 2:
+        raise ValueError(f"{path}: truncated payload")
+    return data.reshape(int(h), int(w), 2)

@@ -175,3 +175,17 @@ def test_bilateral_matches_oracle_float(rng):
     want = cpu_oracle.bilateral_filter_3ch(img, img, 9, 9, 2.0, 10.0)
     # oracle output is truncated to uchar; compare within 1 intensity step
     assert np.max(np.abs(got - want[..., 0].astype(np.float32))) <= 1.0
+
+
+def test_flo_roundtrip(tmp_path, rng):
+    from cuda_optical_flow_2_tpu.utils import io
+
+    flow = rng.normal(0, 3, (17, 23, 2)).astype(np.float32)
+    p = str(tmp_path / "f.flo")
+    io.write_flo(p, flow)
+    back = io.read_flo(p)
+    np.testing.assert_array_equal(back, flow)
+    import pytest
+
+    with pytest.raises(ValueError):
+        io.write_flo(p, flow[..., :1])
