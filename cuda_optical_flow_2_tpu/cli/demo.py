@@ -156,7 +156,8 @@ def main(argv=None) -> None:
             count += 1
             msg = f"frame {i}: |flow| median {np.median(np.hypot(flow_np[...,0], flow_np[...,1])):.3f}"
             if args.frames is None:
-                inner = flow_np[24:-24, 24:-24]
+                m = min(24, flow_np.shape[0] // 4, flow_np.shape[1] // 4)
+                inner = flow_np[m : flow_np.shape[0] - m, m : flow_np.shape[1] - m]
                 epe = float(np.hypot(inner[..., 0] - vx, inner[..., 1] - vy).mean())
                 msg += f"  EPE vs ({vx}, {vy}): {epe:.3f}"
             print(msg, flush=True)
