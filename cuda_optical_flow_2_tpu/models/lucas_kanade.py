@@ -43,7 +43,16 @@ __all__ = [
     "pyramidal_lk",
     "pyramidal_lk_pyramid",
     "compose_flow_pyramid",
+    "solve_flow",
 ]
+
+
+def solve_flow(sums, config: LKConfig) -> jax.Array:
+    """2x2 solve from structure-tensor sums, guarded per ``config.det_eps``
+    (eps=0.0 reproduces the reference's unguarded divide, OptFlowGpu.cu:1835)."""
+    if config.det_eps == 0.0:
+        return solve_2x2_unguarded(*sums)
+    return solve_2x2(*sums, eps=config.det_eps)
 
 
 def _lk_residual_xla(
@@ -53,9 +62,7 @@ def _lk_residual_xla(
     ix, iy = spatial_gradients(prev, config.normalize_gradients)
     it = temporal_gradient(prev, nxt, config.temporal_kernel, config.normalize_gradients)
     sums = structure_tensor_sums(ix, iy, it, config.window, config.window_method)
-    if config.det_eps == 0.0:
-        return solve_2x2_unguarded(*sums)
-    return solve_2x2(*sums, eps=config.det_eps)
+    return solve_flow(sums, config)
 
 
 def _lk_residual(prev: jax.Array, nxt: jax.Array, config: LKConfig) -> jax.Array:

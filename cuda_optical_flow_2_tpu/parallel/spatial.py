@@ -37,10 +37,10 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map  # type: ignore
 
 from cuda_optical_flow_2_tpu.config import LKConfig
+from cuda_optical_flow_2_tpu.models.lucas_kanade import solve_flow
 from cuda_optical_flow_2_tpu.ops.gradients import spatial_gradients, temporal_gradient
 from cuda_optical_flow_2_tpu.ops.pyramid import pyr_down
 from cuda_optical_flow_2_tpu.ops.resize import _up2x_axis
-from cuda_optical_flow_2_tpu.ops.solve import solve_2x2, solve_2x2_unguarded
 from cuda_optical_flow_2_tpu.ops.warp import warp_bilinear_band
 from cuda_optical_flow_2_tpu.ops.window import structure_tensor_sums
 
@@ -73,7 +73,7 @@ def halo_exchange(
     h = x.shape[row_axis]
     if top > h or bottom > h:
         raise ValueError(f"halo ({top}, {bottom}) exceeds block height {h}")
-    idx = lax.axis_index(axis_name)
+    idx = lax.axis_index(axis_name) if boundary == "edge" else None
     parts = []
     if top > 0:
         recv = lax.ppermute(
@@ -145,8 +145,7 @@ def _local_upsample2x_flow(flow: jax.Array, axis_name: str, n: int) -> jax.Array
     rows' outputs are cropped.
     """
     fp = halo_exchange(flow, 1, 1, axis_name, n, row_axis=-3, boundary="edge")
-    up = _up2x_axis(fp, -3)
-    up = lax.slice_in_dim(up, 2, up.shape[-3] - 2, axis=-3)
+    up = _crop_rows(_up2x_axis(fp, -3), 2, -3)
     up = _up2x_axis(up, -2)
     return up * jnp.asarray(2.0, flow.dtype)
 
@@ -175,9 +174,7 @@ def _banded_residual(
     iy = _zero_outside_global(iy, row0_pad, h_global)
     it = _zero_outside_global(it, row0_pad, h_global)
     sums = structure_tensor_sums(ix, iy, it, config.window, config.window_method)
-    if config.det_eps == 0.0:
-        return solve_2x2_unguarded(*sums)
-    return solve_2x2(*sums, eps=config.det_eps)
+    return solve_flow(sums, config)
 
 
 def _halo_radius(config: LKConfig) -> tuple[int, int]:
@@ -209,31 +206,24 @@ def _local_lk_level(
     row0 = lax.axis_index(axis_name) * hloc
     prev_p = halo_exchange(prev, r_grad, r_grad, axis_name, n)
     iterations = config.iterations
-    if flow is None:
-        # Coarsest level: residual between the raw frames, no warp
-        # (OptFlowGpu.cu:1917-1921 skips the shift at the top level).
+
+    def residual_nowarp():
         nxt_p = halo_exchange(nxt, r_grad, r_grad, axis_name, n)
-        flow = _crop_rows(
+        return _crop_rows(
             _banded_residual(prev_p, nxt_p, row0 - r_grad, h_global, config),
             r_grad,
             -3,
         )
+
+    if flow is None:
+        # Coarsest level: residual between the raw frames, no warp
+        # (OptFlowGpu.cu:1917-1921 skips the shift at the top level).
+        flow = residual_nowarp()
         iterations -= 1
         if config.warp_mode == "none" or iterations <= 0:
             return flow
     if config.warp_mode == "none":
-        res = _crop_rows(
-            _banded_residual(
-                prev_p,
-                halo_exchange(nxt, r_grad, r_grad, axis_name, n),
-                row0 - r_grad,
-                h_global,
-                config,
-            ),
-            r_grad,
-            -3,
-        )
-        return flow + res
+        return flow + residual_nowarp()
     nxt_p = halo_exchange(nxt, r_img, r_img, axis_name, n)
     for _ in range(iterations):
         flow = jnp.clip(flow, -config.max_displacement, config.max_displacement)
