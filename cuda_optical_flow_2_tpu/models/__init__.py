@@ -1,5 +1,10 @@
 """Flow-estimation pipelines (the reference's L3 orchestration layer)."""
 
+from cuda_optical_flow_2_tpu.models.horn_schunck import (
+    HSConfig,
+    horn_schunck,
+    pyramidal_hs,
+)
 from cuda_optical_flow_2_tpu.models.lucas_kanade import (
     coarse_to_fine,
     compose_flow_pyramid,
@@ -26,4 +31,7 @@ __all__ = [
     "init_state",
     "step",
     "process_sequence",
+    "HSConfig",
+    "horn_schunck",
+    "pyramidal_hs",
 ]

@@ -1,0 +1,147 @@
+"""Horn-Schunck dense optical flow — a second model family (extension).
+
+NOT in the reference (Kr-Stam/CUDA_Optical_Flow_2 implements pyramidal
+Lucas-Kanade only); provided so the framework covers the other classic dense
+method: a GLOBAL variational flow with a smoothness prior, where LK is a
+local least-squares fit.  HS fills in textureless regions (where LK's
+structure tensor is singular) by propagating flow from neighbors.
+
+TPU-first formulation: the Jacobi relaxation
+
+    u <- u_bar - Ix (Ix u_bar + Iy v_bar + It) / (alpha^2 + Ix^2 + Iy^2)
+    v <- v_bar - Iy (Ix u_bar + Iy v_bar + It) / (alpha^2 + Ix^2 + Iy^2)
+
+is a 3x3 stencil (the neighbor average u_bar) plus elementwise math — pure
+VPU work that XLA fuses into a few kernels; the fixed-iteration loop is a
+``lax.scan`` (static trip count, no data-dependent control flow).  The
+pyramidal driver reuses the LK scaffolding: the same Gaussian pyramid,
+exact-2x flow upsampler, and backward warp (ops/ + models/lucas_kanade).
+Everything is jittable with the config static, and batches over leading dims.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from cuda_optical_flow_2_tpu.config import BilateralConfig
+from cuda_optical_flow_2_tpu.ops.conv import conv2d
+from cuda_optical_flow_2_tpu.ops.gradients import spatial_gradients, temporal_gradient
+from cuda_optical_flow_2_tpu.ops.pyramid import build_pyramid
+from cuda_optical_flow_2_tpu.ops.resize import upsample_flow
+from cuda_optical_flow_2_tpu.ops.warp import warp_bilinear
+
+__all__ = ["HSConfig", "hs_level", "horn_schunck", "pyramidal_hs"]
+
+# Horn & Schunck 1981 neighbor-average weights (4-neighbors 1/6, diagonals
+# 1/12; center 0 — the center enters through the data term).
+HS_AVG_3X3 = np.array(
+    [
+        [1 / 12, 1 / 6, 1 / 12],
+        [1 / 6, 0.0, 1 / 6],
+        [1 / 12, 1 / 6, 1 / 12],
+    ],
+    dtype=np.float32,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class HSConfig:
+    """Horn-Schunck configuration (frozen/hashable; jit with it static).
+
+    Attributes:
+      alpha: smoothness weight; larger = smoother flow (classic range 1-20
+        for 8-bit-scale intensities).
+      iterations: Jacobi relaxation sweeps per pyramid level.
+      levels: pyramid depth (1 = original single-scale Horn-Schunck).
+      temporal_kernel: as in LKConfig ("gauss3" recommended).
+      prefilter: optional joint-bilateral pre-smoothing, as in LKConfig.
+    """
+
+    alpha: float = 10.0
+    iterations: int = 100
+    levels: int = 3
+    temporal_kernel: str = "gauss3"
+    prefilter: Optional[BilateralConfig] = None
+
+    def __post_init__(self) -> None:
+        if self.alpha <= 0:
+            raise ValueError(f"alpha must be > 0, got {self.alpha}")
+        if self.iterations < 1 or self.levels < 1:
+            raise ValueError("iterations and levels must be >= 1")
+
+
+def hs_level(
+    prev: jax.Array,
+    nxt: jax.Array,
+    flow_init: jax.Array | None,
+    config: HSConfig,
+) -> jax.Array:
+    """Jacobi-relaxed HS flow for one level, warm-started at ``flow_init``.
+
+    ``nxt`` should already be warped by ``flow_init`` when warm-starting from
+    a coarser level (the returned flow then includes ``flow_init``).
+    """
+    ix, iy = spatial_gradients(prev, normalize=True)
+    it = temporal_gradient(prev, nxt, config.temporal_kernel, normalize=True)
+    denom = config.alpha**2 + ix * ix + iy * iy
+
+    if flow_init is None:
+        uv0 = jnp.zeros(prev.shape + (2,), prev.dtype)
+    else:
+        uv0 = flow_init
+
+    def sweep(uv, _):
+        u_bar = conv2d(uv[..., 0], HS_AVG_3X3)
+        v_bar = conv2d(uv[..., 1], HS_AVG_3X3)
+        rate = (ix * u_bar + iy * v_bar + it) / denom
+        return jnp.stack([u_bar - ix * rate, v_bar - iy * rate], axis=-1), None
+
+    uv, _ = lax.scan(sweep, uv0, None, length=config.iterations)
+    return uv
+
+
+def horn_schunck(prev: jax.Array, nxt: jax.Array, config: HSConfig) -> jax.Array:
+    """Single-scale Horn-Schunck (the 1981 algorithm), (..., H, W) -> flow."""
+    return hs_level(prev, nxt, None, config)
+
+
+def pyramidal_hs(prev: jax.Array, nxt: jax.Array, config: HSConfig) -> jax.Array:
+    """Coarse-to-fine Horn-Schunck: handles motion beyond one pixel/iteration.
+
+    Same scaffolding as the LK pipeline: Gaussian pyramids, exact-2x flow
+    upsampling, bilinear backward warp; the warped residual is relaxed at
+    each level and accumulated on the carried flow.
+    """
+    from cuda_optical_flow_2_tpu.models.lucas_kanade import preprocess
+
+    lk_like = dataclasses.replace(
+        _LK_PREPROC, levels=config.levels, prefilter=config.prefilter
+    )
+    prev_pyr = preprocess(prev, lk_like)
+    next_pyr = preprocess(nxt, lk_like)
+    flow = None
+    for k in range(config.levels - 1, -1, -1):
+        p, n = prev_pyr[k], next_pyr[k]
+        if flow is None:
+            flow = hs_level(p, n, None, config)
+        else:
+            flow = upsample_flow(flow, p.shape[-2:])
+            warped = warp_bilinear(n, flow)
+            flow = flow + hs_level(p, warped, None, config)
+    return flow
+
+
+# Minimal LKConfig used purely to drive the shared preprocess() (pyramid +
+# optional bilateral); its LK-specific fields are irrelevant here.
+from cuda_optical_flow_2_tpu.config import LKConfig as _LKConfig  # noqa: E402
+
+_LK_PREPROC = _LKConfig(levels=3, window=9)
+
+pyramidal_hs_jit = jax.jit(pyramidal_hs, static_argnames=("config",))
