@@ -1,10 +1,9 @@
 """Flow-estimation pipelines (the reference's L3 orchestration layer)."""
 
-from cuda_optical_flow_2_tpu.models.horn_schunck import (
-    HSConfig,
-    horn_schunck,
-    pyramidal_hs,
-)
+# NOTE: the bare function ``horn_schunck`` is deliberately not re-exported —
+# it would shadow the ``models.horn_schunck`` submodule attribute; use
+# ``pyramidal_hs`` or ``models.horn_schunck.horn_schunck``.
+from cuda_optical_flow_2_tpu.models.horn_schunck import HSConfig, pyramidal_hs
 from cuda_optical_flow_2_tpu.models.lucas_kanade import (
     coarse_to_fine,
     compose_flow_pyramid,
@@ -32,6 +31,5 @@ __all__ = [
     "step",
     "process_sequence",
     "HSConfig",
-    "horn_schunck",
     "pyramidal_hs",
 ]
