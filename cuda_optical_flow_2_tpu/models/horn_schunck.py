@@ -98,13 +98,38 @@ def hs_level(
         uv0 = flow_init
 
     def sweep(uv, _):
-        u_bar = conv2d(uv[..., 0], HS_AVG_3X3)
-        v_bar = conv2d(uv[..., 1], HS_AVG_3X3)
+        u_bar = _avg3x3(uv[..., 0])
+        v_bar = _avg3x3(uv[..., 1])
         rate = (ix * u_bar + iy * v_bar + it) / denom
         return jnp.stack([u_bar - ix * rate, v_bar - iy * rate], axis=-1), None
 
     uv, _ = lax.scan(sweep, uv0, None, length=config.iterations)
     return uv
+
+
+def _avg3x3(x: jax.Array) -> jax.Array:
+    """HS neighbor average as shifted adds (zero-padded, == conv2d(HS_AVG_3X3)).
+
+    A per-sweep ``lax.conv`` hits the slow TPU conv emitter inside the scan
+    (measured 810 ms for 50x3 sweeps at 1080p vs ~30 ms in this form — the
+    same pathology as the pyramid, docs/PERF.md finding 2); pad-and-slice
+    shifts fuse with the surrounding elementwise update instead.
+    """
+    pad = [(0, 0)] * (x.ndim - 2) + [(1, 1), (1, 1)]
+    xp = jnp.pad(x, pad)
+    h, w = x.shape[-2:]
+
+    def sh(dy: int, dx: int) -> jax.Array:
+        return lax.slice_in_dim(
+            lax.slice_in_dim(xp, 1 + dy, 1 + dy + h, axis=-2),
+            1 + dx,
+            1 + dx + w,
+            axis=-1,
+        )
+
+    cross = sh(-1, 0) + sh(1, 0) + sh(0, -1) + sh(0, 1)
+    diag = sh(-1, -1) + sh(-1, 1) + sh(1, -1) + sh(1, 1)
+    return cross * jnp.asarray(1 / 6, x.dtype) + diag * jnp.asarray(1 / 12, x.dtype)
 
 
 def horn_schunck(prev: jax.Array, nxt: jax.Array, config: HSConfig) -> jax.Array:
