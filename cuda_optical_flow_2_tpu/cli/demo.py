@@ -85,9 +85,20 @@ def main(argv=None) -> None:
         "--velocity", type=float, nargs=2, default=(2.0, 1.0),
         help="synthetic ground-truth velocity (vx vy) px/frame",
     )
+    ap.add_argument(
+        "--model", default="lk", choices=("lk", "hs"),
+        help="flow model: pyramidal Lucas-Kanade (reference pipeline) or "
+        "Horn-Schunck (global variational extension)",
+    )
     ap.add_argument("--levels", type=int, default=4)
     ap.add_argument("--window", type=int, default=19)
-    ap.add_argument("--iterations", type=int, default=1)
+    ap.add_argument(
+        "--iterations", type=int, default=None,
+        help="LK solver iterations (default 1) / HS sweeps per level (default 100)",
+    )
+    ap.add_argument(
+        "--alpha", type=float, default=10.0, help="HS smoothness weight"
+    )
     ap.add_argument(
         "--temporal-kernel", default="gauss3", choices=("dt3", "gauss3")
     )
@@ -136,14 +147,27 @@ def main(argv=None) -> None:
     else:
         frames = _load_frames(args)
         frame_iter = iter(frames)
-    cfg = of.LKConfig(
-        levels=args.levels,
-        window=args.window,
-        iterations=args.iterations,
-        temporal_kernel=args.temporal_kernel,
-        prefilter=of.BilateralConfig() if args.bilateral else None,
-        use_pallas=not args.no_pallas,
-    )
+    prefilter = of.BilateralConfig() if args.bilateral else None
+    if args.model == "hs":
+        from cuda_optical_flow_2_tpu.models.horn_schunck import HSConfig
+
+        cfg = HSConfig(
+            alpha=args.alpha,
+            iterations=args.iterations if args.iterations is not None else 100,
+            levels=args.levels,
+            temporal_kernel=args.temporal_kernel,
+            prefilter=prefilter,
+            use_pallas=not args.no_pallas,
+        )
+    else:
+        cfg = of.LKConfig(
+            levels=args.levels,
+            window=args.window,
+            iterations=args.iterations if args.iterations is not None else 1,
+            temporal_kernel=args.temporal_kernel,
+            prefilter=prefilter,
+            use_pallas=not args.no_pallas,
+        )
     if args.out:
         os.makedirs(args.out, exist_ok=True)
 

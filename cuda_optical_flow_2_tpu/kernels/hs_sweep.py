@@ -1,0 +1,246 @@
+"""Time-tiled Pallas kernel for the Horn-Schunck Jacobi relaxation.
+
+The XLA formulation (models/horn_schunck._avg3x3 under ``lax.scan``) makes one
+full HBM round trip per sweep: every iteration reads u, v, Ix, Iy, It and the
+denominator and writes u, v — ~8 image-sized arrays of traffic for ~30 vector
+ops of work.  At 150 sweeps x 1080p that is pure bandwidth.
+
+This kernel time-tiles the relaxation: each grid step loads one row band (plus
+a K-row halo) into VMEM and runs K Jacobi sweeps in place before writing back,
+amortizing the HBM traffic K-fold.  Correctness follows the standard trapezoid
+argument for time-tiled stencils:
+
+* A Jacobi sweep propagates information exactly one row/column per iteration
+  (3x3 neighbor average).
+* Rows near the band edge go stale by one row per sweep — after sweep j, the
+  outermost j rows of the band are wrong (they miss their out-of-band
+  neighbors; roll wraparound contaminates the same ring).  With a row halo of
+  ``halo_y >= K`` the output band (rows [halo_y, halo_y + tile_h)) is
+  untouched after K sweeps.
+* Columns need no halo beyond the zero pad: the full image width is resident,
+  and the in-kernel ``inside`` mask re-zeroes the pad ring after every sweep,
+  which simultaneously (a) enforces the zero-padded boundary condition of the
+  XLA twin's ``_avg3x3`` and (b) stops lane-roll wraparound from ever
+  propagating inward.
+
+Gradients (Ix, Iy, It — same Sobel/temporal stencils as ops/gradients, which
+replace the reference's separate conv launches, OptFlowGpu.cu:1929-1940) and
+the reciprocal denominator are computed once per kernel invocation from the
+resident frames; recomputing them per band is noise next to K sweeps.
+
+The neighbor average uses the separable decomposition
+``avg = ([1,2,1] (x) [1,2,1] - 4*center) / 12`` — 2 lane + 2 sublane rolls and
+7 adds/muls per component instead of 8 independent 2-D shifts.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cuda_optical_flow_2_tpu.constants import MASKS
+from cuda_optical_flow_2_tpu.kernels.lk_fused import (
+    _roll,
+    _round_up,
+    _stencil3,
+    interpret_forced,
+)
+from cuda_optical_flow_2_tpu.ops.gradients import SOBEL_GAIN
+
+__all__ = ["supported", "hs_relax"]
+
+_LANE = 128
+_SUBLANE = 8
+# Sweeps fused per kernel invocation (= row halo). 16 amortizes HBM traffic
+# ~13x at a 25% redundant-compute cost with tile_h=128; the sweep loop is
+# VPU-bound, so larger K buys little.
+_MAX_SWEEPS = 16
+
+
+def supported(prev: jax.Array) -> bool:
+    """Whether the time-tiled Pallas relaxation handles this shape/backend."""
+    h, w = prev.shape[-2:]
+    if h < _SUBLANE or w < _SUBLANE:
+        return False
+    return jax.default_backend() == "tpu" or interpret_forced()
+
+
+def _sep121(x: jax.Array) -> jax.Array:
+    """[1,2,1] (x) [1,2,1] correlation via separable static rolls."""
+    r = _roll(x, -1, 1) + 2.0 * x + _roll(x, 1, 1)
+    return _roll(r, -1, 0) + 2.0 * r + _roll(r, 1, 0)
+
+
+def _hs_kernel(
+    p_ref,
+    n_ref,
+    u_ref,
+    v_ref,
+    uo_ref,
+    vo_ref,
+    *,
+    tile_h: int,
+    halo_y: int,
+    halo_x: int,
+    img_h: int,
+    img_w: int,
+    k: int,
+    alpha2: float,
+    temporal_mask,
+):
+    p = p_ref[0]
+    n = n_ref[0]
+    u = u_ref[0]
+    v = v_ref[0]
+    g, wp = p.shape
+
+    ix = _stencil3(p, MASKS["sobel_x"] * (1.0 / SOBEL_GAIN))
+    iy = _stencil3(p, MASKS["sobel_y"] * (1.0 / SOBEL_GAIN))
+    it = _stencil3(n - p, temporal_mask)
+    inv_denom = 1.0 / (jnp.float32(alpha2) + ix * ix + iy * iy)
+
+    i = pl.program_id(1)
+    row_ids = lax.broadcasted_iota(jnp.int32, (g, wp), 0)
+    col_ids = lax.broadcasted_iota(jnp.int32, (g, wp), 1)
+    img_row = row_ids + i * tile_h - halo_y
+    inside = (
+        (img_row >= 0)
+        & (img_row < img_h)
+        & (col_ids >= halo_x)
+        & (col_ids < halo_x + img_w)
+    )
+    zero = jnp.zeros((g, wp), jnp.float32)
+    twelfth = jnp.float32(1.0 / 12.0)
+    third = jnp.float32(1.0 / 3.0)
+
+    for _ in range(k):
+        # HS neighbor average (cross 1/6, diagonals 1/12, center 0) ==
+        # (sep121 - 4*center)/12; identical weights to the XLA twin.
+        u_bar = _sep121(u) * twelfth - u * third
+        v_bar = _sep121(v) * twelfth - v * third
+        rate = (ix * u_bar + iy * v_bar + it) * inv_denom
+        # Re-zeroing outside the image enforces the zero-pad boundary and
+        # kills wraparound contamination in the pad ring (module docstring).
+        u = jnp.where(inside, u_bar - ix * rate, zero)
+        v = jnp.where(inside, v_bar - iy * rate, zero)
+
+    uo_ref[:] = u[halo_y : halo_y + tile_h]
+    vo_ref[:] = v[halo_y : halo_y + tile_h]
+
+
+def _pick_tile_h(wp: int, halo_y: int) -> int:
+    """Largest row band whose ~12 live (G, WP) f32 tiles fit in ~20 MB VMEM."""
+    budget = 20 * 1024 * 1024
+    for th in (256, 128, 64, 32, 16, 8):
+        g = th + 2 * halo_y
+        if 12 * g * wp * 4 <= budget:
+            return th
+    return 8
+
+
+@functools.partial(jax.jit, static_argnames=("iterations", "alpha", "temporal_kernel", "interpret"))
+def hs_relax(
+    prev: jax.Array,
+    nxt: jax.Array,
+    flow_init: jax.Array | None,
+    *,
+    iterations: int,
+    alpha: float,
+    temporal_kernel: str,
+    interpret: bool = False,
+) -> jax.Array:
+    """``iterations`` Jacobi sweeps of Horn-Schunck on (..., H, W) frames.
+
+    Drop-in replacement for the scan in models/horn_schunck.hs_level (same
+    gradients, same neighbor average, same zero-pad boundary); returns
+    (..., H, W, 2) float32.
+    """
+    lead = prev.shape[:-2]
+    h, w = prev.shape[-2:]
+    x = prev.reshape((-1, h, w)).astype(jnp.float32)
+    y = nxt.reshape((-1, h, w)).astype(jnp.float32)
+    b = x.shape[0]
+
+    k = min(_MAX_SWEEPS, iterations)
+    halo_y = _round_up(k, _SUBLANE)
+    halo_x = 1
+    wp = _round_up(w + 2 * halo_x, _LANE)
+    tile_h = _pick_tile_h(wp, halo_y)
+    ht = pl.cdiv(h, tile_h)
+    hp = ht * tile_h + 2 * halo_y
+
+    pad = ((0, 0), (halo_y, hp - h - halo_y), (halo_x, wp - w - halo_x))
+    xp = jnp.pad(x, pad)
+    yp = jnp.pad(y, pad)
+    if flow_init is None:
+        u = jnp.zeros((b, hp, wp), jnp.float32)
+        v = u
+    else:
+        f = flow_init.reshape((-1, h, w, 2)).astype(jnp.float32)
+        u = jnp.pad(f[..., 0], pad)
+        v = jnp.pad(f[..., 1], pad)
+
+    tmask = MASKS[temporal_kernel]
+    tmask = tmask / tmask.sum()
+    g = tile_h + 2 * halo_y
+    in_spec = pl.BlockSpec(
+        (pl.Element(1), pl.Element(g), pl.Element(wp)),
+        lambda bb, i: (bb, i * tile_h, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (None, tile_h, wp), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM
+    )
+    row_repad = ((0, 0), (halo_y, halo_y), (0, 0))
+
+    def sweep_block(u, v, sweeps: int):
+        kernel = functools.partial(
+            _hs_kernel,
+            tile_h=tile_h,
+            halo_y=halo_y,
+            halo_x=halo_x,
+            img_h=h,
+            img_w=w,
+            k=sweeps,
+            alpha2=alpha * alpha,
+            temporal_mask=tmask,
+        )
+        uo, vo = pl.pallas_call(
+            kernel,
+            grid=(b, ht),
+            in_specs=[in_spec, in_spec, in_spec, in_spec],
+            out_specs=(out_spec, out_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, ht * tile_h, wp), jnp.float32),
+                jax.ShapeDtypeStruct((b, ht * tile_h, wp), jnp.float32),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(xp, yp, u, v)
+        # The kernel zeroes everything outside the image, so re-padding the
+        # halo rows with zeros reproduces the carried boundary exactly.
+        return jnp.pad(uo, row_repad), jnp.pad(vo, row_repad)
+
+    n_full, rem = divmod(iterations, k)
+    if n_full:
+        def body(carry, _):
+            cu, cv = carry
+            return sweep_block(cu, cv, k), None
+
+        (u, v), _ = lax.scan(body, (u, v), None, length=n_full)
+    if rem:
+        u, v = sweep_block(u, v, rem)
+
+    flow = jnp.stack(
+        [u[:, halo_y : halo_y + h, halo_x : halo_x + w],
+         v[:, halo_y : halo_y + h, halo_x : halo_x + w]],
+        axis=-1,
+    )
+    return flow.reshape(lead + (h, w, 2))

@@ -158,6 +158,12 @@ def warp_bilinear_select(
             (None, tile_h, wp), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, ht * tile_h, wp), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            # Mosaic's default 16 MB scoped-VMEM cap is both tight and
+            # compile-dependent (docs/PERF.md finding 5); the ~11 MB budget
+            # above under-counts at some shapes (observed 17.6 MB at 540x960).
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(xp, up, vp)
     out = out[:, :h, halo_x : halo_x + w]

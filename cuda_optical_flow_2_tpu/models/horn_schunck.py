@@ -31,13 +31,18 @@ import jax.numpy as jnp
 from jax import lax
 
 from cuda_optical_flow_2_tpu.config import BilateralConfig
-from cuda_optical_flow_2_tpu.ops.conv import conv2d
 from cuda_optical_flow_2_tpu.ops.gradients import spatial_gradients, temporal_gradient
 from cuda_optical_flow_2_tpu.ops.pyramid import build_pyramid
 from cuda_optical_flow_2_tpu.ops.resize import upsample_flow
-from cuda_optical_flow_2_tpu.ops.warp import warp_bilinear
 
-__all__ = ["HSConfig", "hs_level", "horn_schunck", "pyramidal_hs"]
+__all__ = [
+    "HSConfig",
+    "hs_level",
+    "horn_schunck",
+    "hs_preprocess",
+    "hs_coarse_to_fine",
+    "pyramidal_hs",
+]
 
 # Horn & Schunck 1981 neighbor-average weights (4-neighbors 1/6, diagonals
 # 1/12; center 0 — the center enters through the data term).
@@ -62,6 +67,12 @@ class HSConfig:
       levels: pyramid depth (1 = original single-scale Horn-Schunck).
       temporal_kernel: as in LKConfig ("gauss3" recommended).
       prefilter: optional joint-bilateral pre-smoothing, as in LKConfig.
+      use_pallas: use the time-tiled Pallas relaxation kernel on TPU
+        (kernels/hs_sweep.py — K sweeps per HBM round trip instead of one)
+        and the select-based Pallas warp in the pyramidal driver; the XLA
+        scan/gather path is the fallback and the correctness twin.
+      max_displacement / d_local: per-level warp displacement budget and
+        per-tile scan range for the Pallas warp (same semantics as LKConfig).
     """
 
     alpha: float = 10.0
@@ -69,6 +80,9 @@ class HSConfig:
     levels: int = 3
     temporal_kernel: str = "gauss3"
     prefilter: Optional[BilateralConfig] = None
+    use_pallas: bool = True
+    max_displacement: int = 32
+    d_local: int = 7
 
     def __post_init__(self) -> None:
         if self.alpha <= 0:
@@ -88,6 +102,19 @@ def hs_level(
     ``nxt`` should already be warped by ``flow_init`` when warm-starting from
     a coarser level (the returned flow then includes ``flow_init``).
     """
+    if config.use_pallas:
+        from cuda_optical_flow_2_tpu.kernels import hs_sweep
+
+        if hs_sweep.supported(prev):
+            return hs_sweep.hs_relax(
+                prev,
+                nxt,
+                flow_init,
+                iterations=config.iterations,
+                alpha=config.alpha,
+                temporal_kernel=config.temporal_kernel,
+                interpret=hs_sweep.interpret_forced(),
+            )
     ix, iy = spatial_gradients(prev, normalize=True)
     it = temporal_gradient(prev, nxt, config.temporal_kernel, normalize=True)
     denom = config.alpha**2 + ix * ix + iy * iy
@@ -137,20 +164,40 @@ def horn_schunck(prev: jax.Array, nxt: jax.Array, config: HSConfig) -> jax.Array
     return hs_level(prev, nxt, None, config)
 
 
-def pyramidal_hs(prev: jax.Array, nxt: jax.Array, config: HSConfig) -> jax.Array:
-    """Coarse-to-fine Horn-Schunck: handles motion beyond one pixel/iteration.
+def _lk_like(config: HSConfig):
+    """LKConfig view of an HSConfig, for the shared preprocess/warp plumbing."""
+    return dataclasses.replace(
+        _LK_PREPROC,
+        levels=config.levels,
+        prefilter=config.prefilter,
+        use_pallas=config.use_pallas,
+        max_displacement=config.max_displacement,
+        d_local=config.d_local,
+    )
 
-    Same scaffolding as the LK pipeline: Gaussian pyramids, exact-2x flow
-    upsampling, bilinear backward warp; the warped residual is relaxed at
-    each level and accumulated on the carried flow.
-    """
+
+def hs_preprocess(frame: jax.Array, config: HSConfig) -> list[jax.Array]:
+    """Frame -> (optionally bilateral-filtered) Gaussian pyramid (shared with LK)."""
     from cuda_optical_flow_2_tpu.models.lucas_kanade import preprocess
 
-    lk_like = dataclasses.replace(
-        _LK_PREPROC, levels=config.levels, prefilter=config.prefilter
-    )
-    prev_pyr = preprocess(prev, lk_like)
-    next_pyr = preprocess(nxt, lk_like)
+    return preprocess(frame, _lk_like(config))
+
+
+def hs_coarse_to_fine(
+    prev_pyr: list[jax.Array],
+    next_pyr: list[jax.Array],
+    config: HSConfig,
+) -> jax.Array:
+    """Coarse-to-fine HS over prebuilt pyramids; returns the finest flow.
+
+    Uses the same warp dispatch as the LK pipeline (select-based Pallas warp
+    on TPU — the XLA gather warp alone costs ~68 ms at 1080p, docs/PERF.md
+    finding 1); the warped residual is relaxed at each level and accumulated
+    on the carried flow.
+    """
+    from cuda_optical_flow_2_tpu.models.lucas_kanade import _pick_warp
+
+    lk_like = _lk_like(config)
     flow = None
     for k in range(config.levels - 1, -1, -1):
         p, n = prev_pyr[k], next_pyr[k]
@@ -158,9 +205,27 @@ def pyramidal_hs(prev: jax.Array, nxt: jax.Array, config: HSConfig) -> jax.Array
             flow = hs_level(p, n, None, config)
         else:
             flow = upsample_flow(flow, p.shape[-2:])
-            warped = warp_bilinear(n, flow)
+            warp, clamps = _pick_warp(n, lk_like)
+            if clamps:
+                # Accumulate on the flow the warp actually applied (see the
+                # same-named logic in models/lucas_kanade.pyramidal_lk).
+                flow = jnp.clip(
+                    flow, -config.max_displacement, config.max_displacement
+                )
+            warped = warp(n, flow)
             flow = flow + hs_level(p, warped, None, config)
     return flow
+
+
+def pyramidal_hs(prev: jax.Array, nxt: jax.Array, config: HSConfig) -> jax.Array:
+    """Coarse-to-fine Horn-Schunck: handles motion beyond one pixel/iteration.
+
+    Same scaffolding as the LK pipeline: Gaussian pyramids, exact-2x flow
+    upsampling, Pallas warp; see :func:`hs_coarse_to_fine`.
+    """
+    return hs_coarse_to_fine(
+        hs_preprocess(prev, config), hs_preprocess(nxt, config), config
+    )
 
 
 # Minimal LKConfig used purely to drive the shared preprocess() (pyramid +

@@ -21,6 +21,11 @@ import jax
 import jax.numpy as jnp
 
 from cuda_optical_flow_2_tpu.config import LKConfig
+from cuda_optical_flow_2_tpu.models.horn_schunck import (
+    HSConfig,
+    hs_coarse_to_fine,
+    hs_preprocess,
+)
 from cuda_optical_flow_2_tpu.models.lucas_kanade import (
     _validate,
     coarse_to_fine,
@@ -30,6 +35,19 @@ from cuda_optical_flow_2_tpu.models.lucas_kanade import (
 __all__ = ["FlowState", "init_state", "step", "process_sequence"]
 
 
+def _preprocess(frame: jax.Array, config) -> list[jax.Array]:
+    """Model-generic preprocess: dispatches on the config type (LK or HS)."""
+    if isinstance(config, HSConfig):
+        return hs_preprocess(frame, config)
+    return preprocess(frame, config)
+
+
+def _flow(prev_pyr: list[jax.Array], next_pyr: list[jax.Array], config) -> jax.Array:
+    if isinstance(config, HSConfig):
+        return hs_coarse_to_fine(prev_pyr, next_pyr, config)
+    return coarse_to_fine(prev_pyr, next_pyr, config)[0]
+
+
 class FlowState(NamedTuple):
     """Carried per-stream state: the previous frame's pyramid (coarse last)."""
 
@@ -37,14 +55,18 @@ class FlowState(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
-def init_state(frame: jax.Array, config: LKConfig) -> FlowState:
-    """Build the initial state from the first frame (main.cu:209 equivalent)."""
-    return FlowState(tuple(preprocess(frame.astype(jnp.float32), config)))
+def init_state(frame: jax.Array, config) -> FlowState:
+    """Build the initial state from the first frame (main.cu:209 equivalent).
+
+    ``config`` is an :class:`LKConfig` or :class:`HSConfig` — the streaming
+    layer is model-generic over the pyramidal families.
+    """
+    return FlowState(tuple(_preprocess(frame.astype(jnp.float32), config)))
 
 
 @functools.partial(jax.jit, static_argnames=("config",), donate_argnums=(0,))
 def step(
-    state: FlowState, frame: jax.Array, config: LKConfig
+    state: FlowState, frame: jax.Array, config
 ) -> tuple[FlowState, jax.Array]:
     """One frame step: returns (new state, dense flow prev->frame).
 
@@ -52,21 +74,23 @@ def step(
     them — the TPU-native version of the reference's pointer swap
     (main.cu:270-272).
     """
-    pyr = preprocess(frame.astype(jnp.float32), config)
-    flow = coarse_to_fine(list(state.pyramid), pyr, config)[0]
+    pyr = _preprocess(frame.astype(jnp.float32), config)
+    flow = _flow(list(state.pyramid), pyr, config)
     return FlowState(tuple(pyr)), flow
 
 
-def process_sequence(frames, config: LKConfig):
+def process_sequence(frames, config):
     """Convenience driver: yields (frame_index, flow) for frames[1:].
 
-    ``frames`` is any iterable of (H, W) arrays (NumPy or jax).  Host->device
-    transfer happens once per frame at this boundary — the reference crosses
-    PCIe ~24 times per level per frame (SURVEY.md section 3.1).
+    ``frames`` is any iterable of (H, W) arrays (NumPy or jax); ``config``
+    selects the model family (LKConfig or HSConfig).  Host->device transfer
+    happens once per frame at this boundary — the reference crosses PCIe ~24
+    times per level per frame (SURVEY.md section 3.1).
     """
     it = iter(frames)
     first = jnp.asarray(next(it), dtype=jnp.float32)
-    _validate(first, first, config)
+    if isinstance(config, LKConfig):
+        _validate(first, first, config)
     state = init_state(first, config)
     for i, frame in enumerate(it, start=1):
         state, flow = step(state, jnp.asarray(frame, dtype=jnp.float32), config)

@@ -54,3 +54,16 @@ def test_benchmark_cli_config1(capsys):
     rows = [json.loads(l) for l in out.splitlines() if l.startswith("{")]
     assert rows and rows[0]["config"] == 1
     assert rows[0]["epe_vs_truth"] < 0.5
+
+
+def test_demo_hs_model(capsys):
+    from cuda_optical_flow_2_tpu.cli import demo
+
+    demo.main([
+        "--synthetic", "3", "--size", "64x80", "--levels", "2",
+        "--model", "hs", "--alpha", "8.0", "--iterations", "60", "--no-pallas",
+    ])
+    text = capsys.readouterr().out
+    epes = [float(l.rsplit(":", 1)[1]) for l in text.splitlines() if "EPE" in l]
+    assert len(epes) == 2
+    assert all(e < 0.8 for e in epes), epes

@@ -62,3 +62,22 @@ def test_flow_state_checkpoints_with_orbax(tmp_path):
     _, flow_a = streaming.step(streaming.init_state(frame0, cfg), frame1, cfg)
     _, flow_b = streaming.step(restored_state, frame1, cfg)
     np.testing.assert_allclose(np.asarray(flow_a), np.asarray(flow_b), atol=1e-6)
+
+
+def test_streaming_hs_matches_pairwise():
+    """The streaming layer is model-generic: HSConfig dispatches to HS."""
+    from cuda_optical_flow_2_tpu.models import horn_schunck as hs
+
+    frames = io.synthetic_sequence(3, 96, 128, velocity=(1.0, 0.5))
+    cfg = hs.HSConfig(alpha=8.0, iterations=40, levels=2, use_pallas=False)
+    flows = {i: np.asarray(f) for i, f in streaming.process_sequence(frames, cfg)}
+    assert sorted(flows) == [1, 2]
+    for i in (1, 2):
+        pair = np.asarray(
+            hs.pyramidal_hs(
+                jnp.asarray(frames[i - 1].astype(np.float32)),
+                jnp.asarray(frames[i].astype(np.float32)),
+                cfg,
+            )
+        )
+        np.testing.assert_allclose(flows[i], pair, atol=1e-5)
