@@ -86,9 +86,10 @@ def main(argv=None) -> None:
         help="synthetic ground-truth velocity (vx vy) px/frame",
     )
     ap.add_argument(
-        "--model", default="lk", choices=("lk", "hs"),
-        help="flow model: pyramidal Lucas-Kanade (reference pipeline) or "
-        "Horn-Schunck (global variational extension)",
+        "--model", default="lk", choices=("lk", "hs", "fb"),
+        help="flow model: pyramidal Lucas-Kanade (reference pipeline), "
+        "Horn-Schunck (global variational) or Farneback (polynomial "
+        "expansion) — the latter two are extensions",
     )
     ap.add_argument("--levels", type=int, default=4)
     ap.add_argument("--window", type=int, default=19)
@@ -148,7 +149,17 @@ def main(argv=None) -> None:
         frames = _load_frames(args)
         frame_iter = iter(frames)
     prefilter = of.BilateralConfig() if args.bilateral else None
-    if args.model == "hs":
+    if args.model == "fb":
+        from cuda_optical_flow_2_tpu.models.farneback import FBConfig
+
+        cfg = FBConfig(
+            levels=args.levels,
+            iterations=args.iterations if args.iterations is not None else 3,
+            winsize=args.window if args.window % 2 else args.window + 1,
+            prefilter=prefilter,
+            use_pallas=not args.no_pallas,
+        )
+    elif args.model == "hs":
         from cuda_optical_flow_2_tpu.models.horn_schunck import HSConfig
 
         cfg = HSConfig(

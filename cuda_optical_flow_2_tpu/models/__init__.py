@@ -3,6 +3,7 @@
 # NOTE: the bare function ``horn_schunck`` is deliberately not re-exported —
 # it would shadow the ``models.horn_schunck`` submodule attribute; use
 # ``pyramidal_hs`` or ``models.horn_schunck.horn_schunck``.
+from cuda_optical_flow_2_tpu.models.farneback import FBConfig, pyramidal_farneback
 from cuda_optical_flow_2_tpu.models.horn_schunck import HSConfig, pyramidal_hs
 from cuda_optical_flow_2_tpu.models.lucas_kanade import (
     coarse_to_fine,
@@ -32,4 +33,6 @@ __all__ = [
     "process_sequence",
     "HSConfig",
     "pyramidal_hs",
+    "FBConfig",
+    "pyramidal_farneback",
 ]

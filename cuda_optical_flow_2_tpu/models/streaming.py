@@ -21,6 +21,11 @@ import jax
 import jax.numpy as jnp
 
 from cuda_optical_flow_2_tpu.config import LKConfig
+from cuda_optical_flow_2_tpu.models.farneback import (
+    FBConfig,
+    fb_coarse_to_fine,
+    fb_preprocess,
+)
 from cuda_optical_flow_2_tpu.models.horn_schunck import (
     HSConfig,
     hs_coarse_to_fine,
@@ -36,15 +41,19 @@ __all__ = ["FlowState", "init_state", "step", "process_sequence"]
 
 
 def _preprocess(frame: jax.Array, config) -> list[jax.Array]:
-    """Model-generic preprocess: dispatches on the config type (LK or HS)."""
+    """Model-generic preprocess: dispatches on the config type (LK/HS/FB)."""
     if isinstance(config, HSConfig):
         return hs_preprocess(frame, config)
+    if isinstance(config, FBConfig):
+        return fb_preprocess(frame, config)
     return preprocess(frame, config)
 
 
 def _flow(prev_pyr: list[jax.Array], next_pyr: list[jax.Array], config) -> jax.Array:
     if isinstance(config, HSConfig):
         return hs_coarse_to_fine(prev_pyr, next_pyr, config)
+    if isinstance(config, FBConfig):
+        return fb_coarse_to_fine(prev_pyr, next_pyr, config)
     return coarse_to_fine(prev_pyr, next_pyr, config)[0]
 
 

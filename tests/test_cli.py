@@ -67,3 +67,16 @@ def test_demo_hs_model(capsys):
     epes = [float(l.rsplit(":", 1)[1]) for l in text.splitlines() if "EPE" in l]
     assert len(epes) == 2
     assert all(e < 0.8 for e in epes), epes
+
+
+def test_demo_fb_model(capsys):
+    from cuda_optical_flow_2_tpu.cli import demo
+
+    demo.main([
+        "--synthetic", "3", "--size", "64x80", "--levels", "2",
+        "--model", "fb", "--window", "15", "--no-pallas",
+    ])
+    text = capsys.readouterr().out
+    epes = [float(l.rsplit(":", 1)[1]) for l in text.splitlines() if "EPE" in l]
+    assert len(epes) == 2
+    assert all(e < 0.5 for e in epes), epes

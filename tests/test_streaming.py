@@ -81,3 +81,21 @@ def test_streaming_hs_matches_pairwise():
             )
         )
         np.testing.assert_allclose(flows[i], pair, atol=1e-5)
+
+
+def test_streaming_fb_matches_pairwise():
+    from cuda_optical_flow_2_tpu.models import farneback as fb
+
+    frames = io.synthetic_sequence(3, 96, 128, velocity=(1.0, 0.5))
+    cfg = fb.FBConfig(levels=2, iterations=2, use_pallas=False)
+    flows = {i: np.asarray(f) for i, f in streaming.process_sequence(frames, cfg)}
+    assert sorted(flows) == [1, 2]
+    for i in (1, 2):
+        pair = np.asarray(
+            fb.pyramidal_farneback(
+                jnp.asarray(frames[i - 1].astype(np.float32)),
+                jnp.asarray(frames[i].astype(np.float32)),
+                cfg,
+            )
+        )
+        np.testing.assert_allclose(flows[i], pair, atol=1e-5)
