@@ -20,7 +20,23 @@ from cuda_optical_flow_2_tpu.models.streaming import (
     step,
 )
 
+
+def pyramidal_flow(prev, nxt, config):
+    """Dense flow for one frame pair, dispatched on the config type.
+
+    ``LKConfig`` -> :func:`pyramidal_lk`, ``HSConfig`` -> :func:`pyramidal_hs`,
+    ``FBConfig`` -> :func:`pyramidal_farneback`.  The model-generic entry the
+    streaming and parallel layers build on.
+    """
+    if isinstance(config, HSConfig):
+        return pyramidal_hs(prev, nxt, config)
+    if isinstance(config, FBConfig):
+        return pyramidal_farneback(prev, nxt, config)
+    return pyramidal_lk(prev, nxt, config)
+
+
 __all__ = [
+    "pyramidal_flow",
     "lk_level",
     "pyramidal_lk",
     "pyramidal_lk_pyramid",

@@ -12,6 +12,7 @@ scale-out here is TPU-native over a ``jax.sharding.Mesh``:
 
 from cuda_optical_flow_2_tpu.parallel.batching import (
     make_mesh,
+    sharded_flow,
     sharded_pyramidal_lk,
     shard_batch,
 )
@@ -24,6 +25,7 @@ from cuda_optical_flow_2_tpu.parallel.spatial import (
 
 __all__ = [
     "make_mesh",
+    "sharded_flow",
     "sharded_pyramidal_lk",
     "shard_batch",
     "grid_pyramidal_lk",

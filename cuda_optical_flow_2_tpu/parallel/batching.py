@@ -20,9 +20,9 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cuda_optical_flow_2_tpu.config import LKConfig
-from cuda_optical_flow_2_tpu.models.lucas_kanade import pyramidal_lk
+from cuda_optical_flow_2_tpu.models import pyramidal_flow
 
-__all__ = ["make_mesh", "shard_batch", "sharded_pyramidal_lk"]
+__all__ = ["make_mesh", "shard_batch", "sharded_flow", "sharded_pyramidal_lk"]
 
 
 def make_mesh(n_devices: int | None = None, axis_name: str = "batch") -> Mesh:
@@ -39,14 +39,17 @@ def shard_batch(x: jax.Array, mesh: Mesh, axis_name: str = "batch") -> jax.Array
     return jax.device_put(x, NamedSharding(mesh, spec))
 
 
-def sharded_pyramidal_lk(
+def sharded_flow(
     prev_batch: jax.Array,
     next_batch: jax.Array,
-    config: LKConfig,
+    config,
     mesh: Mesh,
     axis_name: str = "batch",
 ) -> jax.Array:
     """Dense flow for a batch of frame pairs, sharded over ``mesh``.
+
+    Model-generic: the config type picks the model (``LKConfig`` /
+    ``HSConfig`` / ``FBConfig``), like the streaming API.
 
     Args:
       prev_batch / next_batch: (B, H, W) planar grayscale; B must be divisible
@@ -62,8 +65,19 @@ def sharded_pyramidal_lk(
     in_spec = NamedSharding(mesh, P(axis_name, None, None))
     out_spec = NamedSharding(mesh, P(axis_name, None, None, None))
     fn = jax.jit(
-        functools.partial(pyramidal_lk, config=config),
+        functools.partial(pyramidal_flow, config=config),
         in_shardings=(in_spec, in_spec),
         out_shardings=out_spec,
     )
     return fn(prev_s, next_s)
+
+
+def sharded_pyramidal_lk(
+    prev_batch: jax.Array,
+    next_batch: jax.Array,
+    config: LKConfig,
+    mesh: Mesh,
+    axis_name: str = "batch",
+) -> jax.Array:
+    """LK-typed alias of :func:`sharded_flow` (the original batching entry)."""
+    return sharded_flow(prev_batch, next_batch, config, mesh, axis_name)

@@ -161,3 +161,27 @@ def test_grid_dp_x_tp_matches_unsharded():
         np.testing.assert_allclose(
             np.asarray(flow[i]), np.asarray(single), atol=5e-4
         )
+
+
+def test_sharded_flow_model_generic():
+    """sharded_flow dispatches on config type: HS and FB batches shard too."""
+    from cuda_optical_flow_2_tpu.models import farneback as fb
+    from cuda_optical_flow_2_tpu.models import horn_schunck as hs
+    from cuda_optical_flow_2_tpu.models import pyramidal_flow
+
+    prev, nxt = make_translating_pair(64, 64, dx=1, dy=0)
+    p = jnp.asarray(prev[..., 0].astype(np.float32))
+    n = jnp.asarray(nxt[..., 0].astype(np.float32))
+    pb, nb = jnp.stack([p] * 8), jnp.stack([n] * 8)
+    mesh = parallel.make_mesh()
+    for cfg in (
+        hs.HSConfig(levels=2, iterations=20, use_pallas=False),
+        fb.FBConfig(levels=2, iterations=2, use_pallas=False),
+    ):
+        flow = parallel.sharded_flow(pb, nb, cfg, mesh)
+        assert flow.shape == (8, 64, 64, 2)
+        assert len(flow.sharding.device_set) == 8
+        single = pyramidal_flow(p, n, cfg)
+        np.testing.assert_allclose(
+            np.asarray(flow[0]), np.asarray(single), atol=1e-5
+        )
