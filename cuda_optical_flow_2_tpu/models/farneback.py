@@ -14,16 +14,26 @@ primitives:
 
 * polynomial expansion: separable shifted-add correlations (no lax.conv —
   docs/PERF.md finding 2);
-* coefficient warping: the gather-free Pallas select-warp (the same kernel as
-  LK/HS — the five coefficient planes are warped as one batched call);
+* per-iteration warp, two formulations (``FBConfig.warp_planes``):
+  - "image" (default): backward-warp the next FRAME by the current flow and
+    re-expand — on TPU ONE fused Pallas kernel per iteration
+    (kernels/fb_step_fused.py: select-warp + in-VMEM re-expansion + window
+    sums + solve).  Moves 1 plane instead of 5 through the select-loops
+    (the dominant cost: 5.9 ms per 5-plane warp at 1080p, docs/PERF.md) and
+    measured equal-or-better accuracy;
+  - "coeff": warp the five expansion coefficient planes (the
+    cv::calcOpticalFlowFarneback formulation) via the batched Pallas
+    select-warp, then the fused win_solve kernel;
 * the displacement normal equations: 5 windowed sums (box via separable
   ones-correlations, or a true Gaussian window) + a guarded 2x2 solve —
   structurally the LK solve on different matrices.
 
-Update equations, with our flow convention prev(x) = next(x + d):
+Update equations, with our flow convention prev(x) = next(x + d), where B2
+is b2 warped ("coeff") or the b-coefficient of the re-expanded warped frame
+("image"), likewise A2:
 
-    A(x)  = (A1(x) + A2(x + d0)) / 2
-    db(x) = (b1(x) - b2(x + d0)) / 2 + A(x) d0
+    A(x)  = (A1(x) + A2(x)) / 2
+    db(x) = (b1(x) - B2(x)) / 2 + A(x) d0
     d     = (sum_w A^T A)^{-1} (sum_w A^T db)       [total flow, not residual]
 """
 
@@ -44,6 +54,7 @@ from cuda_optical_flow_2_tpu.ops.window import window_sum
 __all__ = [
     "FBConfig",
     "fb_level",
+    "fb_level_image",
     "fb_coarse_to_fine",
     "fb_preprocess",
     "pyramidal_farneback",
@@ -68,9 +79,16 @@ class FBConfig:
       gaussian_window: weight the window by a Gaussian (sigma = winsize/4,
         OpenCV's convention) instead of a flat box.
       det_eps: |det| guard for the 2x2 solve (0 flow where singular).
-      use_pallas: dispatch the coefficient warp to the Pallas select-warp.
+      use_pallas: dispatch to the Pallas kernels (fused step for "image",
+        select-warp + win_solve for "coeff").
       max_displacement / d_local: warp displacement budget / per-tile scan
         range (same semantics as LKConfig).
+      warp_planes: what the per-iteration warp moves.  "image" (default)
+        backward-warps the next FRAME and re-expands it — 1 plane moved
+        instead of 5, measured equal-or-better accuracy (docs/PERF.md), and
+        the formulation the fused kernel (kernels/fb_step_fused.py)
+        implements.  "coeff" warps the five expansion coefficient planes
+        (cv::calcOpticalFlowFarneback's formulation).
       prefilter: optional joint-bilateral pre-smoothing, as in LKConfig.
     """
 
@@ -84,6 +102,7 @@ class FBConfig:
     use_pallas: bool = True
     max_displacement: int = 32
     d_local: int = 7
+    warp_planes: str = "image"
     prefilter: Optional[BilateralConfig] = None
 
     def __post_init__(self) -> None:
@@ -95,6 +114,10 @@ class FBConfig:
             raise ValueError(f"winsize must be odd, got {self.winsize}")
         if self.poly_sigma <= 0:
             raise ValueError(f"poly_sigma must be > 0, got {self.poly_sigma}")
+        if self.warp_planes not in ("image", "coeff"):
+            raise ValueError(
+                f"warp_planes must be 'image' or 'coeff', got {self.warp_planes}"
+            )
 
 
 def _lk_like(config: FBConfig):
@@ -196,6 +219,67 @@ def _window_solve(prods, config: FBConfig) -> jax.Array:
     return jnp.stack([u_new, v_new], axis=-1)
 
 
+def fb_level_image(
+    nxt: jax.Array,
+    exp1: tuple[jax.Array, ...],
+    flow: jax.Array | None,
+    config: FBConfig,
+) -> jax.Array:
+    """``config.iterations`` refinements, image-warp formulation.
+
+    Each iteration backward-warps the next FRAME by the current total flow,
+    re-expands the warped band, and solves the windowed normal equations —
+    on TPU as ONE fused Pallas kernel (kernels/fb_step_fused.py).
+    """
+    from cuda_optical_flow_2_tpu.kernels import fb_step_fused
+    from cuda_optical_flow_2_tpu.ops.warp import warp_bilinear
+
+    bx1, by1, axx1, ayy1, axy1 = exp1
+    use_fused = config.use_pallas and fb_step_fused.supported(nxt, config)
+
+    for _ in range(config.iterations):
+        first = flow is None
+        if use_fused:
+            f_in = (
+                jnp.zeros(nxt.shape + (2,), jnp.float32) if first else flow
+            )
+            flow = fb_step_fused.fb_level_step(
+                nxt, exp1, f_in, config, first=first,
+                interpret=fb_step_fused.interpret_forced(),
+            )
+            continue
+        if first:
+            w_bx, w_by, w_axx, w_ayy, w_axy = poly_expansion(
+                nxt, config.poly_n, config.poly_sigma
+            )
+            u = v = jnp.zeros_like(bx1)
+        else:
+            flow = jnp.clip(
+                flow, -config.max_displacement, config.max_displacement
+            )
+            wimg = warp_bilinear(nxt, flow)
+            w_bx, w_by, w_axx, w_ayy, w_axy = poly_expansion(
+                wimg, config.poly_n, config.poly_sigma
+            )
+            u, v = flow[..., 0], flow[..., 1]
+
+        axx = 0.5 * (axx1 + w_axx)
+        ayy = 0.5 * (ayy1 + w_ayy)
+        axy = 0.5 * (axy1 + w_axy)
+        db_x = 0.5 * (bx1 - w_bx) + axx * u + axy * v
+        db_y = 0.5 * (by1 - w_by) + axy * u + ayy * v
+
+        prods = (
+            axx * axx + axy * axy,
+            axy * (axx + ayy),
+            axy * axy + ayy * ayy,
+            axx * db_x + axy * db_y,
+            axy * db_x + ayy * db_y,
+        )
+        flow = _window_solve(prods, config)
+    return flow
+
+
 def fb_preprocess(frame: jax.Array, config: FBConfig) -> list[jax.Array]:
     """Frame -> (optionally bilateral-filtered) Gaussian pyramid (shared)."""
     from cuda_optical_flow_2_tpu.models.lucas_kanade import preprocess
@@ -212,10 +296,15 @@ def fb_coarse_to_fine(
     flow = None
     for k in range(config.levels - 1, -1, -1):
         exp1 = poly_expansion(prev_pyr[k], config.poly_n, config.poly_sigma)
-        exp2 = poly_expansion(next_pyr[k], config.poly_n, config.poly_sigma)
         if flow is not None:
             flow = upsample_flow(flow, prev_pyr[k].shape[-2:])
-        flow = fb_level(exp1, exp2, flow, config)
+        if config.warp_planes == "image":
+            flow = fb_level_image(next_pyr[k], exp1, flow, config)
+        else:
+            exp2 = poly_expansion(
+                next_pyr[k], config.poly_n, config.poly_sigma
+            )
+            flow = fb_level(exp1, exp2, flow, config)
     return flow
 
 

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["gaussian_1d", "poly_expansion"]
+__all__ = ["gaussian_1d", "mixing_matrix", "poly_expansion"]
 
 
 def gaussian_1d(n: int, sigma: float) -> np.ndarray:
@@ -43,7 +43,7 @@ def gaussian_1d(n: int, sigma: float) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=32)
-def _mixing_matrix(n: int, sigma: float) -> np.ndarray:
+def mixing_matrix(n: int, sigma: float) -> np.ndarray:
     """Rows 1..5 of G^{-1}: maps v = (m00, m10, m01, m20, m02, m11) to the
     coefficients (bx, by, axx, ayy, axy*2) in basis order (x, y, x^2, y^2, xy)."""
     g = gaussian_1d(n, sigma)
@@ -110,7 +110,7 @@ def poly_expansion(
         _corr1d(ty1, g1, -1),  # m11:  xy
     )
 
-    m = _mixing_matrix(n, float(sigma))
+    m = mixing_matrix(n, float(sigma))
     out = []
     for k in range(5):
         acc = None

@@ -166,3 +166,44 @@ def test_fb_dispatch_forced_interpret(monkeypatch):
     )
     got = np.asarray(fb.pyramidal_farneback(p, n, cfg))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_fb_image_formulation_matches_accuracy():
+    """warp_planes='image' and 'coeff' agree to sub-pixel on translation."""
+    p, n = _pair(64, 96, 2.0, 1.0)
+    fi = np.asarray(fb.pyramidal_farneback(
+        p, n, fb.FBConfig(levels=2, iterations=2, use_pallas=False,
+                          warp_planes="image")))
+    fc = np.asarray(fb.pyramidal_farneback(
+        p, n, fb.FBConfig(levels=2, iterations=2, use_pallas=False,
+                          warp_planes="coeff")))
+    c = (slice(20, -20), slice(20, -20))
+    assert np.abs(fi[c] - fc[c]).mean() < 0.05
+
+
+def test_fb_step_fused_matches_xla_image(monkeypatch):
+    """The fused kernel (interpret) == the XLA image-warp path, float-tight."""
+    monkeypatch.setenv("OF2_PALLAS_INTERPRET", "1")
+    p, n = _pair(96, 128, 2.0, 1.0)
+    cfg_x = fb.FBConfig(levels=2, iterations=2, use_pallas=False)
+    cfg_k = fb.FBConfig(levels=2, iterations=2, use_pallas=True)
+    fx = np.asarray(fb.pyramidal_farneback(p, n, cfg_x))
+    fk = np.asarray(fb.pyramidal_farneback(p, n, cfg_k))
+    np.testing.assert_allclose(fk, fx, atol=1e-4)
+
+
+def test_fb_step_fused_first_iteration(monkeypatch):
+    """first=True skips the warp: fused == XLA with iterations=1, no prior."""
+    monkeypatch.setenv("OF2_PALLAS_INTERPRET", "1")
+    from cuda_optical_flow_2_tpu.kernels import fb_step_fused
+    from cuda_optical_flow_2_tpu.ops.poly_exp import poly_expansion
+    import jax.numpy as jnp
+
+    p, n = _pair(48, 64, 1.0, 0.5)
+    cfg = fb.FBConfig(levels=1, iterations=1)
+    exp1 = poly_expansion(p, cfg.poly_n, cfg.poly_sigma)
+    want = np.asarray(fb.fb_level_image(n, exp1, None, fb.dataclasses.replace(cfg, use_pallas=False)))
+    got = np.asarray(fb_step_fused.fb_level_step(
+        n, exp1, jnp.zeros(n.shape + (2,), jnp.float32), cfg,
+        first=True, interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-5)
