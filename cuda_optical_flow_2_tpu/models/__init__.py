@@ -13,6 +13,11 @@ from cuda_optical_flow_2_tpu.models.lucas_kanade import (
     pyramidal_lk,
     pyramidal_lk_pyramid,
 )
+from cuda_optical_flow_2_tpu.models.consistency import (
+    consistent_flow,
+    fb_consistency,
+    occlusion_mask,
+)
 from cuda_optical_flow_2_tpu.models.streaming import (
     FlowState,
     init_state,
@@ -37,6 +42,9 @@ def pyramidal_flow(prev, nxt, config):
 
 __all__ = [
     "pyramidal_flow",
+    "consistent_flow",
+    "fb_consistency",
+    "occlusion_mask",
     "lk_level",
     "pyramidal_lk",
     "pyramidal_lk_pyramid",

@@ -133,6 +133,19 @@ def _lk_like(config: FBConfig):
     )
 
 
+def _expand(frame: jax.Array, config: FBConfig) -> tuple[jax.Array, ...]:
+    """Polynomial expansion, through the Pallas kernel when available."""
+    if config.use_pallas:
+        from cuda_optical_flow_2_tpu.kernels import poly_exp_fused
+
+        if poly_exp_fused.supported(frame, config.poly_n):
+            return poly_exp_fused.poly_expansion_kernel(
+                frame, config.poly_n, config.poly_sigma,
+                interpret=poly_exp_fused.interpret_forced(),
+            )
+    return poly_expansion(frame, config.poly_n, config.poly_sigma)
+
+
 def _window(x: jax.Array, config: FBConfig) -> jax.Array:
     """Normal-equation averaging window (normalization cancels in the solve)."""
     if config.gaussian_window:
@@ -295,15 +308,13 @@ def fb_coarse_to_fine(
     """Coarse-to-fine Farnebäck over prebuilt pyramids; returns finest flow."""
     flow = None
     for k in range(config.levels - 1, -1, -1):
-        exp1 = poly_expansion(prev_pyr[k], config.poly_n, config.poly_sigma)
+        exp1 = _expand(prev_pyr[k], config)
         if flow is not None:
             flow = upsample_flow(flow, prev_pyr[k].shape[-2:])
         if config.warp_planes == "image":
             flow = fb_level_image(next_pyr[k], exp1, flow, config)
         else:
-            exp2 = poly_expansion(
-                next_pyr[k], config.poly_n, config.poly_sigma
-            )
+            exp2 = _expand(next_pyr[k], config)
             flow = fb_level(exp1, exp2, flow, config)
     return flow
 

@@ -207,3 +207,27 @@ def test_fb_step_fused_first_iteration(monkeypatch):
         n, exp1, jnp.zeros(n.shape + (2,), jnp.float32), cfg,
         first=True, interpret=True))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_poly_exp_kernel_matches_xla(rng):
+    from cuda_optical_flow_2_tpu.kernels import poly_exp_fused
+    from cuda_optical_flow_2_tpu.ops.poly_exp import poly_expansion
+
+    x = jnp.asarray(rng.random((37, 61)).astype(np.float32) * 255)
+    want = poly_expansion(x, 7, 1.5)
+    got = poly_exp_fused.poly_expansion_kernel(x, 7, 1.5, interpret=True)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-4
+        )
+
+
+def test_fb_expand_dispatch_forced_interpret(monkeypatch):
+    """use_pallas routes expansion through the kernel; pipeline unchanged."""
+    monkeypatch.setenv("OF2_PALLAS_INTERPRET", "1")
+    p, n = _pair(64, 96, 1.0, 0.5)
+    cfg = fb.FBConfig(levels=2, iterations=2)
+    want = np.asarray(fb.pyramidal_farneback(
+        p, n, fb.dataclasses.replace(cfg, use_pallas=False)))
+    got = np.asarray(fb.pyramidal_farneback(p, n, cfg))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
