@@ -116,6 +116,11 @@ def main(argv=None) -> None:
         help="also write Middlebury .flo flow files next to the PNGs",
     )
     ap.add_argument(
+        "--occlusion", action="store_true",
+        help="also estimate backward flow per pair and write the "
+        "forward-backward occlusion mask (white = untrusted)",
+    )
+    ap.add_argument(
         "--native-stream", action="store_true",
         help="feed frames through the native prefetching FrameStream "
         "(C++ worker + ring buffer) instead of materializing the sequence",
@@ -211,6 +216,22 @@ def main(argv=None) -> None:
                     os.path.join(args.out, f"arrows{i:04d}.png"),
                     viz.draw_flow_arrows(cur.astype(np.uint8), flow_np, args.arrow_res),
                 )
+                if args.occlusion:
+                    from cuda_optical_flow_2_tpu.models import (
+                        occlusion_mask,
+                        pyramidal_flow,
+                    )
+
+                    bw = pyramidal_flow(
+                        jnp.asarray(cur.astype(np.float32)),
+                        jnp.asarray(prv.astype(np.float32)),
+                        cfg,
+                    )
+                    occ = np.asarray(occlusion_mask(jnp.asarray(flow_np), bw))
+                    viz.write_png(
+                        os.path.join(args.out, f"occ{i:04d}.png"),
+                        (occ * 255).astype(np.uint8),
+                    )
                 if args.debug_gradients:
                     _dump_gradients(cur, prv, min(args.levels, 3), args.out, i)
     finally:

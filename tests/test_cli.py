@@ -80,3 +80,16 @@ def test_demo_fb_model(capsys):
     epes = [float(l.rsplit(":", 1)[1]) for l in text.splitlines() if "EPE" in l]
     assert len(epes) == 2
     assert all(e < 0.5 for e in epes), epes
+
+
+def test_demo_occlusion_artifacts(tmp_path, capsys):
+    from cuda_optical_flow_2_tpu.cli import demo
+
+    out = tmp_path / "occ"
+    demo.main([
+        "--synthetic", "3", "--size", "48x64", "--levels", "2",
+        "--window", "9", "--no-pallas", "--out", str(out), "--occlusion",
+    ])
+    capsys.readouterr()
+    assert (out / "occ0001.png").exists()
+    assert (out / "occ0002.png").exists()
