@@ -13,6 +13,10 @@ from cuda_optical_flow_2_tpu.models.lucas_kanade import (
     pyramidal_lk,
     pyramidal_lk_pyramid,
 )
+from cuda_optical_flow_2_tpu.models.confidence import (
+    confidence_mask,
+    min_eigenvalue,
+)
 from cuda_optical_flow_2_tpu.models.consistency import (
     consistent_flow,
     fb_consistency,
@@ -45,6 +49,8 @@ __all__ = [
     "consistent_flow",
     "fb_consistency",
     "occlusion_mask",
+    "confidence_mask",
+    "min_eigenvalue",
     "lk_level",
     "pyramidal_lk",
     "pyramidal_lk_pyramid",

@@ -4,7 +4,7 @@ import runpy
 import sys
 import os
 
-EXAMPLES = ["basic", "streaming_video", "sharded_batch", "spatial_tp"]
+EXAMPLES = ["basic", "streaming_video", "sharded_batch", "spatial_tp", "flow_quality"]
 
 
 def test_examples_run():
