@@ -304,9 +304,14 @@ def fb_coarse_to_fine(
     prev_pyr: list[jax.Array],
     next_pyr: list[jax.Array],
     config: FBConfig,
+    init_flow: jax.Array | None = None,
 ) -> jax.Array:
-    """Coarse-to-fine Farnebäck over prebuilt pyramids; returns finest flow."""
-    flow = None
+    """Coarse-to-fine Farnebäck over prebuilt pyramids; returns finest flow.
+
+    ``init_flow`` (coarsest-level resolution/units) warm-starts the coarsest
+    level (streaming warm start).
+    """
+    flow = init_flow
     for k in range(config.levels - 1, -1, -1):
         exp1 = _expand(prev_pyr[k], config)
         if flow is not None:

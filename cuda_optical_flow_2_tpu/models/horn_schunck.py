@@ -187,6 +187,7 @@ def hs_coarse_to_fine(
     prev_pyr: list[jax.Array],
     next_pyr: list[jax.Array],
     config: HSConfig,
+    init_flow: jax.Array | None = None,
 ) -> jax.Array:
     """Coarse-to-fine HS over prebuilt pyramids; returns the finest flow.
 
@@ -198,7 +199,7 @@ def hs_coarse_to_fine(
     from cuda_optical_flow_2_tpu.models.lucas_kanade import _pick_warp
 
     lk_like = _lk_like(config)
-    flow = None
+    flow = init_flow
     for k in range(config.levels - 1, -1, -1):
         p, n = prev_pyr[k], next_pyr[k]
         if flow is None:

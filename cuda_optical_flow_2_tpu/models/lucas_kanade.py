@@ -201,15 +201,18 @@ def coarse_to_fine(
     prev_pyr: list[jax.Array],
     next_pyr: list[jax.Array],
     config: LKConfig,
+    init_flow: jax.Array | None = None,
 ) -> list[jax.Array]:
     """Coarse-to-fine pass over prebuilt pyramids; returns the flow pyramid.
 
     Twin of the per-frame flow loop (main.cu:256-262), with the carried flow
     upsampled and warped per level instead of the reference's per-level
-    residual fields.
+    residual fields.  ``init_flow`` (coarsest-level resolution and pixel
+    units) warm-starts the coarsest level — the streaming layer passes the
+    previous pair's flow here.
     """
     flows: list[jax.Array | None] = [None] * config.levels
-    flow = None
+    flow = init_flow
     for k in range(config.levels - 1, -1, -1):
         if flow is not None:
             flow = upsample_flow(flow, prev_pyr[k].shape[-2:])

@@ -36,6 +36,7 @@ from cuda_optical_flow_2_tpu.models.lucas_kanade import (
     coarse_to_fine,
     preprocess,
 )
+from cuda_optical_flow_2_tpu.ops.resize import downsample_flow
 
 __all__ = ["FlowState", "init_state", "step", "process_sequence"]
 
@@ -49,18 +50,25 @@ def _preprocess(frame: jax.Array, config) -> list[jax.Array]:
     return preprocess(frame, config)
 
 
-def _flow(prev_pyr: list[jax.Array], next_pyr: list[jax.Array], config) -> jax.Array:
+def _flow(
+    prev_pyr: list[jax.Array],
+    next_pyr: list[jax.Array],
+    config,
+    init_flow: jax.Array | None = None,
+) -> jax.Array:
     if isinstance(config, HSConfig):
-        return hs_coarse_to_fine(prev_pyr, next_pyr, config)
+        return hs_coarse_to_fine(prev_pyr, next_pyr, config, init_flow)
     if isinstance(config, FBConfig):
-        return fb_coarse_to_fine(prev_pyr, next_pyr, config)
-    return coarse_to_fine(prev_pyr, next_pyr, config)[0]
+        return fb_coarse_to_fine(prev_pyr, next_pyr, config, init_flow)
+    return coarse_to_fine(prev_pyr, next_pyr, config, init_flow)[0]
 
 
 class FlowState(NamedTuple):
-    """Carried per-stream state: the previous frame's pyramid (coarse last)."""
+    """Carried per-stream state: the previous frame's pyramid (coarse last)
+    and, when warm-starting, the previous pair's flow (else None)."""
 
     pyramid: tuple[jax.Array, ...]
+    flow: jax.Array | None = None
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -73,28 +81,40 @@ def init_state(frame: jax.Array, config) -> FlowState:
     return FlowState(tuple(_preprocess(frame.astype(jnp.float32), config)))
 
 
-@functools.partial(jax.jit, static_argnames=("config",), donate_argnums=(0,))
+@functools.partial(
+    jax.jit, static_argnames=("config", "warm_start"), donate_argnums=(0,)
+)
 def step(
-    state: FlowState, frame: jax.Array, config
+    state: FlowState, frame: jax.Array, config, warm_start: bool = False
 ) -> tuple[FlowState, jax.Array]:
     """One frame step: returns (new state, dense flow prev->frame).
 
     The old pyramid buffers are donated; XLA writes the new pyramid into
     them — the TPU-native version of the reference's pointer swap
     (main.cu:270-272).
+
+    ``warm_start=True`` seeds the coarsest level with the previous pair's
+    flow (downsampled through the pyramid's floor-halving grids).  Tracked
+    motion then stays within the per-level search range even with a shallow
+    pyramid — the serving configuration is fewer levels + warm start.
     """
     pyr = _preprocess(frame.astype(jnp.float32), config)
-    flow = _flow(list(state.pyramid), pyr, config)
-    return FlowState(tuple(pyr)), flow
+    init = None
+    if warm_start and state.flow is not None:
+        init = downsample_flow(state.flow, pyr[-1].shape[-2:])
+    flow = _flow(list(state.pyramid), pyr, config, init)
+    return FlowState(tuple(pyr), flow if warm_start else None), flow
 
 
-def process_sequence(frames, config):
+def process_sequence(frames, config, warm_start: bool = False):
     """Convenience driver: yields (frame_index, flow) for frames[1:].
 
     ``frames`` is any iterable of (H, W) arrays (NumPy or jax); ``config``
-    selects the model family (LKConfig or HSConfig).  Host->device transfer
-    happens once per frame at this boundary — the reference crosses PCIe ~24
-    times per level per frame (SURVEY.md section 3.1).
+    selects the model family (LKConfig / HSConfig / FBConfig).  Host->device
+    transfer happens once per frame at this boundary — the reference crosses
+    PCIe ~24 times per level per frame (SURVEY.md section 3.1).
+    ``warm_start`` seeds each pair with the previous pair's flow (see
+    :func:`step`).
     """
     it = iter(frames)
     first = jnp.asarray(next(it), dtype=jnp.float32)
@@ -102,5 +122,7 @@ def process_sequence(frames, config):
         _validate(first, first, config)
     state = init_state(first, config)
     for i, frame in enumerate(it, start=1):
-        state, flow = step(state, jnp.asarray(frame, dtype=jnp.float32), config)
+        state, flow = step(
+            state, jnp.asarray(frame, dtype=jnp.float32), config, warm_start
+        )
         yield i, flow

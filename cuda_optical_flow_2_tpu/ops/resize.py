@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["upsample_flow", "upscale_nn"]
+__all__ = ["downsample_flow", "upsample_flow", "upscale_nn"]
 
 
 def _up2x_axis(x: jax.Array, axis: int) -> jax.Array:
@@ -72,6 +72,29 @@ def upsample_flow(flow: jax.Array, shape: tuple[int, int]) -> jax.Array:
         flow, flow.shape[:-3] + (th, tw, 2), method="bilinear", antialias=False
     )
     return out * scale
+
+
+def downsample_flow(flow: jax.Array, shape: tuple[int, int]) -> jax.Array:
+    """Resize (..., H, W, 2) flow DOWN to a coarser pyramid level's (h, w).
+
+    Inverse of :func:`upsample_flow` for the pyramid's floor-halving grids:
+    repeated 2x box means (values halved per octave), pure strided slices —
+    no gather, TPU-safe.  ``shape`` must be reachable by floor-halving.
+    """
+    th, tw = shape
+    h, w = flow.shape[-3:-1]
+    while (h, w) != (th, tw):
+        if h // 2 < th or w // 2 < tw:
+            raise ValueError(
+                f"{shape} is not a floor-halving of {flow.shape[-3:-1]}"
+            )
+        h, w = h // 2, w // 2
+        a = flow[..., 0 : 2 * h : 2, 0 : 2 * w : 2, :]
+        b = flow[..., 1 : 2 * h : 2, 0 : 2 * w : 2, :]
+        c = flow[..., 0 : 2 * h : 2, 1 : 2 * w : 2, :]
+        d = flow[..., 1 : 2 * h : 2, 1 : 2 * w : 2, :]
+        flow = (a + b + c + d) * jnp.asarray(0.125, flow.dtype)  # mean * 0.5
+    return flow
 
 
 def upscale_nn(img: jax.Array, n: int) -> jax.Array:

@@ -99,3 +99,51 @@ def test_streaming_fb_matches_pairwise():
             )
         )
         np.testing.assert_allclose(flows[i], pair, atol=1e-5)
+
+
+def test_warm_start_tracks_large_motion_single_level():
+    """Single-level LK loses lock on an accelerating high-frequency pattern;
+    warm start (previous pair's flow as the coarsest-level seed) tracks it.
+
+    The serving configuration: shallow pyramid + warm start — tracked motion
+    stays within the level's search range, the level only refines.
+    """
+    rng = np.random.default_rng(0)
+    h, w = 96, 128
+    base = rng.random((h, w)).astype(np.float32)
+    tex = np.pad(base, 1, mode="wrap")
+    tex = sum(tex[i : i + h, j : j + w] for i in range(3) for j in range(3)) / 9
+    tex = (tex - tex.min()) / (np.ptp(tex) + 1e-6) * 255
+    # accelerating leftward shift: velocity -1..-6 px/frame
+    shifts = np.cumsum([0, 1, 2, 3, 4, 5, 6])
+    frames = np.stack([np.roll(tex, -int(s), axis=1) for s in shifts])
+
+    cfg = of.LKConfig(levels=1, window=11, iterations=2,
+                      temporal_kernel="gauss3", use_pallas=False)
+
+    def final_u(warm):
+        for i, f in streaming.process_sequence(frames, cfg, warm_start=warm):
+            last = np.asarray(f)[24:-24, 24:-24]
+        return float(np.median(last[..., 0]))
+
+    assert abs(final_u(False) - (-6.0)) > 3.0   # cold: lost lock
+    assert abs(final_u(True) - (-6.0)) < 0.3    # warm: tracked the ramp
+
+
+def test_warm_start_matches_cold_on_first_pair():
+    frames = io.synthetic_sequence(2, 64, 96, velocity=(1.0, 0.5))
+    cfg = of.LKConfig(levels=2, window=9, use_pallas=False)
+    cold = dict(streaming.process_sequence(frames, cfg))
+    warm = dict(streaming.process_sequence(frames, cfg, warm_start=True))
+    np.testing.assert_allclose(
+        np.asarray(cold[1]), np.asarray(warm[1]), atol=1e-6
+    )
+
+
+def test_downsample_flow_inverts_pyramid_grids():
+    from cuda_optical_flow_2_tpu.ops.resize import downsample_flow
+
+    f = jnp.ones((40, 52, 2)) * 4.0
+    d = np.asarray(downsample_flow(f, (10, 13)))
+    assert d.shape == (10, 13, 2)
+    np.testing.assert_allclose(d, 1.0)  # values halve per octave
