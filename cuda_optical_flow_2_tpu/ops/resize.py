@@ -78,8 +78,14 @@ def downsample_flow(flow: jax.Array, shape: tuple[int, int]) -> jax.Array:
     """Resize (..., H, W, 2) flow DOWN to a coarser pyramid level's (h, w).
 
     Inverse of :func:`upsample_flow` for the pyramid's floor-halving grids:
-    repeated 2x box means (values halved per octave), pure strided slices —
-    no gather, TPU-safe.  ``shape`` must be reachable by floor-halving.
+    repeated 2x box means (values halved per octave) — no gather.
+    ``shape`` must be reachable by floor-halving.
+
+    Implemented as reshape-and-mean rather than stride-2 slices: a chain of
+    four stride-2 R4 slices composed into the 1080p pipeline program crashes
+    the TPU worker at run time (XLA:TPU codegen fault, reproduced 3x and
+    bisected to exactly this op formulation; the reshape form of the same
+    arithmetic runs fine — docs/PERF.md finding 7).
     """
     th, tw = shape
     h, w = flow.shape[-3:-1]
@@ -89,11 +95,11 @@ def downsample_flow(flow: jax.Array, shape: tuple[int, int]) -> jax.Array:
                 f"{shape} is not a floor-halving of {flow.shape[-3:-1]}"
             )
         h, w = h // 2, w // 2
-        a = flow[..., 0 : 2 * h : 2, 0 : 2 * w : 2, :]
-        b = flow[..., 1 : 2 * h : 2, 0 : 2 * w : 2, :]
-        c = flow[..., 0 : 2 * h : 2, 1 : 2 * w : 2, :]
-        d = flow[..., 1 : 2 * h : 2, 1 : 2 * w : 2, :]
-        flow = (a + b + c + d) * jnp.asarray(0.125, flow.dtype)  # mean * 0.5
+        x = flow[..., : 2 * h, : 2 * w, :]
+        x = x.reshape(x.shape[:-3] + (h, 2, w, 2, 2))
+        flow = (
+            x.sum(axis=(-4, -2)) * jnp.asarray(0.125, flow.dtype)
+        )  # 2x2 mean * 0.5
     return flow
 
 
