@@ -78,28 +78,35 @@ def downsample_flow(flow: jax.Array, shape: tuple[int, int]) -> jax.Array:
     """Resize (..., H, W, 2) flow DOWN to a coarser pyramid level's (h, w).
 
     Inverse of :func:`upsample_flow` for the pyramid's floor-halving grids:
-    repeated 2x box means (values halved per octave) — no gather.
-    ``shape`` must be reachable by floor-halving.
+    binomial blur + 2x decimation per octave (values halved per octave),
+    per component through :func:`ops.pyramid.pyr_down` — the MXU decimation
+    matmul / Pallas tile path the image pyramid itself uses.  ``shape`` must
+    be reachable by floor-halving.  Border rows/cols dip toward zero (the
+    decimation's zero padding), which is immaterial for its use as a
+    warm-start seed.
 
-    Implemented as reshape-and-mean rather than stride-2 slices: a chain of
-    four stride-2 R4 slices composed into the 1080p pipeline program crashes
-    the TPU worker at run time (XLA:TPU codegen fault, reproduced 3x and
-    bisected to exactly this op formulation; the reshape form of the same
-    arithmetic runs fine — docs/PERF.md finding 7).
+    Two rejected formulations, measured on v5e at 1080p (PERF.md finding 7):
+    stride-2 slice chains CRASH the TPU worker when composed into the
+    pipeline program; reshape-(h,2,w,2)-and-sum runs but costs ~4 ms in
+    lane-crossing relayouts — vs ~0.1 ms for the decimation matmuls.
     """
+    from cuda_optical_flow_2_tpu.ops.pyramid import pyr_down
+
     th, tw = shape
     h, w = flow.shape[-3:-1]
+    half = jnp.asarray(0.5, flow.dtype)
     while (h, w) != (th, tw):
         if h // 2 < th or w // 2 < tw:
             raise ValueError(
                 f"{shape} is not a floor-halving of {flow.shape[-3:-1]}"
             )
         h, w = h // 2, w // 2
-        x = flow[..., : 2 * h, : 2 * w, :]
-        x = x.reshape(x.shape[:-3] + (h, 2, w, 2, 2))
         flow = (
-            x.sum(axis=(-4, -2)) * jnp.asarray(0.125, flow.dtype)
-        )  # 2x2 mean * 0.5
+            jnp.stack(
+                [pyr_down(flow[..., 0]), pyr_down(flow[..., 1])], axis=-1
+            )
+            * half
+        )
     return flow
 
 
