@@ -109,15 +109,23 @@ def warp_bilinear_band(
     valid = (fx >= 0) & (fx <= w - 1) & (fy_g >= 0) & (fy_g <= h_global - 1)
 
     fx_c = jnp.clip(fx, 0.0, w - 1)
-    fy_l = jnp.clip(fy_g - img_row0, 0.0, hi - 1)
+    # Floor and fraction in GLOBAL row coordinates, indices shifted to the
+    # band by integer arithmetic: subtracting img_row0 from the float
+    # coordinate first would re-round the fraction (float32 ulps scale with
+    # the global row index), perturbing the bilinear weights vs
+    # warp_bilinear by up to ~1e-5 — enough to move the sharded pipeline's
+    # solve output by ~1e-3.  This form is bit-identical to the unsharded
+    # warp for identical flow.
+    fy_c = jnp.clip(fy_g, 0.0, h_global - 1)
     x0 = jnp.floor(fx_c)
-    y0 = jnp.floor(fy_l)
+    y0 = jnp.floor(fy_c)
     tx = fx_c - x0
-    ty = fy_l - y0
+    ty = fy_c - y0
+    row0_i = jnp.asarray(img_row0, jnp.int32)
     x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32) - row0_i
     x1i = jnp.minimum(x0i + 1, w - 1)
-    y1i = jnp.minimum(y0i + 1, hi - 1)
+    y1i = jnp.minimum(y0.astype(jnp.int32) + 1, h_global - 1) - row0_i
 
     v00 = _gather_2d(img, y0i, x0i)
     v01 = _gather_2d(img, y0i, x1i)

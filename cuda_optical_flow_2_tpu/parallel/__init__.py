@@ -22,6 +22,10 @@ from cuda_optical_flow_2_tpu.parallel.spatial import (
     spatial_pyramidal_lk,
     validate_spatial,
 )
+from cuda_optical_flow_2_tpu.parallel.spatial_models import (
+    spatial_pyramidal_fb,
+    spatial_pyramidal_hs,
+)
 
 __all__ = [
     "make_mesh",
@@ -31,5 +35,7 @@ __all__ = [
     "grid_pyramidal_lk",
     "halo_exchange",
     "spatial_pyramidal_lk",
+    "spatial_pyramidal_hs",
+    "spatial_pyramidal_fb",
     "validate_spatial",
 ]

@@ -1,0 +1,367 @@
+"""Spatial (tensor-parallel) sharding for the HS and FB model families.
+
+Extends parallel/spatial.py's row-sharded machinery (ppermute halo exchange
+under shard_map) from Lucas-Kanade to the other two families, so any model
+in the framework can run one frame pair across a mesh:
+
+* **Horn-Schunck**: gradients on an exchanged band, then time-tiled Jacobi
+  relaxation — each halo exchange ships ``sweep_tile`` rows and buys
+  ``sweep_tile`` local sweeps (the communication analogue of the
+  kernels/hs_sweep.py VMEM trapezoid: band-edge error propagates one row per
+  sweep, so rows deeper than the tile stay exact and are all we keep).
+* **Farnebäck** (image-warp formulation): polynomial expansion on an
+  exchanged band (expansion halo r_poly nests inside the window halo), warp
+  band, re-expansion, windowed normal equations, solve.
+
+Exactness mirrors spatial_pyramidal_lk: structurally identical to the
+unsharded XLA path away from clamp-binding displacements, with zero-padded
+global borders reproduced at the mesh's top/bottom shards.  HS is
+float-tight (<=5e-4 over a 3-level pyramid); FB's normal-equation chain
+amplifies XLA fusion/reassociation ulps (coefficient products -> winsize^2
+window sums -> determinant division) to ~1e-2 worst-case on 8-bit inputs —
+per-stage diffs stay <=2e-5 up to the window sums (bisection in round 1
+logs; the band warp itself is bit-exact after the global-coordinate floor
+fix in ops/warp.warp_bilinear_band).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from cuda_optical_flow_2_tpu.models.farneback import FBConfig
+from cuda_optical_flow_2_tpu.models.horn_schunck import HSConfig, _avg3x3
+from cuda_optical_flow_2_tpu.ops.gradients import (
+    spatial_gradients,
+    temporal_gradient,
+)
+from cuda_optical_flow_2_tpu.ops.poly_exp import poly_expansion
+from cuda_optical_flow_2_tpu.ops.warp import warp_bilinear_band
+from cuda_optical_flow_2_tpu.ops.window import window_sum
+from cuda_optical_flow_2_tpu.parallel.spatial import (
+    _crop_rows,
+    _local_pyr_down,
+    _local_upsample2x_flow,
+    _zero_outside_global,
+    halo_exchange,
+    shard_map,
+)
+
+__all__ = [
+    "spatial_pyramidal_hs",
+    "spatial_pyramidal_fb",
+    "validate_spatial_hs",
+    "validate_spatial_fb",
+]
+
+
+# ---------------------------------------------------------------------------
+# Horn-Schunck
+# ---------------------------------------------------------------------------
+
+
+def _local_hs_relax(
+    prev: jax.Array,
+    nxt: jax.Array,
+    config: HSConfig,
+    axis_name: str,
+    n: int,
+    row0,
+    h_global: int,
+    sweep_tile: int,
+) -> jax.Array:
+    """Jacobi relaxation on a row shard, ``sweep_tile`` sweeps per exchange.
+
+    The gradient band is built once (constant across sweeps); per chunk the
+    flow is exchanged with ``K = sweep_tile`` halo rows and swept K times —
+    band-edge contamination travels one row per sweep, so the kept interior
+    equals the unsharded result exactly.
+    """
+    k = min(sweep_tile, config.iterations)
+    rg = k + 2
+    prev_p = halo_exchange(prev, rg, rg, axis_name, n)
+    nxt_p = halo_exchange(nxt, rg, rg, axis_name, n)
+    ix, iy = spatial_gradients(prev_p, normalize=True)
+    it = temporal_gradient(prev_p, nxt_p, config.temporal_kernel, normalize=True)
+    ix = _zero_outside_global(ix, row0 - rg, h_global)
+    iy = _zero_outside_global(iy, row0 - rg, h_global)
+    it = _zero_outside_global(it, row0 - rg, h_global)
+    # gradient band with exactly k halo rows (the sweeps' working margin)
+    ix = _crop_rows(ix, 2)
+    iy = _crop_rows(iy, 2)
+    it = _crop_rows(it, 2)
+    denom = config.alpha**2 + ix * ix + iy * iy
+
+    uv = jnp.zeros(prev.shape + (2,), prev.dtype)
+    n_chunks = -(-config.iterations // k)
+    sweeps_left = config.iterations
+    for _ in range(n_chunks):
+        s = min(k, sweeps_left)
+        sweeps_left -= s
+        uv_p = halo_exchange(uv, k, k, axis_name, n, row_axis=-3)
+        for _ in range(s):
+            u_bar = _avg3x3(uv_p[..., 0])
+            v_bar = _avg3x3(uv_p[..., 1])
+            rate = (ix * u_bar + iy * v_bar + it) / denom
+            uv_p = jnp.stack(
+                [u_bar - ix * rate, v_bar - iy * rate], axis=-1
+            )
+            # The unsharded _avg3x3's zero padding stays zero every sweep;
+            # the band rows beyond the GLOBAL image must do the same (their
+            # u_bar is nonzero after a sweep and would leak back inward).
+            uv_p = _zero_outside_global(uv_p, row0 - k, h_global, row_axis=-3)
+        uv = _crop_rows(uv_p, k, -3)
+    return uv
+
+
+def _hs_warp_band(nxt, flow, config, axis_name, n, row0, h_global, r_out):
+    d = int(math.ceil(config.max_displacement))
+    r_img = r_out + d + 2
+    nxt_p = halo_exchange(nxt, r_img, r_img, axis_name, n)
+    flow_c = jnp.clip(flow, -config.max_displacement, config.max_displacement)
+    flow_p = halo_exchange(flow_c, r_out, r_out, axis_name, n, row_axis=-3)
+    warped = warp_bilinear_band(
+        nxt_p, flow_p, row0 - r_img, row0 - r_out, h_global
+    )
+    return flow_c, _crop_rows(warped, r_out)
+
+
+def validate_spatial_hs(
+    h: int, w: int, config: HSConfig, n: int, sweep_tile: int = 8
+) -> None:
+    if config.prefilter is not None:
+        raise NotImplementedError(
+            "prefilter frames before spatial sharding (as in LK)"
+        )
+    top = config.levels - 1
+    if h % (n << top) or (top and w % (1 << top)):
+        raise ValueError(
+            f"spatial HS needs H divisible by n_shards * 2^(levels-1) "
+            f"= {n << top} and W by {1 << top}; got {h}x{w}"
+        )
+    k = min(sweep_tile, config.iterations)
+    d = int(math.ceil(config.max_displacement))
+    for lvl in range(config.levels):
+        hk = (h >> lvl) // n
+        need = max(k + 2, 2 + d + 2 if lvl < top else 0, 2)
+        if hk < need:
+            raise ValueError(
+                f"HS level {lvl} holds {hk} rows/shard but its halos need "
+                f"{need}; reduce levels, sweep_tile, max_displacement or shards"
+            )
+
+
+def spatial_pyramidal_hs(
+    prev: jax.Array,
+    nxt: jax.Array,
+    config: HSConfig,
+    mesh: Mesh,
+    axis_name: str = "space",
+    sweep_tile: int = 8,
+) -> jax.Array:
+    """Pyramidal Horn-Schunck for ONE pair, rows sharded over ``mesh``.
+
+    ``sweep_tile`` Jacobi sweeps run per halo exchange (larger = fewer
+    collectives, wider halos).
+    """
+    h, w = prev.shape[-2:]
+    n = mesh.shape[axis_name]
+    validate_spatial_hs(h, w, config, n, sweep_tile)
+
+    def local(prev_blk, nxt_blk):
+        from jax import lax
+
+        prev_pyr, next_pyr = [prev_blk], [nxt_blk]
+        for _ in range(1, config.levels):
+            prev_pyr.append(_local_pyr_down(prev_pyr[-1], axis_name, n))
+            next_pyr.append(_local_pyr_down(next_pyr[-1], axis_name, n))
+        flow = None
+        for k in range(config.levels - 1, -1, -1):
+            p, nx = prev_pyr[k], next_pyr[k]
+            hloc = p.shape[-2]
+            row0 = lax.axis_index(axis_name) * hloc
+            hg = h >> k
+            if flow is None:
+                flow = _local_hs_relax(
+                    p, nx, config, axis_name, n, row0, hg, sweep_tile
+                )
+            else:
+                flow = _local_upsample2x_flow(flow, axis_name, n)
+                flow, warped = _hs_warp_band(
+                    nx, flow, config, axis_name, n, row0, hg, 2
+                )
+                flow = flow + _local_hs_relax(
+                    p, warped, config, axis_name, n, row0, hg, sweep_tile
+                )
+        return flow
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis_name, None), P(axis_name, None)),
+        out_specs=P(axis_name, None, None),
+    )
+    return jax.jit(fn)(prev, nxt)
+
+
+# ---------------------------------------------------------------------------
+# Farnebäck (image-warp formulation)
+# ---------------------------------------------------------------------------
+
+
+def _fb_radii(config: FBConfig) -> tuple[int, int, int]:
+    r_win = config.winsize // 2
+    r_poly = config.poly_n // 2
+    r_e = r_win + r_poly  # product band + expansion margin
+    return r_win, r_poly, r_e
+
+
+def _banded_expansion(frame_p, config, row0_pad, h_global):
+    """Expansion of a padded band, zero outside the global image (matching
+    poly_expansion's zero padding of the full frame)."""
+    fz = _zero_outside_global(frame_p, row0_pad, h_global)
+    return poly_expansion(fz, config.poly_n, config.poly_sigma)
+
+
+def _local_fb_level(prev, nxt, flow, config, axis_name, n, row0, h_global):
+    """One Farnebäck level on a row shard (image-warp formulation).
+
+    Mirrors models/farneback.fb_level_image: the prev expansion is computed
+    once on an ``r_e``-padded band; each iteration warps the next-frame band
+    by the current flow, re-expands it, and solves the windowed normal
+    equations, cropping back to the shard's rows.
+    """
+    r_win, r_poly, r_e = _fb_radii(config)
+    d = int(math.ceil(config.max_displacement))
+    r_img = r_e + d + 2
+
+    prev_p = halo_exchange(prev, r_e, r_e, axis_name, n)
+    exp1 = _banded_expansion(prev_p, config, row0 - r_e, h_global)
+    bx1, by1, axx1, ayy1, axy1 = exp1
+    nxt_p = halo_exchange(nxt, r_img, r_img, axis_name, n)
+
+    for _ in range(config.iterations):
+        if flow is None:
+            w_exp = _banded_expansion(
+                _crop_rows(nxt_p, r_img - r_e), config, row0 - r_e, h_global
+            )
+            u = v = jnp.zeros_like(bx1)
+        else:
+            flow = jnp.clip(
+                flow, -config.max_displacement, config.max_displacement
+            )
+            flow_p = halo_exchange(
+                flow, r_e, r_e, axis_name, n, row_axis=-3
+            )
+            warped = warp_bilinear_band(
+                nxt_p, flow_p, row0 - r_img, row0 - r_e, h_global
+            )
+            w_exp = _banded_expansion(warped, config, row0 - r_e, h_global)
+            u, v = flow_p[..., 0], flow_p[..., 1]
+        w_bx, w_by, w_axx, w_ayy, w_axy = w_exp
+
+        axx = 0.5 * (axx1 + w_axx)
+        ayy = 0.5 * (ayy1 + w_ayy)
+        axy = 0.5 * (axy1 + w_axy)
+        db_x = 0.5 * (bx1 - w_bx) + axx * u + axy * v
+        db_y = 0.5 * (by1 - w_by) + axy * u + ayy * v
+
+        prods = jnp.stack(
+            [
+                axx * axx + axy * axy,
+                axy * (axx + ayy),
+                axy * axy + ayy * ayy,
+                axx * db_x + axy * db_y,
+                axy * db_x + ayy * db_y,
+            ]
+        )
+        # The expansion band's outer r_poly rows are contaminated by its own
+        # zero padding; they sit outside the window reach of the kept rows,
+        # but the window sum must not read them either — zero them, exactly
+        # like the full-image path's zero padding beyond the image.
+        prods = _zero_outside_global(
+            _crop_rows(prods, r_poly), row0 - r_win, h_global
+        )
+        sums = window_sum(prods, config.winsize)
+        g11, g12, g22, h1, h2 = (sums[i] for i in range(5))
+        det = g11 * g22 - g12 * g12
+        safe = jnp.abs(det) >= config.det_eps
+        inv_det = 1.0 / jnp.where(safe, det, jnp.ones_like(det))
+        zero = jnp.zeros_like(det)
+        u_new = jnp.where(safe, (g22 * h1 - g12 * h2) * inv_det, zero)
+        v_new = jnp.where(safe, (g11 * h2 - g12 * h1) * inv_det, zero)
+        flow = _crop_rows(jnp.stack([u_new, v_new], axis=-1), r_win, -3)
+    return flow
+
+
+def validate_spatial_fb(h: int, w: int, config: FBConfig, n: int) -> None:
+    if config.prefilter is not None:
+        raise NotImplementedError(
+            "prefilter frames before spatial sharding (as in LK)"
+        )
+    if config.gaussian_window:
+        raise NotImplementedError(
+            "spatial FB supports the box window (gaussian_window=False)"
+        )
+    top = config.levels - 1
+    if h % (n << top) or (top and w % (1 << top)):
+        raise ValueError(
+            f"spatial FB needs H divisible by n_shards * 2^(levels-1) "
+            f"= {n << top} and W by {1 << top}; got {h}x{w}"
+        )
+    _, _, r_e = _fb_radii(config)
+    r_img = r_e + int(math.ceil(config.max_displacement)) + 2
+    for lvl in range(config.levels):
+        hk = (h >> lvl) // n
+        # every level past the coarsest warps (needs r_img); the coarsest
+        # only expands/windows (r_e), but iterations > 1 warp there too
+        warps = lvl < top or config.iterations > 1
+        need = max(r_img if warps else r_e, 2)
+        if hk < need:
+            raise ValueError(
+                f"FB level {lvl} holds {hk} rows/shard but its halos need "
+                f"{need}; reduce levels, winsize, max_displacement or shards"
+            )
+
+
+def spatial_pyramidal_fb(
+    prev: jax.Array,
+    nxt: jax.Array,
+    config: FBConfig,
+    mesh: Mesh,
+    axis_name: str = "space",
+) -> jax.Array:
+    """Pyramidal Farnebäck for ONE pair, rows sharded over ``mesh``."""
+    h, w = prev.shape[-2:]
+    n = mesh.shape[axis_name]
+    validate_spatial_fb(h, w, config, n)
+
+    def local(prev_blk, nxt_blk):
+        from jax import lax
+
+        prev_pyr, next_pyr = [prev_blk], [nxt_blk]
+        for _ in range(1, config.levels):
+            prev_pyr.append(_local_pyr_down(prev_pyr[-1], axis_name, n))
+            next_pyr.append(_local_pyr_down(next_pyr[-1], axis_name, n))
+        flow = None
+        for k in range(config.levels - 1, -1, -1):
+            p, nx = prev_pyr[k], next_pyr[k]
+            hloc = p.shape[-2]
+            row0 = lax.axis_index(axis_name) * hloc
+            if flow is not None:
+                flow = _local_upsample2x_flow(flow, axis_name, n)
+            flow = _local_fb_level(
+                p, nx, flow, config, axis_name, n, row0, h >> k
+            )
+        return flow
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis_name, None), P(axis_name, None)),
+        out_specs=P(axis_name, None, None),
+    )
+    return jax.jit(fn)(prev, nxt)

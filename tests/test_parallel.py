@@ -185,3 +185,56 @@ def test_sharded_flow_model_generic():
         np.testing.assert_allclose(
             np.asarray(flow[0]), np.asarray(single), atol=1e-5
         )
+
+
+def test_spatial_hs_matches_unsharded():
+    from cuda_optical_flow_2_tpu.models import horn_schunck as hs
+
+    p, n = _smooth_pair(512, 64, dx=2, dy=1)
+    cfg = hs.HSConfig(alpha=8.0, iterations=20, levels=3, use_pallas=False,
+                      max_displacement=16)
+    mesh = parallel.make_mesh(axis_name="space")
+    flow = parallel.spatial_pyramidal_hs(p, n, cfg, mesh, sweep_tile=6)
+    assert flow.shape == (512, 64, 2)
+    assert len(flow.sharding.device_set) == 8
+    want = hs.pyramidal_hs(p, n, cfg)
+    np.testing.assert_allclose(
+        np.asarray(flow), np.asarray(want), atol=5e-4
+    )
+
+
+def test_spatial_fb_matches_unsharded():
+    from cuda_optical_flow_2_tpu.models import farneback as fb
+
+    p, n = _smooth_pair(512, 64, dx=2, dy=1)
+    cfg = fb.FBConfig(levels=3, iterations=2, winsize=11, use_pallas=False,
+                      max_displacement=4)
+    mesh = parallel.make_mesh(axis_name="space")
+    flow = parallel.spatial_pyramidal_fb(p, n, cfg, mesh)
+    assert flow.shape == (512, 64, 2)
+    assert len(flow.sharding.device_set) == 8
+    want = fb.pyramidal_farneback(p, n, cfg)
+    # Parity is structural, not bitwise: FB's normal-equation chain
+    # amplifies XLA fusion/reassociation ulps (products -> 121-tap window
+    # sums -> det division) to ~1e-2 worst-case on 8-bit inputs; stage-by-
+    # stage diffs are <=2e-5 before the sums (see spatial_models docstring).
+    np.testing.assert_allclose(
+        np.asarray(flow), np.asarray(want), atol=2e-2
+    )
+    inner = np.asarray(flow)[32:-32, 16:-16]
+    med = np.median(inner, axis=(0, 1))
+    assert abs(med[0] - 2) < 0.1 and abs(med[1] - 1) < 0.1, med
+
+
+def test_spatial_hs_single_scale_exact():
+    """levels=1 HS: pure relaxation, no warp — sharded == unsharded tightly."""
+    from cuda_optical_flow_2_tpu.models import horn_schunck as hs
+
+    p, n = _smooth_pair(256, 48, dx=1, dy=0)
+    cfg = hs.HSConfig(alpha=10.0, iterations=25, levels=1, use_pallas=False)
+    mesh = parallel.make_mesh(axis_name="space")
+    flow = parallel.spatial_pyramidal_hs(p, n, cfg, mesh, sweep_tile=7)
+    want = hs.pyramidal_hs(p, n, cfg)
+    np.testing.assert_allclose(
+        np.asarray(flow), np.asarray(want), atol=1e-5
+    )
