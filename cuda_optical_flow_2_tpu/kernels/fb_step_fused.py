@@ -46,7 +46,7 @@ from cuda_optical_flow_2_tpu.kernels.lk_fused import (
 )
 from cuda_optical_flow_2_tpu.ops.poly_exp import gaussian_1d, mixing_matrix
 
-__all__ = ["supported", "fb_level_step"]
+__all__ = ["supported", "band_expansion", "fb_level_step"]
 
 _LANE = 128
 _SUBLANE = 8
@@ -78,6 +78,45 @@ def _corr1d_band(x: jax.Array, taps: np.ndarray, axis: int) -> jax.Array:
         piece = _roll(x, j - rr, axis) * c
         acc = piece if acc is None else acc + piece
     return acc
+
+
+def band_expansion(
+    band: jax.Array,
+    g0: np.ndarray,
+    g1: np.ndarray,
+    g2: np.ndarray,
+    mix: np.ndarray,
+) -> tuple[jax.Array, ...]:
+    """In-VMEM polynomial expansion of a band: separable {g, g*o, g*o^2}
+    correlations + constant mixing -> (bx, by, axx, ayy, axy).
+
+    Shared by this kernel and poly_exp_fused.py; rolls wrap, so the band's
+    outer ``len(g0)//2`` rows/cols are contaminated and callers must keep a
+    margin.
+    """
+    ty0 = _corr1d_band(band, g0, 0)
+    ty1 = _corr1d_band(band, g1, 0)
+    ty2 = _corr1d_band(band, g2, 0)
+    moments = (
+        _corr1d_band(ty0, g0, 1),  # m00
+        _corr1d_band(ty0, g1, 1),  # m10
+        _corr1d_band(ty1, g0, 1),  # m01
+        _corr1d_band(ty0, g2, 1),  # m20
+        _corr1d_band(ty2, g0, 1),  # m02
+        _corr1d_band(ty1, g1, 1),  # m11
+    )
+
+    def mix_row(k, scale=1.0):
+        acc = None
+        for l in range(6):
+            c = float(mix[k, l]) * scale
+            if abs(c) < 1e-15:
+                continue
+            piece = moments[l] * c
+            acc = piece if acc is None else acc + piece
+        return acc
+
+    return mix_row(0), mix_row(1), mix_row(2), mix_row(3), mix_row(4, 0.5)
 
 
 def _kernel(
@@ -154,33 +193,7 @@ def _kernel(
     # --- Polynomial expansion of the warped band (valid over the interior
     # rows/cols; the outer r_poly rolled-wrap rows are outside the window
     # region because rb >= r_win + r_poly and halo_x covers the columns).
-    ty0 = _corr1d_band(warped, g0, 0)
-    ty1 = _corr1d_band(warped, g1, 0)
-    ty2 = _corr1d_band(warped, g2, 0)
-    moments = (
-        _corr1d_band(ty0, g0, 1),  # m00
-        _corr1d_band(ty0, g1, 1),  # m10
-        _corr1d_band(ty1, g0, 1),  # m01
-        _corr1d_band(ty0, g2, 1),  # m20
-        _corr1d_band(ty2, g0, 1),  # m02
-        _corr1d_band(ty1, g1, 1),  # m11
-    )
-
-    def mix_row(k, scale=1.0):
-        acc = None
-        for l in range(6):
-            c = float(mix[k, l]) * scale
-            if abs(c) < 1e-15:
-                continue
-            piece = moments[l] * c
-            acc = piece if acc is None else acc + piece
-        return acc
-
-    w_bx = mix_row(0)
-    w_by = mix_row(1)
-    w_axx = mix_row(2)
-    w_ayy = mix_row(3)
-    w_axy = mix_row(4, 0.5)
+    w_bx, w_by, w_axx, w_ayy, w_axy = band_expansion(warped, g0, g1, g2, mix)
 
     # --- Farnebäck products vs the prev expansion (db uses budget-clamped
     # flow, matching the XLA image path).  The exp1 tiles carry a rounded
@@ -261,7 +274,6 @@ def fb_level_step(
 
     # VMEM: warp core scratch (3*ncands+2 band arrays) + expansion
     # temporaries (~14) + exp1 tiles (5) + products/sums (~10) + masks (~8).
-    ncands = 2 * c_max + 2
     arrays = 37 + 19
     budget = 40 * 1024 * 1024 // 4
     th_max = (budget // wp - 2 * (halo_n + rb)) // arrays

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from cuda_optical_flow_2_tpu.kernels.fb_step_fused import _corr1d_band
+from cuda_optical_flow_2_tpu.kernels.fb_step_fused import band_expansion
 from cuda_optical_flow_2_tpu.kernels.lk_fused import interpret_forced
 from cuda_optical_flow_2_tpu.ops.poly_exp import gaussian_1d, mixing_matrix
 
@@ -60,42 +60,12 @@ def _kernel(
     g2: np.ndarray,
     mix: np.ndarray,
 ):
-    band = img_ref[0]
-
-    def vert(taps):
-        # Roll-based vertical correlation on the full band, then the
-        # sublane-aligned slice to the output rows (wrap-contaminated rows
-        # stay inside the halo because halo_y >= r).
-        full = _corr1d_band(band, taps, 0)
-        return full[halo_y : halo_y + tile_h, :]
-
-    ty0 = vert(g0)
-    ty1 = vert(g1)
-    ty2 = vert(g2)
-    moments = (
-        _corr1d_band(ty0, g0, 1),  # m00
-        _corr1d_band(ty0, g1, 1),  # m10
-        _corr1d_band(ty1, g0, 1),  # m01
-        _corr1d_band(ty0, g2, 1),  # m20
-        _corr1d_band(ty2, g0, 1),  # m02
-        _corr1d_band(ty1, g1, 1),  # m11
-    )
-
-    def mix_row(k, scale=1.0):
-        acc = None
-        for l in range(6):
-            c = float(mix[k, l]) * scale
-            if abs(c) < 1e-15:
-                continue
-            piece = moments[l] * c
-            acc = piece if acc is None else acc + piece
-        return acc
-
-    bx_ref[:, :] = mix_row(0)
-    by_ref[:, :] = mix_row(1)
-    axx_ref[:, :] = mix_row(2)
-    ayy_ref[:, :] = mix_row(3)
-    axy_ref[:, :] = mix_row(4, 0.5)
+    # Shared in-VMEM expansion on the halo'd band (wrap-contaminated rows
+    # stay inside the halo because halo_y >= r), then the sublane-aligned
+    # slice to the output rows.
+    outs = band_expansion(img_ref[0], g0, g1, g2, mix)
+    for ref, plane in zip((bx_ref, by_ref, axx_ref, ayy_ref, axy_ref), outs):
+        ref[:, :] = plane[halo_y : halo_y + tile_h, :]
 
 
 @functools.partial(jax.jit, static_argnames=("n", "sigma", "interpret"))

@@ -220,9 +220,8 @@ def _window_solve(prods, config: FBConfig) -> jax.Array:
                 det_eps=config.det_eps,
                 interpret=win_solve.interpret_forced(),
             )
-    g11, g12, g22, h1, h2 = (
-        _window(jnp.stack(prods), config)[i] for i in range(5)
-    )
+    sums = _window(jnp.stack(prods), config)
+    g11, g12, g22, h1, h2 = (sums[i] for i in range(5))
     det = g11 * g22 - g12 * g12
     safe = jnp.abs(det) >= config.det_eps
     inv_det = 1.0 / jnp.where(safe, det, jnp.ones_like(det))
@@ -245,10 +244,11 @@ def fb_level_image(
     on TPU as ONE fused Pallas kernel (kernels/fb_step_fused.py).
     """
     from cuda_optical_flow_2_tpu.kernels import fb_step_fused
-    from cuda_optical_flow_2_tpu.ops.warp import warp_bilinear
+    from cuda_optical_flow_2_tpu.models.lucas_kanade import _pick_warp
 
     bx1, by1, axx1, ayy1, axy1 = exp1
     use_fused = config.use_pallas and fb_step_fused.supported(nxt, config)
+    warp, _ = _pick_warp(nxt, _lk_like(config))
 
     for _ in range(config.iterations):
         first = flow is None
@@ -262,18 +262,14 @@ def fb_level_image(
             )
             continue
         if first:
-            w_bx, w_by, w_axx, w_ayy, w_axy = poly_expansion(
-                nxt, config.poly_n, config.poly_sigma
-            )
+            w_bx, w_by, w_axx, w_ayy, w_axy = _expand(nxt, config)
             u = v = jnp.zeros_like(bx1)
         else:
             flow = jnp.clip(
                 flow, -config.max_displacement, config.max_displacement
             )
-            wimg = warp_bilinear(nxt, flow)
-            w_bx, w_by, w_axx, w_ayy, w_axy = poly_expansion(
-                wimg, config.poly_n, config.poly_sigma
-            )
+            wimg = warp(nxt, flow)
+            w_bx, w_by, w_axx, w_ayy, w_axy = _expand(wimg, config)
             u, v = flow[..., 0], flow[..., 1]
 
         axx = 0.5 * (axx1 + w_axx)

@@ -241,12 +241,17 @@ def _local_fb_level(prev, nxt, flow, config, axis_name, n, row0, h_global):
     prev_p = halo_exchange(prev, r_e, r_e, axis_name, n)
     exp1 = _banded_expansion(prev_p, config, row0 - r_e, h_global)
     bx1, by1, axx1, ayy1, axy1 = exp1
-    nxt_p = halo_exchange(nxt, r_img, r_img, axis_name, n)
+    # Only warping iterations need the displacement-wide image halo; a
+    # coarsest level running a single iteration never warps (and
+    # validate_spatial_fb only guarantees r_e rows for it).
+    warps = flow is not None or config.iterations > 1
+    r_nxt = r_img if warps else r_e
+    nxt_p = halo_exchange(nxt, r_nxt, r_nxt, axis_name, n)
 
     for _ in range(config.iterations):
         if flow is None:
             w_exp = _banded_expansion(
-                _crop_rows(nxt_p, r_img - r_e), config, row0 - r_e, h_global
+                _crop_rows(nxt_p, r_nxt - r_e), config, row0 - r_e, h_global
             )
             u = v = jnp.zeros_like(bx1)
         else:
