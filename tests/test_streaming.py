@@ -148,3 +148,20 @@ def test_downsample_flow_inverts_pyramid_grids():
     assert d.shape == (10, 13, 2)
     # values halve per octave (interior; decimation borders dip to zero-pad)
     np.testing.assert_allclose(d[2:-2, 2:-2], 1.0, atol=1e-6)
+
+
+def test_warm_start_model_generic():
+    """HS and FB streaming accept warm_start (init_flow threads through)."""
+    from cuda_optical_flow_2_tpu.models import farneback as fb
+    from cuda_optical_flow_2_tpu.models import horn_schunck as hs
+
+    frames = io.synthetic_sequence(4, 64, 96, velocity=(1.5, 0.5))
+    for cfg in (
+        hs.HSConfig(levels=2, iterations=20, use_pallas=False),
+        fb.FBConfig(levels=2, iterations=2, use_pallas=False),
+    ):
+        flows = {i: np.asarray(f)
+                 for i, f in streaming.process_sequence(frames, cfg, warm_start=True)}
+        last = flows[3][16:-16, 24:-24]
+        m = np.median(last, axis=(0, 1))
+        assert abs(m[0] - 1.5) < 0.4 and abs(m[1] - 0.5) < 0.4, (type(cfg), m)
