@@ -22,6 +22,10 @@ from cuda_optical_flow_2_tpu.parallel.spatial import (
     spatial_pyramidal_lk,
     validate_spatial,
 )
+from cuda_optical_flow_2_tpu.parallel.multihost import (
+    host_local_batch,
+    make_global_mesh,
+)
 from cuda_optical_flow_2_tpu.parallel.spatial_models import (
     spatial_pyramidal_fb,
     spatial_pyramidal_hs,
@@ -38,4 +42,6 @@ __all__ = [
     "spatial_pyramidal_hs",
     "spatial_pyramidal_fb",
     "validate_spatial",
+    "make_global_mesh",
+    "host_local_batch",
 ]

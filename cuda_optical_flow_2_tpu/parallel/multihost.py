@@ -1,0 +1,86 @@
+"""Multi-host (DCN) scale-out scaffolding.
+
+The reference is strictly single-process (SURVEY.md section 2.5); within one
+TPU slice this framework scales over ICI via the mesh APIs in
+parallel/batching.py / parallel/spatial.py.  This module adds the multi-host
+layer for when the frame stream outgrows one host's slice: standard JAX
+multi-process setup (`jax.distributed`) plus a helper that builds the global
+mesh and per-host input feeding for batch (DP) sharding — frame pairs are
+independent, so DP never communicates across DCN; only compilation-time
+coordination and any cross-host reductions the caller adds ride it.
+
+Layout doctrine (jax-ml.github.io/scaling-book): keep the batch axis outer
+and aligned to hosts so each host feeds only its local shard
+(``host_local_batch``), and keep any spatial (TP) axis INSIDE one host's
+devices so halo ppermutes stay on ICI — `make_global_mesh` orders the axes
+accordingly.
+
+Validated in-process (single-host initialize + global mesh over local
+devices, tests/test_parallel.py); on a real multi-host slice pass the
+coordinator address per the standard JAX runbook.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh
+
+__all__ = ["initialize", "make_global_mesh", "host_local_batch"]
+
+
+def initialize(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Initialize JAX multi-process runtime (no-op if already initialized).
+
+    With no arguments JAX autodetects the environment (TPU pod runtime /
+    cluster env vars); single-process callers may simply skip this.
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:  # already initialized — make idempotent
+        if "already" not in str(e).lower():
+            raise
+
+
+def make_global_mesh(
+    batch_axis: str = "batch", space_axis: str | None = None
+) -> Mesh:
+    """Global mesh over ALL processes' devices.
+
+    The batch axis spans hosts (DCN-safe: DP has no collectives); when
+    ``space_axis`` is given, the spatial axis is sized to one host's local
+    device count so every halo exchange stays on ICI.
+    """
+    devices = np.asarray(jax.devices())
+    if space_axis is None:
+        return Mesh(devices, (batch_axis,))
+    local = jax.local_device_count()
+    if devices.size % local != 0:
+        raise ValueError(
+            f"{devices.size} devices not divisible by local count {local}"
+        )
+    return Mesh(devices.reshape(-1, local), (batch_axis, space_axis))
+
+
+def host_local_batch(
+    global_batch: int, mesh: Mesh, batch_axis: str = "batch"
+) -> tuple[int, int]:
+    """(host's batch slice size, host's offset) for feeding a global batch.
+
+    Each process materializes only its own frame pairs:
+    ``jax.make_array_from_process_local_data`` assembles the global array.
+    """
+    n = mesh.shape[batch_axis]
+    if global_batch % n != 0:
+        raise ValueError(f"batch {global_batch} not divisible by {n}")
+    per = global_batch // jax.process_count()
+    return per, per * jax.process_index()

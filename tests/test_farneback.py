@@ -231,3 +231,16 @@ def test_fb_expand_dispatch_forced_interpret(monkeypatch):
         p, n, fb.dataclasses.replace(cfg, use_pallas=False)))
     got = np.asarray(fb.pyramidal_farneback(p, n, cfg))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_fb_step_fused_odd_sizes(monkeypatch):
+    """Pyramid levels produce odd sizes (1080p level 4 = 67x120): fused step
+    must pad/crop exactly at non-aligned shapes."""
+    monkeypatch.setenv("OF2_PALLAS_INTERPRET", "1")
+    for h, w in ((67, 120), (35, 53)):
+        p, n = _pair(h, w, 1.0, 0.5)
+        cfg_x = fb.FBConfig(levels=1, iterations=2, winsize=9, use_pallas=False)
+        cfg_k = fb.FBConfig(levels=1, iterations=2, winsize=9, use_pallas=True)
+        fx = np.asarray(fb.pyramidal_farneback(p, n, cfg_x))
+        fk = np.asarray(fb.pyramidal_farneback(p, n, cfg_k))
+        np.testing.assert_allclose(fk, fx, atol=1e-4)

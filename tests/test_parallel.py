@@ -238,3 +238,23 @@ def test_spatial_hs_single_scale_exact():
     np.testing.assert_allclose(
         np.asarray(flow), np.asarray(want), atol=1e-5
     )
+
+
+def test_multihost_scaffolding_single_process():
+    """Global-mesh helpers work in-process (1 host, 8 local devices)."""
+    from cuda_optical_flow_2_tpu.parallel import multihost
+
+    mesh = multihost.make_global_mesh()
+    assert mesh.shape["batch"] == 8
+    mesh2 = multihost.make_global_mesh(space_axis="space")
+    assert mesh2.shape["batch"] == 1 and mesh2.shape["space"] == 8
+    per, off = multihost.host_local_batch(16, mesh)
+    assert (per, off) == (16, 0)
+    # DP over the global mesh end-to-end
+    prev, nxt = make_translating_pair(32, 48, dx=1, dy=0)
+    p = jnp.stack([jnp.asarray(prev[..., 0].astype(np.float32))] * 8)
+    n = jnp.stack([jnp.asarray(nxt[..., 0].astype(np.float32))] * 8)
+    flow = parallel.sharded_flow(
+        p, n, of.LKConfig(levels=1, window=9, use_pallas=False), mesh
+    )
+    assert flow.shape == (8, 32, 48, 2)
