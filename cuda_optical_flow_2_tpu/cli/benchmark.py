@@ -61,6 +61,8 @@ def _run_config(idx: int, spec: dict, iters: int) -> dict:
     prev = jnp.asarray(frames[0].astype(np.float32))
     nxt = jnp.asarray(frames[1].astype(np.float32))
 
+    from cuda_optical_flow_2_tpu.models import pyramidal_flow
+
     if spec.get("batch"):
         n_dev = len(jax.devices())
         from cuda_optical_flow_2_tpu import parallel
@@ -69,12 +71,12 @@ def _run_config(idx: int, spec: dict, iters: int) -> dict:
         b = max(64 // max(n_dev, 1) * n_dev, n_dev)
         pb = jnp.broadcast_to(prev, (b, h, w))
         nb = jnp.broadcast_to(nxt, (b, h, w))
-        fn = lambda p, n: parallel.sharded_pyramidal_lk(p, n, cfg, mesh)  # noqa: E731
+        fn = lambda p, n: parallel.sharded_flow(p, n, cfg, mesh)  # noqa: E731
         secs = device_time(lambda p, n: fn(p, n), pb, nb, iters=max(iters // 4, 2))
         fps = b / secs
         flow = np.asarray(fn(pb, nb)[0])
     else:
-        fn = lambda p, n: of.pyramidal_lk(p, n, cfg)  # noqa: E731
+        fn = lambda p, n: pyramidal_flow(p, n, cfg)  # noqa: E731
         secs = device_time(fn, prev, nxt, iters=iters)
         fps = 1.0 / secs
         flow = np.asarray(jax.jit(fn)(prev, nxt))
@@ -91,17 +93,43 @@ def _run_config(idx: int, spec: dict, iters: int) -> dict:
     }
 
 
+def _model_cfg(model: str, lk_cfg, no_pallas: bool):
+    """Map a BASELINE LK config onto the requested model family."""
+    use_pallas = lk_cfg.use_pallas and not no_pallas
+    if model == "hs":
+        from cuda_optical_flow_2_tpu.models.horn_schunck import HSConfig
+
+        return HSConfig(
+            levels=lk_cfg.levels, iterations=100, use_pallas=use_pallas
+        )
+    if model == "fb":
+        from cuda_optical_flow_2_tpu.models.farneback import FBConfig
+
+        return FBConfig(
+            levels=lk_cfg.levels,
+            winsize=lk_cfg.window if lk_cfg.window % 2 else lk_cfg.window + 1,
+            use_pallas=use_pallas,
+        )
+    return of.LKConfig(**{**lk_cfg.__dict__, "use_pallas": use_pallas})
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--configs", type=int, nargs="+", default=[1, 2, 3, 4])
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument(
+        "--model", default="lk", choices=("lk", "hs", "fb"),
+        help="model family to run the configs with (pyramid depth and window "
+        "carry over; HS uses its default 100 sweeps)",
+    )
     args = ap.parse_args(argv)
 
     for idx in args.configs:
         spec = dict(CONFIGS[idx])
-        if args.no_pallas:
-            spec["cfg"] = of.LKConfig(**{**spec["cfg"].__dict__, "use_pallas": False})
+        spec["cfg"] = _model_cfg(args.model, spec["cfg"], args.no_pallas)
+        if args.model != "lk":
+            spec["name"] = f'{spec["name"]} [{args.model}]'
         print(json.dumps(_run_config(idx, spec, args.iters)), flush=True)
 
 

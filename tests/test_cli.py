@@ -93,3 +93,16 @@ def test_demo_occlusion_artifacts(tmp_path, capsys):
     capsys.readouterr()
     assert (out / "occ0001.png").exists()
     assert (out / "occ0002.png").exists()
+
+
+def test_benchmark_model_flag(capsys):
+    import json
+
+    from cuda_optical_flow_2_tpu.cli import benchmark
+
+    benchmark.main(["--configs", "1", "--iters", "2", "--no-pallas",
+                    "--model", "fb"])
+    out = capsys.readouterr().out.strip().splitlines()
+    rec = json.loads(out[-1])
+    assert rec["config"] == 1 and "[fb]" in rec["name"]
+    assert rec["epe_vs_truth"] < 0.5
