@@ -121,6 +121,11 @@ def main(argv=None) -> None:
         "forward-backward occlusion mask (white = untrusted)",
     )
     ap.add_argument(
+        "--warm-start", action="store_true",
+        help="seed each pair's coarsest level with the previous pair's flow "
+        "(serving mode: combine with a shallow --levels)",
+    )
+    ap.add_argument(
         "--native-stream", action="store_true",
         help="feed frames through the native prefetching FrameStream "
         "(C++ worker + ring buffer) instead of materializing the sequence",
@@ -191,7 +196,9 @@ def main(argv=None) -> None:
     t0 = time.perf_counter()
     count = 0
     try:
-        for i, flow in streaming.process_sequence(frame_iter, cfg):
+        for i, flow in streaming.process_sequence(
+            frame_iter, cfg, warm_start=args.warm_start
+        ):
             flow_np = np.asarray(flow)
             count += 1
             msg = f"frame {i}: |flow| median {np.median(np.hypot(flow_np[...,0], flow_np[...,1])):.3f}"

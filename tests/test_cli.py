@@ -106,3 +106,17 @@ def test_benchmark_model_flag(capsys):
     rec = json.loads(out[-1])
     assert rec["config"] == 1 and "[fb]" in rec["name"]
     assert rec["epe_vs_truth"] < 0.5
+
+
+def test_demo_warm_start(capsys):
+    from cuda_optical_flow_2_tpu.cli import demo
+
+    demo.main([
+        "--synthetic", "4", "--size", "64x80", "--levels", "1",
+        "--window", "11", "--no-pallas", "--warm-start",
+        "--iterations", "2", "--temporal-kernel", "gauss3",
+    ])
+    text = capsys.readouterr().out
+    epes = [float(l.rsplit(":", 1)[1]) for l in text.splitlines() if "EPE" in l]
+    assert len(epes) == 3
+    assert epes[-1] < 0.6, epes
