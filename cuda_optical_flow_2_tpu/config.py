@@ -56,6 +56,12 @@ class LKConfig:
       prefilter: optional joint-bilateral pre-smoothing of the input frames.
       use_pallas: fuse gradients + window sums + solve into the Pallas TPU
         kernel where supported; falls back to pure-XLA ops otherwise.
+      c_max: the select-warp's row-choice correction range (warp_select.py):
+        exactness requires the integer row offset floor(v) to vary by at most
+        c_max between a pixel and the pixel floor(u) columns away.  1
+        (default) covers smooth coarse-to-fine fields; 0 halves the
+        horizontal select-pass work but assumes locally constant row offsets
+        (see the c_max study in docs/PERF.md before lowering).
       d_local: the fused TPU warp's per-tile displacement range AFTER mean
         recentering (select_core.py).  Kernel time is roughly linear in it
         (useful values quantize to 8-iteration chunks: 7, 15, 23...).  The
@@ -80,8 +86,11 @@ class LKConfig:
     prefilter: Optional[BilateralConfig] = None
     use_pallas: bool = True
     d_local: int = 7
+    c_max: int = 1
 
     def __post_init__(self) -> None:
+        if self.c_max < 0:
+            raise ValueError(f"c_max must be >= 0, got {self.c_max}")
         if self.window % 2 != 1:
             raise ValueError(f"window must be odd, got {self.window}")
         if self.levels < 1:

@@ -212,10 +212,10 @@ def lk_level_step(
     rw = _round_up(r + 1, 4)
     d = int(config.max_displacement)
     d_local = config.d_local
-    # c_max=1 keeps the VMEM working set down; the row-choice correction
-    # condition (|d(vi)| <= 1 across floor(u) columns) holds for the smooth
-    # upsampled fields the pyramid feeds this kernel.
-    c_max = 1
+    # c_max=1 (default) keeps the VMEM working set down; the row-choice
+    # correction condition (|d(vi)| <= c_max across floor(u) columns) holds
+    # for the smooth upsampled fields the pyramid feeds this kernel.
+    c_max = config.c_max
 
     halo_p = _round_up(rw + rw, _SUBLANE)  # band extension + gradient margin
     halo_n = _round_up(select_core.halo_y(d, d_local, c_max) + rw, _SUBLANE)
