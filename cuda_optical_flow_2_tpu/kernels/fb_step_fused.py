@@ -265,7 +265,7 @@ def fb_level_step(
     rb = _round_up(r_win + r_poly + 1, 4)
     d = int(config.max_displacement)
     d_local = config.d_local
-    c_max = 1
+    c_max = config.c_max
 
     halo_e = _round_up(rb, _SUBLANE)  # exp1-plane band extension
     halo_n = _round_up(select_core.halo_y(d, d_local, c_max) + rb, _SUBLANE)

@@ -81,8 +81,9 @@ class FBConfig:
       det_eps: |det| guard for the 2x2 solve (0 flow where singular).
       use_pallas: dispatch to the Pallas kernels (fused step for "image",
         select-warp + win_solve for "coeff").
-      max_displacement / d_local: warp displacement budget / per-tile scan
-        range (same semantics as LKConfig).
+      max_displacement / d_local / c_max: warp displacement budget,
+        per-tile scan range, and row-correction range (same semantics as
+        LKConfig).
       warp_planes: what the per-iteration warp moves.  "image" (default)
         backward-warps the next FRAME and re-expands it — 1 plane moved
         instead of 5, measured equal-or-better accuracy (docs/PERF.md), and
@@ -102,6 +103,7 @@ class FBConfig:
     use_pallas: bool = True
     max_displacement: int = 32
     d_local: int = 7
+    c_max: int = 1
     warp_planes: str = "image"
     prefilter: Optional[BilateralConfig] = None
 
@@ -114,6 +116,8 @@ class FBConfig:
             raise ValueError(f"winsize must be odd, got {self.winsize}")
         if self.poly_sigma <= 0:
             raise ValueError(f"poly_sigma must be > 0, got {self.poly_sigma}")
+        if self.c_max < 0:
+            raise ValueError(f"c_max must be >= 0, got {self.c_max}")
         if self.warp_planes not in ("image", "coeff"):
             raise ValueError(
                 f"warp_planes must be 'image' or 'coeff', got {self.warp_planes}"
@@ -130,6 +134,7 @@ def _lk_like(config: FBConfig):
         use_pallas=config.use_pallas,
         max_displacement=config.max_displacement,
         d_local=config.d_local,
+        c_max=config.c_max,
     )
 
 

@@ -31,6 +31,19 @@ def main():
     print(f"one {h}x256 frame over {n} row shards ->", flow.shape)
     print("median flow:", np.median(f[64:-64, 32:-32], axis=(0, 1)))
 
+    # The other model families shard the same way (model-generic TP):
+    from cuda_optical_flow_2_tpu.models import FBConfig
+
+    fb_flow = parallel.spatial_pyramidal_fb(
+        jnp.asarray(frames[0].astype(np.float32)),
+        jnp.asarray(frames[1].astype(np.float32)),
+        FBConfig(levels=2, iterations=2, winsize=11, use_pallas=False,
+                 max_displacement=8),
+        mesh,
+    )
+    print("farneback median:",
+          np.median(np.asarray(fb_flow)[64:-64, 32:-32], axis=(0, 1)))
+
 
 if __name__ == "__main__":
     main()

@@ -120,3 +120,23 @@ def test_demo_warm_start(capsys):
     epes = [float(l.rsplit(":", 1)[1]) for l in text.splitlines() if "EPE" in l]
     assert len(epes) == 3
     assert epes[-1] < 0.6, epes
+
+
+def test_demo_file_frames(tmp_path, capsys):
+    """--frames glob: PNG round trip through the file-input path."""
+    import numpy as np
+
+    from cuda_optical_flow_2_tpu.cli import demo
+    from cuda_optical_flow_2_tpu.utils import io, viz
+
+    frames = io.synthetic_sequence(3, 48, 64, velocity=(1.0, 0.5))
+    for i, f in enumerate(frames):
+        viz.write_png(str(tmp_path / f"f{i:03d}.png"), f.astype(np.uint8))
+    out = tmp_path / "out"
+    demo.main([
+        "--frames", str(tmp_path / "f*.png"), "--levels", "2",
+        "--window", "9", "--no-pallas", "--out", str(out),
+    ])
+    capsys.readouterr()
+    assert (out / "flow0001.png").exists()
+    assert (out / "arrows0002.png").exists()
