@@ -102,6 +102,10 @@ def _model_cfg(model: str, lk_cfg, no_pallas: bool):
         return HSConfig(
             levels=lk_cfg.levels, iterations=100, use_pallas=use_pallas
         )
+    if model == "tvl1":
+        from cuda_optical_flow_2_tpu.models.tvl1 import TVL1Config
+
+        return TVL1Config(levels=lk_cfg.levels, use_pallas=use_pallas)
     if model == "fb":
         from cuda_optical_flow_2_tpu.models.farneback import FBConfig
 
@@ -119,7 +123,7 @@ def main(argv=None) -> None:
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--no-pallas", action="store_true")
     ap.add_argument(
-        "--model", default="lk", choices=("lk", "hs", "fb"),
+        "--model", default="lk", choices=("lk", "hs", "fb", "tvl1"),
         help="model family to run the configs with (pyramid depth and window "
         "carry over; HS uses its default 100 sweeps)",
     )

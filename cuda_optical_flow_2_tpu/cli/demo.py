@@ -86,10 +86,10 @@ def main(argv=None) -> None:
         help="synthetic ground-truth velocity (vx vy) px/frame",
     )
     ap.add_argument(
-        "--model", default="lk", choices=("lk", "hs", "fb"),
+        "--model", default="lk", choices=("lk", "hs", "fb", "tvl1"),
         help="flow model: pyramidal Lucas-Kanade (reference pipeline), "
-        "Horn-Schunck (global variational) or Farneback (polynomial "
-        "expansion) — the latter two are extensions",
+        "Horn-Schunck (global variational), Farneback (polynomial "
+        "expansion) or TV-L1 (robust primal-dual) — extensions beyond lk",
     )
     ap.add_argument("--levels", type=int, default=4)
     ap.add_argument("--window", type=int, default=19)
@@ -159,7 +159,16 @@ def main(argv=None) -> None:
         frames = _load_frames(args)
         frame_iter = iter(frames)
     prefilter = of.BilateralConfig() if args.bilateral else None
-    if args.model == "fb":
+    if args.model == "tvl1":
+        from cuda_optical_flow_2_tpu.models.tvl1 import TVL1Config
+
+        cfg = TVL1Config(
+            levels=args.levels,
+            iterations=args.iterations if args.iterations is not None else 30,
+            prefilter=prefilter,
+            use_pallas=not args.no_pallas,
+        )
+    elif args.model == "fb":
         from cuda_optical_flow_2_tpu.models.farneback import FBConfig
 
         cfg = FBConfig(

@@ -22,6 +22,7 @@ from cuda_optical_flow_2_tpu.models.consistency import (
     fb_consistency,
     occlusion_mask,
 )
+from cuda_optical_flow_2_tpu.models.tvl1 import TVL1Config, pyramidal_tvl1
 from cuda_optical_flow_2_tpu.models.streaming import (
     FlowState,
     init_state,
@@ -34,13 +35,16 @@ def pyramidal_flow(prev, nxt, config):
     """Dense flow for one frame pair, dispatched on the config type.
 
     ``LKConfig`` -> :func:`pyramidal_lk`, ``HSConfig`` -> :func:`pyramidal_hs`,
-    ``FBConfig`` -> :func:`pyramidal_farneback`.  The model-generic entry the
-    streaming and parallel layers build on.
+    ``FBConfig`` -> :func:`pyramidal_farneback`, ``TVL1Config`` ->
+    :func:`pyramidal_tvl1`.  The model-generic entry the streaming and
+    parallel layers build on.
     """
     if isinstance(config, HSConfig):
         return pyramidal_hs(prev, nxt, config)
     if isinstance(config, FBConfig):
         return pyramidal_farneback(prev, nxt, config)
+    if isinstance(config, TVL1Config):
+        return pyramidal_tvl1(prev, nxt, config)
     return pyramidal_lk(prev, nxt, config)
 
 
@@ -65,4 +69,6 @@ __all__ = [
     "pyramidal_hs",
     "FBConfig",
     "pyramidal_farneback",
+    "TVL1Config",
+    "pyramidal_tvl1",
 ]

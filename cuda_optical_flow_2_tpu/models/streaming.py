@@ -36,17 +36,25 @@ from cuda_optical_flow_2_tpu.models.lucas_kanade import (
     coarse_to_fine,
     preprocess,
 )
+from cuda_optical_flow_2_tpu.models.tvl1 import (
+    TVL1Config,
+    tvl1_coarse_to_fine,
+    tvl1_preprocess,
+)
 from cuda_optical_flow_2_tpu.ops.resize import downsample_flow
 
 __all__ = ["FlowState", "init_state", "step", "process_sequence"]
 
 
 def _preprocess(frame: jax.Array, config) -> list[jax.Array]:
-    """Model-generic preprocess: dispatches on the config type (LK/HS/FB)."""
+    """Model-generic preprocess: dispatches on the config type
+    (LK/HS/FB/TVL1)."""
     if isinstance(config, HSConfig):
         return hs_preprocess(frame, config)
     if isinstance(config, FBConfig):
         return fb_preprocess(frame, config)
+    if isinstance(config, TVL1Config):
+        return tvl1_preprocess(frame, config)
     return preprocess(frame, config)
 
 
@@ -60,6 +68,8 @@ def _flow(
         return hs_coarse_to_fine(prev_pyr, next_pyr, config, init_flow)
     if isinstance(config, FBConfig):
         return fb_coarse_to_fine(prev_pyr, next_pyr, config, init_flow)
+    if isinstance(config, TVL1Config):
+        return tvl1_coarse_to_fine(prev_pyr, next_pyr, config, init_flow)
     return coarse_to_fine(prev_pyr, next_pyr, config, init_flow)[0]
 
 
