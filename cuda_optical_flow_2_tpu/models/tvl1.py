@@ -131,7 +131,24 @@ def tvl1_level(
 
     ``warped`` is next warped by ``u0``; ``flow`` is the current estimate
     (== u0 on the first warp).  Returns the refined TOTAL flow.
+
+    On TPU the whole inner loop runs as the time-tiled Pallas kernel
+    (kernels/tvl1_sweep.py — K iterations per HBM round trip); the XLA scan
+    below is the fallback and correctness twin.
     """
+    if config.use_pallas:
+        from cuda_optical_flow_2_tpu.kernels import tvl1_sweep
+
+        if tvl1_sweep.supported(prev):
+            return tvl1_sweep.tvl1_relax(
+                prev, warped, u0, flow,
+                iterations=config.iterations,
+                lambda_=config.lambda_,
+                theta=config.theta,
+                tau=config.tau,
+                eps=config.epsilon,
+                interpret=tvl1_sweep.interpret_forced(),
+            )
     gx, gy = spatial_gradients(warped, normalize=True)
     g2 = gx * gx + gy * gy
     g2s = jnp.maximum(g2, config.epsilon)

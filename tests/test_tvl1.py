@@ -98,3 +98,28 @@ def test_streaming_tvl1_matches_pairwise():
             jnp.asarray(frames[i - 1].astype(np.float32)),
             jnp.asarray(frames[i].astype(np.float32)), cfg))
         np.testing.assert_allclose(flows[i], pair, atol=1e-5)
+
+
+def test_tvl1_sweep_kernel_matches_xla(monkeypatch):
+    """Time-tiled Pallas relaxation (interpret) == XLA scan, float-tight."""
+    monkeypatch.setenv("OF2_PALLAS_INTERPRET", "1")
+    from cuda_optical_flow_2_tpu.kernels import tvl1_sweep
+
+    p, n = _pair(67, 93, 1.0, 0.5)  # odd sizes on purpose
+    cfg = tvl1.TVL1Config(levels=1, warps=1, iterations=20, use_pallas=False)
+    u0 = jnp.zeros((67, 93, 2), jnp.float32)
+    want = np.asarray(tvl1.tvl1_level(p, n, u0, u0, cfg))
+    got = np.asarray(tvl1_sweep.tvl1_relax(
+        p, n, u0, u0, iterations=20, lambda_=cfg.lambda_, theta=cfg.theta,
+        tau=cfg.tau, eps=cfg.epsilon, interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_tvl1_dispatch_forced_interpret(monkeypatch):
+    monkeypatch.setenv("OF2_PALLAS_INTERPRET", "1")
+    p, n = _pair(96, 128, 2.0, 1.0)
+    cfg_x = tvl1.TVL1Config(levels=2, warps=2, iterations=15, use_pallas=False)
+    cfg_k = tvl1.TVL1Config(levels=2, warps=2, iterations=15, use_pallas=True)
+    fx = np.asarray(tvl1.pyramidal_tvl1(p, n, cfg_x))
+    fk = np.asarray(tvl1.pyramidal_tvl1(p, n, cfg_k))
+    np.testing.assert_allclose(fk, fx, atol=1e-4)
