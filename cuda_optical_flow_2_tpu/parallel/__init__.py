@@ -29,6 +29,7 @@ from cuda_optical_flow_2_tpu.parallel.multihost import (
 from cuda_optical_flow_2_tpu.parallel.spatial_models import (
     spatial_pyramidal_fb,
     spatial_pyramidal_hs,
+    spatial_pyramidal_tvl1,
 )
 
 __all__ = [
@@ -41,6 +42,7 @@ __all__ = [
     "spatial_pyramidal_lk",
     "spatial_pyramidal_hs",
     "spatial_pyramidal_fb",
+    "spatial_pyramidal_tvl1",
     "validate_spatial",
     "make_global_mesh",
     "host_local_batch",

@@ -53,8 +53,10 @@ from cuda_optical_flow_2_tpu.parallel.spatial import (
 __all__ = [
     "spatial_pyramidal_hs",
     "spatial_pyramidal_fb",
+    "spatial_pyramidal_tvl1",
     "validate_spatial_hs",
     "validate_spatial_fb",
+    "validate_spatial_tvl1",
 ]
 
 
@@ -360,6 +362,208 @@ def spatial_pyramidal_fb(
                 flow = _local_upsample2x_flow(flow, axis_name, n)
             flow = _local_fb_level(
                 p, nx, flow, config, axis_name, n, row0, h >> k
+            )
+        return flow
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis_name, None), P(axis_name, None)),
+        out_specs=P(axis_name, None, None),
+    )
+    return jax.jit(fn)(prev, nxt)
+
+
+# ---------------------------------------------------------------------------
+# TV-L1 (image-warp, primal-dual) — time-tiled exchanges with carried duals
+# ---------------------------------------------------------------------------
+
+
+def _tvl1_constants(prev_p, warped_p, u0u, u0v, row0_pad, h_global, config):
+    """Per-warp linearization constants on a band (gradients masked to the
+    global image).  Computed on a band 2 rows wider than the iteration band
+    so the Sobel ring's band-edge error never reaches the kept rows."""
+    h_b, w = prev_p.shape[-2:]
+    rows = jnp.arange(h_b).reshape(-1, 1) + row0_pad
+    inside = (rows >= 0) & (rows < h_global)
+    zero = jnp.zeros((h_b, w), prev_p.dtype)
+    gx, gy = spatial_gradients(warped_p, normalize=True)
+    gx = jnp.where(inside, gx, zero)
+    gy = jnp.where(inside, gy, zero)
+    g2 = gx * gx + gy * gy
+    inv_g2s = 1.0 / jnp.maximum(g2, config.epsilon)
+    lt = config.lambda_ * config.theta
+    th = lt * g2
+    itp = warped_p - prev_p - u0u * gx - u0v * gy
+    return gx, gy, itp, th, inv_g2s
+
+
+def _tvl1_pd_band(consts, state, row0_pad, h_global, config, iters):
+    """``iters`` primal-dual steps on a row band, global-edge-exact.
+
+    The band's Neumann boundaries must sit at the GLOBAL image edges, not the
+    band edges: forward differences are masked to zero at the last global
+    row/column (which keeps the dual planes zero there, making the roll-free
+    backward divergence reproduce the unsharded special cases — the same
+    argument as kernels/tvl1_sweep.py).  Band-edge staleness advances one row
+    per iteration and is cropped by the caller's trapezoid.
+    """
+    gx, gy, itp, th, inv_g2s = consts
+    h_b, w = gx.shape[-2:]
+    rows = jnp.arange(h_b).reshape(-1, 1) + row0_pad
+    cols = jnp.arange(w).reshape(1, -1)
+    inside = (rows >= 0) & (rows < h_global)
+    fd_ok_y = inside & (rows < h_global - 1)
+    fd_ok_x = inside & (cols < w - 1)
+    zero = jnp.zeros((h_b, w), gx.dtype)
+    lt = config.lambda_ * config.theta
+    tt = config.tau / config.theta
+
+    def shift(x, d, axis):
+        # out[i] = x[i + d], zero-filled (pad-and-slice, no wrap)
+        pads = [(0, 0)] * x.ndim
+        pads[axis % x.ndim] = (max(-d, 0), max(d, 0))
+        xp = jnp.pad(x, pads)
+        start = max(d, 0)
+        return jax.lax.slice_in_dim(xp, start, start + x.shape[axis], axis=axis)
+
+    def fd_x(x):
+        return jnp.where(fd_ok_x, shift(x, 1, -1) - x, zero)
+
+    def fd_y(x):
+        return jnp.where(fd_ok_y, shift(x, 1, -2) - x, zero)
+
+    def div(px, py):
+        return (px - shift(px, -1, -1)) + (py - shift(py, -1, -2))
+
+    u, v, p1x, p1y, p2x, p2y = state
+    for _ in range(iters):
+        rho = itp + u * gx + v * gy
+        du = jnp.where(rho < -th, lt * gx,
+                       jnp.where(rho > th, -lt * gx, -rho * gx * inv_g2s))
+        dv = jnp.where(rho < -th, lt * gy,
+                       jnp.where(rho > th, -lt * gy, -rho * gy * inv_g2s))
+        u = jnp.where(inside, u + du + config.theta * div(p1x, p1y), zero)
+        v = jnp.where(inside, v + dv + config.theta * div(p2x, p2y), zero)
+        ux, uy = fd_x(u), fd_y(u)
+        vx, vy = fd_x(v), fd_y(v)
+        nu = 1.0 + tt * jnp.sqrt(ux * ux + uy * uy)
+        nv = 1.0 + tt * jnp.sqrt(vx * vx + vy * vy)
+        p1x = (p1x + tt * ux) / nu
+        p1y = (p1y + tt * uy) / nu
+        p2x = (p2x + tt * vx) / nv
+        p2y = (p2y + tt * vy) / nv
+    return u, v, p1x, p1y, p2x, p2y
+
+
+def _local_tvl1_level(prev, nxt, flow, config, axis_name, n, row0, h_global,
+                      iter_tile):
+    """One TV-L1 level on a row shard: per-warp banded relinearizations with
+    time-tiled primal-dual chunks (``iter_tile`` iterations per exchange)."""
+    k = min(iter_tile, config.iterations)
+    rg = k + 2
+    d = int(math.ceil(config.max_displacement))
+    r_img = rg + d + 2
+
+    hloc = prev.shape[-2]
+    prev_p = halo_exchange(prev, rg, rg, axis_name, n)
+    nxt_p = halo_exchange(nxt, r_img, r_img, axis_name, n)
+    zero_loc = jnp.zeros(prev.shape + (2,), prev.dtype)
+    if flow is None:
+        flow = zero_loc
+
+    for _ in range(config.warps):
+        flow = jnp.clip(flow, -config.max_displacement, config.max_displacement)
+        flow_p = halo_exchange(flow, rg, rg, axis_name, n, row_axis=-3)
+        warped_p = warp_bilinear_band(
+            nxt_p, flow_p, row0 - r_img, row0 - rg, h_global
+        )
+        u0u, u0v = flow_p[..., 0], flow_p[..., 1]
+        # Linearization constants on the full rg band (Sobel ring stays 2
+        # rows clear of the iteration band), then cropped to the k band.
+        consts_f = _tvl1_constants(
+            prev_p, warped_p, u0u, u0v, row0 - rg, h_global, config
+        )
+        t = rg - k
+        consts = tuple(x[..., t:-t, :] if t else x for x in consts_f)
+        # time-tiled primal-dual: duals carried between chunks
+        zl = jnp.zeros_like(prev)
+        state_loc = (flow[..., 0], flow[..., 1], zl, zl, zl, zl)
+        n_chunks = -(-config.iterations // k)
+        left = config.iterations
+        for _c in range(n_chunks):
+            s = min(k, left)
+            left -= s
+            stacked = halo_exchange(
+                jnp.stack(state_loc), k, k, axis_name, n, row_axis=-2
+            )
+            state_b = tuple(stacked[i] for i in range(6))
+            state_b = _tvl1_pd_band(
+                consts, state_b, row0 - k, h_global, config, s,
+            )
+            state_loc = tuple(_crop_rows(x, k, -2) for x in state_b)
+        flow = jnp.stack([state_loc[0], state_loc[1]], axis=-1)
+    return flow
+
+
+def validate_spatial_tvl1(
+    h: int, w: int, config, n: int, iter_tile: int = 8
+) -> None:
+    if config.prefilter is not None:
+        raise NotImplementedError(
+            "prefilter frames before spatial sharding (as in LK)"
+        )
+    top = config.levels - 1
+    if h % (n << top) or (top and w % (1 << top)):
+        raise ValueError(
+            f"spatial TV-L1 needs H divisible by n_shards * 2^(levels-1) "
+            f"= {n << top} and W by {1 << top}; got {h}x{w}"
+        )
+    k = min(iter_tile, config.iterations)
+    d = int(math.ceil(config.max_displacement))
+    need = k + 2 + d + 2
+    for lvl in range(config.levels):
+        hk = (h >> lvl) // n
+        if hk < need:
+            raise ValueError(
+                f"TV-L1 level {lvl} holds {hk} rows/shard but its halos "
+                f"need {need}; reduce levels, iter_tile, max_displacement "
+                f"or shards"
+            )
+
+
+def spatial_pyramidal_tvl1(
+    prev: jax.Array,
+    nxt: jax.Array,
+    config,
+    mesh: Mesh,
+    axis_name: str = "space",
+    iter_tile: int = 8,
+) -> jax.Array:
+    """Pyramidal TV-L1 for ONE pair, rows sharded over ``mesh``.
+
+    ``iter_tile`` primal-dual iterations run per halo exchange.
+    """
+    h, w = prev.shape[-2:]
+    n = mesh.shape[axis_name]
+    validate_spatial_tvl1(h, w, config, n, iter_tile)
+
+    def local(prev_blk, nxt_blk):
+        from jax import lax
+
+        prev_pyr, next_pyr = [prev_blk], [nxt_blk]
+        for _ in range(1, config.levels):
+            prev_pyr.append(_local_pyr_down(prev_pyr[-1], axis_name, n))
+            next_pyr.append(_local_pyr_down(next_pyr[-1], axis_name, n))
+        flow = None
+        for kk in range(config.levels - 1, -1, -1):
+            p, nx = prev_pyr[kk], next_pyr[kk]
+            hloc = p.shape[-2]
+            row0 = lax.axis_index(axis_name) * hloc
+            if flow is not None:
+                flow = _local_upsample2x_flow(flow, axis_name, n)
+            flow = _local_tvl1_level(
+                p, nx, flow, config, axis_name, n, row0, h >> kk, iter_tile
             )
         return flow
 

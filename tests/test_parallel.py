@@ -258,3 +258,20 @@ def test_multihost_scaffolding_single_process():
         p, n, of.LKConfig(levels=1, window=9, use_pallas=False), mesh
     )
     assert flow.shape == (8, 32, 48, 2)
+
+
+def test_spatial_tvl1_matches_unsharded():
+    from cuda_optical_flow_2_tpu.models import tvl1
+
+    p, n = _smooth_pair(512, 64, dx=2, dy=1)
+    # max_displacement=16 keeps the sharded path's always-on budget clamp
+    # non-binding (this texture's TV-L1 has outlier pixels up to ~6 px —
+    # the one documented semantic difference, as in the LK spatial test)
+    cfg = tvl1.TVL1Config(levels=2, warps=2, iterations=12, use_pallas=False,
+                          max_displacement=16)
+    mesh = parallel.make_mesh(axis_name="space")
+    flow = parallel.spatial_pyramidal_tvl1(p, n, cfg, mesh, iter_tile=5)
+    assert flow.shape == (512, 64, 2)
+    assert len(flow.sharding.device_set) == 8
+    want = tvl1.pyramidal_tvl1(p, n, cfg)
+    np.testing.assert_allclose(np.asarray(flow), np.asarray(want), atol=5e-4)
