@@ -54,7 +54,7 @@ __all__ = ["supported", "tvl1_relax"]
 
 _LANE = 128
 _SUBLANE = 8
-_MAX_ITERS = 14  # per chunk; halo_y = round_up(K + 2, 8) stays one sublane
+_MAX_ITERS = 14  # per chunk; halo_y = round_up(14 + 2, 8) = 16 rows
 
 
 def supported(prev: jax.Array) -> bool:

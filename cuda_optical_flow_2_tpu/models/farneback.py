@@ -125,17 +125,9 @@ class FBConfig:
 
 
 def _lk_like(config: FBConfig):
-    from cuda_optical_flow_2_tpu.models.horn_schunck import _LK_PREPROC
+    from cuda_optical_flow_2_tpu.models.horn_schunck import lk_preproc_config
 
-    return dataclasses.replace(
-        _LK_PREPROC,
-        levels=config.levels,
-        prefilter=config.prefilter,
-        use_pallas=config.use_pallas,
-        max_displacement=config.max_displacement,
-        d_local=config.d_local,
-        c_max=config.c_max,
-    )
+    return lk_preproc_config(config)
 
 
 def _expand(frame: jax.Array, config: FBConfig) -> tuple[jax.Array, ...]:

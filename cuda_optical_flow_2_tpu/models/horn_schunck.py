@@ -164,16 +164,27 @@ def horn_schunck(prev: jax.Array, nxt: jax.Array, config: HSConfig) -> jax.Array
     return hs_level(prev, nxt, None, config)
 
 
-def _lk_like(config: HSConfig):
-    """LKConfig view of an HSConfig, for the shared preprocess/warp plumbing."""
-    return dataclasses.replace(
-        _LK_PREPROC,
+def lk_preproc_config(config):
+    """LKConfig view of any model config, for the shared preprocess/warp
+    plumbing.  Reads the warp-dispatch knobs every family carries (levels,
+    prefilter, use_pallas, max_displacement, d_local) plus any it also
+    defines (c_max) — ONE place to thread new knobs through, used by the
+    HS/FB/TVL1 families alike."""
+    fields = dict(
         levels=config.levels,
         prefilter=config.prefilter,
         use_pallas=config.use_pallas,
         max_displacement=config.max_displacement,
         d_local=config.d_local,
     )
+    for opt in ("c_max",):
+        if hasattr(config, opt):
+            fields[opt] = getattr(config, opt)
+    return dataclasses.replace(_LK_PREPROC, **fields)
+
+
+def _lk_like(config: HSConfig):
+    return lk_preproc_config(config)
 
 
 def hs_preprocess(frame: jax.Array, config: HSConfig) -> list[jax.Array]:

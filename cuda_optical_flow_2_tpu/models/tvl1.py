@@ -16,13 +16,12 @@ warp between levels).
 
 Per level, with u0 the warp-point flow (the flow the level started from):
 
-    rho(u)  = It + (u - u0) . grad         (linearized L1 residual)
-    u       = v + soft-threshold step:     v + lt*grad,          rho < -lt*|g|^2
-                                           v - lt*grad,          rho >  lt*|g|^2
-                                           v - rho*grad/|g|^2,   else
-              (lt = lambda * theta)
-    v_i     = u_i - theta * div(p_i)       (primal from duals, per component)
-    p_i    <- (p_i + tau/theta * grad(v_i)) / (1 + tau/theta * |grad(v_i)|)
+    rho(u)  = It + (u - u0) . grad                    (linearized L1 residual)
+    u      <- u + soft-threshold step + theta*div(p_i) per component:
+                 step = +lt*grad   if rho < -lt*|g|^2
+                        -lt*grad   if rho >  lt*|g|^2
+                        -rho*grad/|g|^2 otherwise      (lt = lambda * theta)
+    p_i    <- (p_i + tau/theta * grad(u_i)) / (1 + tau/theta * |grad(u_i)|)
 
 with forward-difference gradients and (negative-adjoint) backward-difference
 divergence, Neumann boundaries.
@@ -92,6 +91,8 @@ class TVL1Config:
             raise ValueError(f"tau must be in (0, 0.25], got {self.tau}")
         if self.lambda_ <= 0 or self.theta <= 0:
             raise ValueError("lambda_ and theta must be > 0")
+        if self.epsilon <= 0:
+            raise ValueError(f"epsilon must be > 0, got {self.epsilon}")
 
 
 def _fwd_diff(x: jax.Array, axis: int) -> jax.Array:
@@ -197,17 +198,9 @@ def tvl1_level(
 
 
 def _lk_like(config: TVL1Config):
-    from cuda_optical_flow_2_tpu.models.horn_schunck import _LK_PREPROC
+    from cuda_optical_flow_2_tpu.models.horn_schunck import lk_preproc_config
 
-    return dataclasses.replace(
-        _LK_PREPROC,
-        levels=config.levels,
-        prefilter=config.prefilter,
-        use_pallas=config.use_pallas,
-        max_displacement=config.max_displacement,
-        d_local=config.d_local,
-        c_max=config.c_max,
-    )
+    return lk_preproc_config(config)
 
 
 def tvl1_preprocess(frame: jax.Array, config: TVL1Config) -> list[jax.Array]:

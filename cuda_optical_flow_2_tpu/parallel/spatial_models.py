@@ -465,12 +465,10 @@ def _local_tvl1_level(prev, nxt, flow, config, axis_name, n, row0, h_global,
     d = int(math.ceil(config.max_displacement))
     r_img = rg + d + 2
 
-    hloc = prev.shape[-2]
     prev_p = halo_exchange(prev, rg, rg, axis_name, n)
     nxt_p = halo_exchange(nxt, r_img, r_img, axis_name, n)
-    zero_loc = jnp.zeros(prev.shape + (2,), prev.dtype)
     if flow is None:
-        flow = zero_loc
+        flow = jnp.zeros(prev.shape + (2,), prev.dtype)
 
     for _ in range(config.warps):
         flow = jnp.clip(flow, -config.max_displacement, config.max_displacement)
@@ -484,8 +482,8 @@ def _local_tvl1_level(prev, nxt, flow, config, axis_name, n, row0, h_global,
         consts_f = _tvl1_constants(
             prev_p, warped_p, u0u, u0v, row0 - rg, h_global, config
         )
-        t = rg - k
-        consts = tuple(x[..., t:-t, :] if t else x for x in consts_f)
+        # rg - k == 2: drop the Sobel-ring margin rows.
+        consts = tuple(_crop_rows(x, rg - k, -2) for x in consts_f)
         # time-tiled primal-dual: duals carried between chunks
         zl = jnp.zeros_like(prev)
         state_loc = (flow[..., 0], flow[..., 1], zl, zl, zl, zl)
