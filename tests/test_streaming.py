@@ -156,9 +156,12 @@ def test_warm_start_model_generic():
     from cuda_optical_flow_2_tpu.models import horn_schunck as hs
 
     frames = io.synthetic_sequence(4, 64, 96, velocity=(1.5, 0.5))
+    from cuda_optical_flow_2_tpu.models import tvl1
+
     for cfg in (
         hs.HSConfig(levels=2, iterations=20, use_pallas=False),
         fb.FBConfig(levels=2, iterations=2, use_pallas=False),
+        tvl1.TVL1Config(levels=2, warps=2, iterations=15, use_pallas=False),
     ):
         flows = {i: np.asarray(f)
                  for i, f in streaming.process_sequence(frames, cfg, warm_start=True)}
