@@ -140,3 +140,16 @@ def test_demo_file_frames(tmp_path, capsys):
     capsys.readouterr()
     assert (out / "flow0001.png").exists()
     assert (out / "arrows0002.png").exists()
+
+
+def test_demo_tvl1_model(capsys):
+    from cuda_optical_flow_2_tpu.cli import demo
+
+    demo.main([
+        "--synthetic", "3", "--size", "64x80", "--levels", "2",
+        "--model", "tvl1", "--iterations", "15", "--no-pallas",
+    ])
+    text = capsys.readouterr().out
+    epes = [float(l.rsplit(":", 1)[1]) for l in text.splitlines() if "EPE" in l]
+    assert len(epes) == 2
+    assert all(e < 0.8 for e in epes), epes
