@@ -51,10 +51,13 @@ def main() -> None:
         f = np.asarray(flow)[32:-32, 32:-32]
         return np.hypot(f[..., 0] - 2.0, f[..., 1] - 1.0).mean()
 
+    from cuda_optical_flow_2_tpu.models import tvl1
+
     print("EPE (2,1)px translation:")
-    print(f"  lk : {epe(of.pyramidal_lk(sp, sn, of.LKConfig(levels=3, window=15, iterations=2))):.4f}")
-    print(f"  hs : {epe(hs.pyramidal_hs(sp, sn, hs.HSConfig(alpha=8.0, iterations=100, levels=3))):.4f}")
-    print(f"  fb : {epe(fb.pyramidal_farneback(sp, sn, fb.FBConfig(levels=3, iterations=3))):.4f}")
+    print(f"  lk  : {epe(of.pyramidal_lk(sp, sn, of.LKConfig(levels=3, window=15, iterations=2))):.4f}")
+    print(f"  hs  : {epe(hs.pyramidal_hs(sp, sn, hs.HSConfig(alpha=8.0, iterations=100, levels=3))):.4f}")
+    print(f"  fb  : {epe(fb.pyramidal_farneback(sp, sn, fb.FBConfig(levels=3, iterations=3))):.4f}")
+    print(f"  tvl1: {epe(tvl1.pyramidal_tvl1(sp, sn, tvl1.TVL1Config(levels=3))):.4f}")
 
 
 if __name__ == "__main__":
