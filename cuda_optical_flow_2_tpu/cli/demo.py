@@ -201,6 +201,19 @@ def main(argv=None) -> None:
     if args.out:
         os.makedirs(args.out, exist_ok=True)
 
+    backward_flow = None
+    if args.out and args.occlusion:
+        # Jitted ONCE outside the frame loop (config is static) — the
+        # backward pass otherwise re-dispatches eagerly per frame, the exact
+        # per-op pathology the framework exists to avoid.
+        import functools
+
+        import jax
+
+        from cuda_optical_flow_2_tpu.models import pyramidal_flow
+
+        backward_flow = jax.jit(functools.partial(pyramidal_flow, config=cfg))
+
     vx, vy = args.velocity
     t0 = time.perf_counter()
     count = 0
@@ -233,15 +246,11 @@ def main(argv=None) -> None:
                     viz.draw_flow_arrows(cur.astype(np.uint8), flow_np, args.arrow_res),
                 )
                 if args.occlusion:
-                    from cuda_optical_flow_2_tpu.models import (
-                        occlusion_mask,
-                        pyramidal_flow,
-                    )
+                    from cuda_optical_flow_2_tpu.models import occlusion_mask
 
-                    bw = pyramidal_flow(
+                    bw = backward_flow(
                         jnp.asarray(cur.astype(np.float32)),
                         jnp.asarray(prv.astype(np.float32)),
-                        cfg,
                     )
                     occ = np.asarray(occlusion_mask(jnp.asarray(flow_np), bw))
                     viz.write_png(

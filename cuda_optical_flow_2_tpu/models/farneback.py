@@ -174,11 +174,13 @@ def fb_level(
             w_bx, w_by, w_axx, w_ayy, w_axy = exp2
             u = v = jnp.zeros_like(bx1)
         else:
-            warp, clamps = _pick_warp(planes2, lk_like)
-            if clamps:
-                flow = jnp.clip(
-                    flow, -config.max_displacement, config.max_displacement
-                )
+            # Budget clamp applies on both warp backends so the 'coeff' and
+            # 'image' formulations agree beyond float noise (the Pallas
+            # select-warp additionally requires it for halo correctness).
+            flow = jnp.clip(
+                flow, -config.max_displacement, config.max_displacement
+            )
+            warp, _ = _pick_warp(planes2, lk_like)
             fb = jnp.broadcast_to(flow, planes2.shape + (2,))
             w_bx, w_by, w_axx, w_ayy, w_axy = warp(planes2, fb)
             u, v = flow[..., 0], flow[..., 1]

@@ -20,7 +20,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from cuda_optical_flow_2_tpu.config import LKConfig
 from cuda_optical_flow_2_tpu.models.farneback import (
     FBConfig,
     fb_coarse_to_fine,
@@ -120,16 +119,17 @@ def process_sequence(frames, config, warm_start: bool = False):
     """Convenience driver: yields (frame_index, flow) for frames[1:].
 
     ``frames`` is any iterable of (H, W) arrays (NumPy or jax); ``config``
-    selects the model family (LKConfig / HSConfig / FBConfig).  Host->device
-    transfer happens once per frame at this boundary — the reference crosses
-    PCIe ~24 times per level per frame (SURVEY.md section 3.1).
-    ``warm_start`` seeds each pair with the previous pair's flow (see
-    :func:`step`).
+    selects the model family (LKConfig / HSConfig / FBConfig / TVL1Config).
+    Host->device transfer happens once per frame at this boundary — the
+    reference crosses PCIe ~24 times per level per frame (SURVEY.md
+    section 3.1).  ``warm_start`` seeds each pair with the previous pair's
+    flow (see :func:`step`).
     """
     it = iter(frames)
     first = jnp.asarray(next(it), dtype=jnp.float32)
-    if isinstance(config, LKConfig):
-        _validate(first, first, config)
+    # Shape/levels validation is model-generic (every config has .levels);
+    # fail with the friendly error before tracing any model's preprocess.
+    _validate(first, first, config)
     state = init_state(first, config)
     for i, frame in enumerate(it, start=1):
         state, flow = step(

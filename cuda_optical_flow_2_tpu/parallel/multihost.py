@@ -40,15 +40,18 @@ def initialize(
     With no arguments JAX autodetects the environment (TPU pod runtime /
     cluster env vars); single-process callers may simply skip this.
     """
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
-    except RuntimeError as e:  # already initialized — make idempotent
-        if "already" not in str(e).lower():
-            raise
+    # Idempotency via runtime state, not error-message matching: a repeated
+    # call is a no-op when the distributed client already exists.
+    state = getattr(
+        getattr(jax._src, "distributed", None), "global_state", None
+    )
+    if state is not None and getattr(state, "client", None) is not None:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
 
 
 def make_global_mesh(
