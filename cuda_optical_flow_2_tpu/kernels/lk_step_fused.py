@@ -44,7 +44,7 @@ from cuda_optical_flow_2_tpu.kernels.lk_fused import (
 )
 from cuda_optical_flow_2_tpu.ops.gradients import SOBEL_GAIN
 
-__all__ = ["supported", "lk_level_step"]
+__all__ = ["supported", "lk_level_step", "lk_band_step"]
 
 _LANE = 128
 _SUBLANE = 8
@@ -63,6 +63,7 @@ def supported(prev: jax.Array, config: LKConfig) -> bool:
 
 
 def _kernel(
+    row0_ref,
     prev_ref,
     nxt_ref,
     u_ref,
@@ -95,10 +96,13 @@ def _kernel(
     text, wp = u_in.shape  # text = tile_h + 2*rw
 
     i = pl.program_id(1)
-    # Absolute image coordinates of the extended band's rows/cols.
+    # Absolute GLOBAL image coordinates of the extended band's rows/cols.
+    # row0_ref holds the global row index of input row 0 (zero for the
+    # whole-image entry; the band entry passes the shard's offset so border
+    # clamping and outside-image masking act on the global image).
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (text, wp), 0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (text, wp), 1)
-    img_row = row_ids + i * tile_h - rw
+    img_row = row_ids + i * tile_h - rw + row0_ref[0]
     img_col = col_ids - halo_x
     inside = (
         (img_row >= 0) & (img_row < img_h) & (img_col >= 0) & (img_col < img_w)
@@ -198,6 +202,57 @@ def lk_level_step(
     Args: prev/nxt (..., H, W) float32, flow (..., H, W, 2).
     Returns the updated flow (..., H, W, 2).
     """
+    h = prev.shape[-2]
+    return _step_impl(
+        prev, nxt, flow, jnp.zeros((1,), jnp.int32), h, config, interpret
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "h_global", "interpret", "vma")
+)
+def lk_band_step(
+    prev: jax.Array,
+    nxt: jax.Array,
+    flow: jax.Array,
+    row0,
+    config: LKConfig,
+    h_global: int,
+    interpret: bool = False,
+    vma: tuple[str, ...] = (),
+) -> jax.Array:
+    """Fused LK iteration on a row BAND of a larger (h_global-row) image.
+
+    The spatial-TP entry (parallel/spatial.py): ``prev``/``nxt``/``flow``
+    are one shard's halo-extended band, ``row0`` the (traced) global row
+    index of band row 0.  Gradient masking, warp border clamping and the
+    outside-image zeroing all act on the GLOBAL image coordinates, so kept
+    rows (those at least ``r_img`` rows from the band edge, where the
+    caller's halo supplies real neighbor data) match the unsharded kernel
+    float-for-float; band-edge rows are garbage and must be cropped by the
+    caller.
+
+    Args: prev/nxt (HB, W) float32, flow (HB, W, 2), row0 int32 scalar.
+    ``vma`` names the shard_map mesh axes the band varies over (required by
+    shard_map's varying-mesh-axes check for the kernel's output avals).
+    Returns the updated flow (HB, W, 2).
+    """
+    row0_arr = jnp.reshape(jnp.asarray(row0, jnp.int32), (1,))
+    return _step_impl(
+        prev, nxt, flow, row0_arr, h_global, config, interpret, vma
+    )
+
+
+def _step_impl(
+    prev: jax.Array,
+    nxt: jax.Array,
+    flow: jax.Array,
+    row0_arr: jax.Array,
+    h_global: int,
+    config: LKConfig,
+    interpret: bool,
+    vma: tuple[str, ...] = (),
+) -> jax.Array:
     lead = prev.shape[:-2]
     h, w = prev.shape[-2:]
     p = prev.reshape((-1, h, w)).astype(jnp.float32)
@@ -263,7 +318,7 @@ def lk_level_step(
         halo_p=halo_p,
         halo_n=halo_n,
         halo_x=halo_x,
-        img_h=h,
+        img_h=h_global,
         img_w=w,
         r=r,
         d_max=d,
@@ -284,20 +339,25 @@ def lk_level_step(
     out_spec = pl.BlockSpec(
         (None, tile_h, wp), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM
     )
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     uo, vo = pl.pallas_call(
         kernel,
         grid=(b, ht),
-        in_specs=[espec(halo_p), espec(halo_n), espec(rw), espec(rw)],
+        in_specs=[smem_spec, espec(halo_p), espec(halo_n), espec(rw), espec(rw)],
         out_specs=(out_spec, out_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((b, ht * tile_h, wp), jnp.float32),
-            jax.ShapeDtypeStruct((b, ht * tile_h, wp), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (b, ht * tile_h, wp), jnp.float32, vma=frozenset(vma)
+            ),
+            jax.ShapeDtypeStruct(
+                (b, ht * tile_h, wp), jnp.float32, vma=frozenset(vma)
+            ),
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-    )(pp, np_, uf, vf)
+    )(row0_arr, pp, np_, uf, vf)
     out = jnp.stack(
         [uo[:, :h, halo_x : halo_x + w], vo[:, :h, halo_x : halo_x + w]], axis=-1
     )

@@ -200,10 +200,27 @@ def _local_lk_level(
     displacement budget.  The residual is computed on the padded band and
     cropped, so every kept row sees exactly the taps the unsharded
     computation would.
+
+    With ``config.use_pallas`` the whole shard-local level step (warp +
+    gradients + window sums + solve + accumulate) runs as the fused Pallas
+    band kernel (kernels/lk_step_fused.lk_band_step) — the hot path IS the
+    fast path under TP, as on one chip; the XLA form below is its
+    ``use_pallas=False`` twin.
     """
     r_grad, r_img = _halo_radius(config)
     hloc = prev.shape[-2]
     row0 = lax.axis_index(axis_name) * hloc
+
+    if config.use_pallas and config.warp_mode == "bilinear":
+        from cuda_optical_flow_2_tpu.kernels import lk_fused, lk_step_fused
+
+        interp = lk_fused.interpret_forced()
+        if lk_step_fused.supported(prev, config) or interp:
+            return _local_lk_level_fused(
+                prev, nxt, flow, config, axis_name, n, h_global,
+                row0, r_grad, r_img, interp,
+            )
+
     prev_p = halo_exchange(prev, r_grad, r_grad, axis_name, n)
     iterations = config.iterations
 
@@ -234,6 +251,67 @@ def _local_lk_level(
         res = _banded_residual(prev_p, warped, row0 - r_grad, h_global, config)
         flow = flow + _crop_rows(res, r_grad, -3)
     return flow
+
+
+def _local_lk_level_fused(
+    prev: jax.Array,
+    nxt: jax.Array,
+    flow,
+    config: LKConfig,
+    axis_name: str,
+    n: int,
+    h_global: int,
+    row0,
+    r_grad: int,
+    r_img: int,
+    interpret: bool,
+):
+    """Fused-Pallas shard-local LK level: halo-exchange, then ONE kernel
+    per iteration on the extended band (kernels/lk_step_fused.lk_band_step).
+
+    The coarsest no-warp pass runs the same kernel with zero flow (the warp
+    is then an exact identity load, so it equals the unfused residual
+    float-for-float) and only needs the gradient halo ``r_grad``; warping
+    iterations exchange the full ``r_img`` (gradient + displacement budget)
+    halo.  Band-edge rows are garbage by construction and cropped.
+    """
+    from cuda_optical_flow_2_tpu.kernels import lk_step_fused
+
+    def fused_iter(flow_b, halo):
+        prev_p = halo_exchange(prev, halo, halo, axis_name, n)
+        nxt_p = halo_exchange(nxt, halo, halo, axis_name, n)
+        flow_p = halo_exchange(flow_b, halo, halo, axis_name, n, row_axis=-3)
+        out = lk_step_fused.lk_band_step(
+            prev_p, nxt_p, flow_p, row0 - halo, config, h_global,
+            interpret=interpret, vma=(axis_name,),
+        )
+        return _crop_rows(out, halo, -3)
+
+    iterations = config.iterations
+    if flow is None:
+        flow = fused_iter(jnp.zeros(prev.shape + (2,), prev.dtype), r_grad)
+        iterations -= 1
+    for _ in range(iterations):
+        flow = fused_iter(flow, r_img)
+    return flow
+
+
+def _fused_enabled(config: LKConfig) -> bool:
+    """Whether _local_lk_level may dispatch to the fused Pallas band kernel.
+
+    Mirrors the per-level dispatch conservatively (any level might take it).
+    shard_map's varying-mesh-axes check cannot see through pallas_call's
+    internal index arithmetic (mixed-vma dynamic_slice — JAX's error message
+    itself prescribes check_vma=False), so the callers drop the check when
+    this returns True.
+    """
+    if not (config.use_pallas and config.warp_mode == "bilinear"):
+        return False
+    if config.max_displacement > 96:
+        return False
+    from cuda_optical_flow_2_tpu.kernels import lk_fused
+
+    return jax.default_backend() == "tpu" or lk_fused.interpret_forced()
 
 
 def validate_spatial(h: int, w: int, config: LKConfig, n: int) -> None:
@@ -317,6 +395,7 @@ def spatial_pyramidal_lk(
         mesh=mesh,
         in_specs=(P(axis_name, None), P(axis_name, None)),
         out_specs=P(axis_name, None, None),
+        check_vma=not _fused_enabled(config),
     )
     return jax.jit(fn)(prev, nxt)
 
@@ -357,5 +436,6 @@ def grid_pyramidal_lk(
         mesh=mesh,
         in_specs=(P(batch_axis, space_axis, None),) * 2,
         out_specs=P(batch_axis, space_axis, None, None),
+        check_vma=not _fused_enabled(config),
     )
     return jax.jit(fn)(prev_batch, nxt_batch)

@@ -190,3 +190,34 @@ def test_pyr_down_pallas_matches_xla(rng):
         want = np.asarray(pyr_down(x, use_pallas=False))
         got = np.asarray(pyr_down_pallas(x, interpret=True))
         np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_band_step_matches_full_image(rng):
+    """lk_band_step on an interior band == lk_level_step rows, bit-exact.
+
+    The band kernel masks/clamps against GLOBAL coordinates (row0, h_global),
+    so kept rows (>= halo from the band edge) must match the whole-image
+    fused step exactly; per-tile warp recentering differs but only changes
+    which candidates are selected, never the selected values.
+    """
+    from cuda_optical_flow_2_tpu.kernels import lk_step_fused
+
+    h, w = 64, 80
+    prev = jnp.asarray(rng.integers(0, 256, (h, w)).astype(np.float32))
+    nxt = jnp.asarray(rng.integers(0, 256, (h, w)).astype(np.float32))
+    flow = jnp.asarray(rng.normal(0, 1.5, (h, w, 2)).astype(np.float32))
+    cfg = of.LKConfig(levels=1, window=9, max_displacement=4.0)
+    full = np.asarray(
+        lk_step_fused.lk_level_step(prev, nxt, flow, cfg, interpret=True)
+    )
+    halo = 12  # r_grad + d + 2 = 6 + 4 + 2
+    for lo, hi in ((16, 48), (0, 32)):  # interior band + global-edge band
+        a, b = max(lo - halo, 0), min(hi + halo, h)
+        band = np.asarray(
+            lk_step_fused.lk_band_step(
+                prev[a:b], nxt[a:b], flow[a:b], a, cfg, h, interpret=True
+            )
+        )
+        np.testing.assert_allclose(
+            band[lo - a : hi - a], full[lo:hi], atol=1e-5, rtol=1e-5
+        )

@@ -275,3 +275,32 @@ def test_spatial_tvl1_matches_unsharded():
     assert len(flow.sharding.device_set) == 8
     want = tvl1.pyramidal_tvl1(p, n, cfg)
     np.testing.assert_allclose(np.asarray(flow), np.asarray(want), atol=5e-4)
+
+
+def test_spatial_pallas_matches_xla_tp_and_unsharded(monkeypatch):
+    """Fused-Pallas TP == XLA TP == unsharded Pallas (interpret mode on CPU).
+
+    VERDICT r1 item 2: the hot path must be the fast path under TP — the
+    shard-local level step runs kernels/lk_step_fused.lk_band_step; the XLA
+    form stays as the use_pallas=False twin this test pins it against.
+    """
+    monkeypatch.setenv("OF2_PALLAS_INTERPRET", "1")
+    p, n = _smooth_pair(256, 48, dx=2, dy=1)
+    mesh = parallel.make_mesh(axis_name="space")
+    kw = dict(levels=2, window=9, iterations=2, temporal_kernel="gauss3",
+              max_displacement=4.0)
+    flow_p = parallel.spatial_pyramidal_lk(
+        p, n, of.LKConfig(use_pallas=True, **kw), mesh
+    )
+    assert flow_p.shape == (256, 48, 2)
+    assert len(flow_p.sharding.device_set) == 8
+    flow_x = parallel.spatial_pyramidal_lk(
+        p, n, of.LKConfig(use_pallas=False, **kw), mesh
+    )
+    np.testing.assert_allclose(
+        np.asarray(flow_p), np.asarray(flow_x), atol=1e-4
+    )
+    single = of.pyramidal_lk(p, n, of.LKConfig(use_pallas=True, **kw))
+    np.testing.assert_allclose(
+        np.asarray(flow_p), np.asarray(single), atol=1e-4
+    )
