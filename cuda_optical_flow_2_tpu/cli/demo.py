@@ -148,9 +148,16 @@ def main(argv=None) -> None:
         recent: dict[int, np.ndarray] = {}
 
         def _record(src):
+            # Keep the last two GOOD frames (None = decode failure, skipped
+            # by process_sequence; the pair then spans the gap, so "prev"
+            # is the last good index, not i-1).
+            good: list[int] = []
             for i, (_, f) in enumerate(src):
-                recent[i] = f
-                recent.pop(i - 2, None)
+                if f is not None:
+                    recent[i] = f
+                    good.append(i)
+                    if len(good) > 2:
+                        recent.pop(good.pop(0), None)
                 yield f
 
         frames = None
@@ -232,7 +239,11 @@ def main(argv=None) -> None:
             print(msg, flush=True)
             if args.out:
                 cur = frames[i] if frames is not None else recent[i]
-                prv = frames[i - 1] if frames is not None else recent[i - 1]
+                prv = (
+                    frames[i - 1]
+                    if frames is not None
+                    else recent[max(k for k in recent if k < i)]
+                )
                 viz.write_png(
                     os.path.join(args.out, f"flow{i:04d}.png"),
                     viz.flow_to_color(flow_np),

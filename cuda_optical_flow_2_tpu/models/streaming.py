@@ -118,20 +118,42 @@ def step(
 def process_sequence(frames, config, warm_start: bool = False):
     """Convenience driver: yields (frame_index, flow) for frames[1:].
 
-    ``frames`` is any iterable of (H, W) arrays (NumPy or jax); ``config``
-    selects the model family (LKConfig / HSConfig / FBConfig / TVL1Config).
-    Host->device transfer happens once per frame at this boundary — the
-    reference crosses PCIe ~24 times per level per frame (SURVEY.md
-    section 3.1).  ``warm_start`` seeds each pair with the previous pair's
-    flow (see :func:`step`).
+    ``frames`` is any iterable of (H, W) arrays (NumPy or jax) — finite OR
+    unbounded (the live-capture twin of the reference's while(true) loop,
+    main.cu:222-275: e.g. ``utils.native.FrameStream.synthetic(None, ...)``).
+    ``config`` selects the model family (LKConfig / HSConfig / FBConfig /
+    TVL1Config).  Host->device transfer happens once per frame at this
+    boundary — the reference crosses PCIe ~24 times per level per frame
+    (SURVEY.md section 3.1).  ``warm_start`` seeds each pair with the
+    previous pair's flow (see :func:`step`).
+
+    Decode-failure recovery: a ``None`` element (how
+    :class:`utils.native.FrameStream` reports a per-frame decode failure)
+    is SKIPPED — no flow is yielded for it, the next good frame pairs with
+    the last good frame, and the carried warm flow is dropped (the motion
+    gap across the lost frame invalidates it as a seed).  Memory stays
+    bounded: the carried state is one pyramid + one flow regardless of
+    stream length.
     """
     it = iter(frames)
-    first = jnp.asarray(next(it), dtype=jnp.float32)
+    # Pull frames until the first GOOD one (leading decode failures skip).
+    first = None
+    offset = 0
+    for offset, frame in enumerate(it):
+        if frame is not None:
+            first = jnp.asarray(frame, dtype=jnp.float32)
+            break
+    if first is None:
+        return
     # Shape/levels validation is model-generic (every config has .levels);
     # fail with the friendly error before tracing any model's preprocess.
     _validate(first, first, config)
     state = init_state(first, config)
-    for i, frame in enumerate(it, start=1):
+    for i, frame in enumerate(it, start=offset + 1):
+        if frame is None:
+            if state.flow is not None:
+                state = FlowState(state.pyramid, None)
+            continue
         state, flow = step(
             state, jnp.asarray(frame, dtype=jnp.float32), config, warm_start
         )

@@ -78,6 +78,17 @@ def _try_load() -> ctypes.CDLL | None:
         ]
         lib.of2_stream_next.argtypes = [ctypes.c_void_p, f32p]
         lib.of2_stream_next.restype = ctypes.c_int
+        lib.of2_stream_next2.argtypes = [
+            ctypes.c_void_p,
+            f32p,
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.of2_stream_next2.restype = ctypes.c_int
+        lib.of2_stream_stats.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_longlong),
+            ctypes.POINTER(ctypes.c_longlong),
+        ]
         lib.of2_stream_close.argtypes = [ctypes.c_void_p]
         _lib = lib
     except (OSError, AttributeError):
@@ -172,6 +183,13 @@ class FrameStream:
 
         with FrameStream.synthetic(100, 1080, 1920, vx=2, vy=1) as src:
             for t, frame in src: ...
+
+    Decode failures are per-frame, not fatal: the failed frame is yielded as
+    ``(t, None)`` and the stream continues (the downstream consumer —
+    models/streaming.process_stream — skips it and re-seeds its warm state).
+    ``nframes=None`` opens an UNBOUNDED stream (the twin of the reference's
+    live-capture while(true) loop, main.cu:222-275) with memory bounded by
+    the prefetch ring; end it with ``close()`` / the context manager.
     """
 
     def __init__(self, handle, h, w, nframes, fallback=None):
@@ -179,10 +197,12 @@ class FrameStream:
         self.h, self.w, self.nframes = h, w, nframes
         self._fallback = fallback  # callable t -> np.ndarray, when no native
         self._t = 0
+        self.decoded = 0  # frames yielded OK
+        self.failed = 0   # frames yielded as (t, None) on decode failure
 
     @classmethod
     def synthetic(
-        cls, nframes: int, h: int, w: int, vx: float, vy: float,
+        cls, nframes: int | None, h: int, w: int, vx: float, vy: float,
         period: int = 16, prefetch: int = 4,
     ) -> "FrameStream":
         lib = _try_load()
@@ -193,7 +213,8 @@ class FrameStream:
                 .astype(np.float32),
             )
         handle = lib.of2_stream_open_synthetic(
-            h, w, float(vx), float(vy), period, nframes, prefetch
+            h, w, float(vx), float(vy), period,
+            -1 if nframes is None else nframes, prefetch,
         )
         return cls(handle, h, w, nframes)
 
@@ -229,25 +250,39 @@ class FrameStream:
         return self
 
     def __next__(self):
-        if self._t >= self.nframes:
+        if self.nframes is not None and self._t >= self.nframes:
             raise StopIteration
+        if self._handle is None and self._fallback is None:
+            raise StopIteration  # closed
         if self._handle is None:
             t = self._t
             self._t += 1
-            return t, self._fallback(t)
+            try:
+                frame = self._fallback(t)
+            except (IOError, OSError, ValueError):
+                self.failed += 1
+                return t, None
+            self.decoded += 1
+            return t, frame
         out = np.empty((self.h, self.w), np.float32)
-        t = _try_load().of2_stream_next(self._handle, _f32p(out))
+        ok = ctypes.c_int()
+        t = _try_load().of2_stream_next2(
+            self._handle, _f32p(out), ctypes.byref(ok)
+        )
         if t < 0:
-            if t == -2:
-                raise IOError("native frame stream: decode failure")
             raise StopIteration
         self._t += 1
+        if not ok.value:
+            self.failed += 1
+            return t, None
+        self.decoded += 1
         return t, out
 
     def close(self) -> None:
         if self._handle is not None:
             _try_load().of2_stream_close(self._handle)
             self._handle = None
+        self._fallback = None
         self.nframes = 0
 
     def __enter__(self):

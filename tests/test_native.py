@@ -99,3 +99,194 @@ def test_frame_stream_python_fallback(monkeypatch):
     assert len(fallback_frames) == 3
     for a, b in zip(native_frames, fallback_frames):
         np.testing.assert_allclose(a, b)
+
+
+# ---------------------------------------------------------------------------
+# PPM header parser hardening (VERDICT r1 item 8)
+# ---------------------------------------------------------------------------
+
+
+def _probe(path):
+    """Call the native of2_ppm_probe directly; returns (rc, h, w, ch)."""
+    import ctypes
+
+    lib = native._try_load()
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    ch = ctypes.c_int()
+    rc = lib.of2_ppm_probe(
+        str(path).encode(), ctypes.byref(h), ctypes.byref(w), ctypes.byref(ch)
+    )
+    return rc, h.value, w.value, ch.value
+
+
+@needs_native
+def test_ppm_header_with_comments(tmp_path, rng):
+    """Netpbm comments ('#' to end of line) are legal anywhere between header
+    tokens; the old fscanf parse silently rejected them."""
+    img = rng.integers(0, 256, (7, 5), dtype=np.uint8)
+    p = tmp_path / "c.pgm"
+    p.write_bytes(
+        b"P5 # magic comment\n# a full comment line\n 5 # width\n\t7\n# more\n255\n"
+        + img.tobytes()
+    )
+    rc, h, w, ch = _probe(p)
+    assert (rc, h, w, ch) == (0, 7, 5, 1)
+    from cuda_optical_flow_2_tpu.utils.native import FrameStream
+
+    with FrameStream.from_ppm([str(p)]) as src:
+        t, frame = next(src)
+    assert t == 0
+    np.testing.assert_allclose(frame, img.astype(np.float32))
+
+
+@needs_native
+def test_ppm_probe_error_codes(tmp_path, rng):
+    """Distinct error codes: -1 open, -2 malformed, -3 magic, -4 maxval."""
+    img = rng.integers(0, 256, (4, 6, 3), dtype=np.uint8)
+    cases = {
+        "missing.ppm": (None, -1),
+        "trunc.ppm": (b"P6 6 4", -2),
+        "nonnum.ppm": (b"P6 six 4 255\n", -2),
+        "zerodim.ppm": (b"P6 0 4 255\n", -2),
+        "ascii.ppm": (b"P3\n6 4\n255\n0 0 0\n", -3),
+        "notpnm.ppm": (b"BM whatever", -3),
+        "deep.ppm": (b"P6 6 4 65535\n" + img.tobytes() * 2, -4),
+    }
+    for name, (body, want_rc) in cases.items():
+        p = tmp_path / name
+        if body is not None:
+            p.write_bytes(body)
+        rc, *_ = _probe(p)
+        assert rc == want_rc, f"{name}: rc={rc}, want {want_rc}"
+
+
+@needs_native
+def test_ppm_read_short_payload(tmp_path, rng):
+    import ctypes
+
+    lib = native._try_load()
+    p = tmp_path / "short.ppm"
+    p.write_bytes(b"P5\n8 8\n255\n" + b"\x00" * 10)  # needs 64 bytes
+    buf = np.empty(64, np.uint8)
+    rc = lib.of2_ppm_read(
+        str(p).encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), 64
+    )
+    assert rc == -5
+
+
+@needs_native
+def test_ppm_probe_fuzz(tmp_path, rng):
+    """Random byte soup must never crash the parser, only return rc < 0 —
+    and headers that DO parse must round-trip through the stream."""
+    for i in range(200):
+        n = int(rng.integers(0, 64))
+        p = tmp_path / f"fuzz{i}.ppm"
+        p.write_bytes(rng.integers(0, 256, n, dtype=np.uint8).tobytes())
+        rc, h, w, ch = _probe(p)
+        assert rc <= 0
+        if rc == 0:
+            assert h > 0 and w > 0 and ch in (1, 3)
+    # structured fuzz: valid headers with random comment/whitespace filler
+    ws = [b" ", b"\n", b"\t", b"\r", b" # noise\n", b"#x\n"]
+    for i in range(50):
+        h, w = int(rng.integers(1, 9)), int(rng.integers(1, 9))
+        parts = [b"P5"]
+        for tok in (str(w).encode(), str(h).encode(), b"255"):
+            parts.append(ws[int(rng.integers(0, len(ws)))])
+            if int(rng.integers(0, 2)):
+                parts.append(ws[int(rng.integers(0, len(ws)))])
+            parts.append(tok)
+        p = tmp_path / f"wsfuzz{i}.pgm"
+        p.write_bytes(b"".join(parts) + b"\n" + b"\x7f" * (h * w))
+        rc, hh, wwv, ch = _probe(p)
+        assert (rc, hh, wwv, ch) == (0, h, w, 1), p.read_bytes()[:40]
+
+
+# ---------------------------------------------------------------------------
+# Stream decode-failure recovery + unbounded mode (VERDICT r1 item 5)
+# ---------------------------------------------------------------------------
+
+
+def test_frame_stream_skips_decode_failures(tmp_path, rng):
+    """A corrupt / wrong-size frame mid-stream is yielded as (t, None) and
+    the stream RECOVERS (the reference's live loop survives glitched frames,
+    main.cu:222-275)."""
+    from cuda_optical_flow_2_tpu.utils import io
+    from cuda_optical_flow_2_tpu.utils.native import FrameStream
+
+    paths = []
+    for t in range(6):
+        p = tmp_path / f"f{t}.pgm"
+        if t == 2:
+            p.write_bytes(b"garbage not a pnm")
+        elif t == 4:
+            io.write_ppm(str(p), rng.integers(0, 256, (8, 20), dtype=np.uint8))
+        else:
+            io.write_ppm(str(p), np.full((16, 20), t * 10, dtype=np.uint8))
+        paths.append(str(p))
+    with FrameStream.from_ppm(paths, prefetch=2) as src:
+        got = list(src)
+        assert [t for t, _ in got] == [0, 1, 2, 3, 4, 5]
+        ok = [t for t, f in got if f is not None]
+        assert ok == [0, 1, 3, 5]
+        for t, f in got:
+            if f is not None:
+                np.testing.assert_allclose(f, np.full((16, 20), t * 10.0))
+        assert (src.decoded, src.failed) == (4, 2)
+
+
+def test_frame_stream_unbounded(tmp_path):
+    """nframes=None streams until close() with bounded memory (ring)."""
+    from cuda_optical_flow_2_tpu.utils.native import FrameStream
+
+    src = FrameStream.synthetic(None, 24, 32, vx=1.0, vy=0.0, prefetch=3)
+    seen = []
+    for t, frame in src:
+        assert frame is not None and frame.shape == (24, 32)
+        seen.append(t)
+        if len(seen) >= 40:
+            break
+    src.close()  # must join the worker without deadlock
+    assert seen == list(range(40))
+
+
+def test_process_sequence_recovers_from_decode_failure():
+    """streaming.process_sequence skips None frames: no flow for the lost
+    frame, the next good frame pairs across the gap, warm state re-seeded."""
+    import jax.numpy as jnp
+
+    import cuda_optical_flow_2_tpu as of
+    from cuda_optical_flow_2_tpu.models import streaming
+    from cuda_optical_flow_2_tpu.utils import io as uio
+
+    frames = list(
+        uio.synthetic_sequence(6, 48, 64, velocity=(2.0, 1.0), noise=0.0)
+    )
+    seq = [frames[0], frames[1], None, frames[3], None, frames[5]]
+    cfg = of.LKConfig(levels=2, window=9, iterations=2, use_pallas=False)
+    out = list(streaming.process_sequence(seq, cfg, warm_start=True))
+    assert [i for i, _ in out] == [1, 3, 5]
+    # pair (1 -> 3) spans the gap: twice the per-frame velocity
+    flow13 = np.asarray(out[1][1])
+    inner = flow13[12:-12, 12:-12]
+    np.testing.assert_allclose(
+        np.median(inner[..., 0]), 4.0, atol=0.2
+    )
+    np.testing.assert_allclose(np.median(inner[..., 1]), 2.0, atol=0.2)
+
+
+def test_process_sequence_leading_failures():
+    import cuda_optical_flow_2_tpu as of
+    from cuda_optical_flow_2_tpu.models import streaming
+    from cuda_optical_flow_2_tpu.utils import io as uio
+
+    frames = list(
+        uio.synthetic_sequence(4, 48, 64, velocity=(1.0, 0.0), noise=0.0)
+    )
+    seq = [None, None, frames[2], frames[3]]
+    cfg = of.LKConfig(levels=2, window=9, use_pallas=False)
+    out = list(streaming.process_sequence(seq, cfg))
+    assert [i for i, _ in out] == [3]
+    seq_all_bad = [None, None]
+    assert list(streaming.process_sequence(seq_all_bad, cfg)) == []
