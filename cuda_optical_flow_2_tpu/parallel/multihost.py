@@ -22,12 +22,19 @@ coordinator address per the standard JAX runbook.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
-from jax.sharding import Mesh
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["initialize", "make_global_mesh", "host_local_batch"]
+__all__ = [
+    "initialize",
+    "make_global_mesh",
+    "host_local_batch",
+    "sharded_flow_from_local",
+]
 
 
 def initialize(
@@ -87,3 +94,36 @@ def host_local_batch(
         raise ValueError(f"batch {global_batch} not divisible by {n}")
     per = global_batch // jax.process_count()
     return per, per * jax.process_index()
+
+
+def sharded_flow_from_local(
+    local_prev,
+    local_nxt,
+    config,
+    mesh: Mesh,
+    batch_axis: str = "batch",
+) -> jax.Array:
+    """DP flow over a multi-process mesh from per-host LOCAL batches.
+
+    The multi-host twin of parallel.batching.sharded_flow: each process
+    passes only its own (B_local, H, W) frame pairs (B_local = the
+    ``host_local_batch`` slice); the global array is assembled with
+    ``jax.make_array_from_process_local_data`` — no frame crosses DCN, and
+    the DP computation itself has no collectives.  Returns the global
+    (B_global, H, W, 2) flow, of which this process can fetch its
+    ``addressable_shards``.
+    """
+    from cuda_optical_flow_2_tpu.models import pyramidal_flow
+
+    local_prev = np.asarray(local_prev, np.float32)
+    local_nxt = np.asarray(local_nxt, np.float32)
+    gshape = (local_prev.shape[0] * jax.process_count(),) + local_prev.shape[1:]
+    sh = NamedSharding(mesh, P(batch_axis, None, None))
+    gp = jax.make_array_from_process_local_data(sh, local_prev, gshape)
+    gn = jax.make_array_from_process_local_data(sh, local_nxt, gshape)
+    fn = jax.jit(
+        functools.partial(pyramidal_flow, config=config),
+        in_shardings=(sh, sh),
+        out_shardings=NamedSharding(mesh, P(batch_axis, None, None, None)),
+    )
+    return fn(gp, gn)
