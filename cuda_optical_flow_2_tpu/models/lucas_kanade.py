@@ -191,6 +191,15 @@ def preprocess(frame: jax.Array, config: LKConfig) -> list[jax.Array]:
     """
     if config.prefilter is not None:
         pf = config.prefilter
+        if config.use_pallas:
+            from cuda_optical_flow_2_tpu.kernels import bilateral_tap
+
+            if bilateral_tap.supported(frame, pf.window):
+                frame = bilateral_tap.bilateral_kernel(
+                    frame, pf.window, pf.sigma_spatial, pf.sigma_range,
+                    interpret=bilateral_tap.interpret_forced(),
+                )
+                return build_pyramid(frame, config.levels)
         frame = bilateral_filter(
             frame, None, pf.window, pf.sigma_spatial, pf.sigma_range
         )

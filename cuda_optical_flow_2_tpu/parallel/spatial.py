@@ -120,6 +120,48 @@ def _zero_outside_global(x: jax.Array, row0, h_global: int, row_axis: int = -2):
     return jnp.where(keep.reshape(shape), x, jnp.zeros((), x.dtype))
 
 
+def _prefilter_pallas(config) -> bool:
+    """Whether the shard-local prefilter dispatches to the Pallas kernel."""
+    if config.prefilter is None or not config.use_pallas:
+        return False
+    from cuda_optical_flow_2_tpu.kernels import lk_fused
+
+    return jax.default_backend() == "tpu" or lk_fused.interpret_forced()
+
+
+def _local_prefilter(
+    frame: jax.Array, config, axis_name: str, n: int, h_global: int
+) -> jax.Array:
+    """Shard-local bilateral prefilter: halo-exchange ``window//2`` rows,
+    filter the band with GLOBAL-coordinate tap masking, crop.
+
+    Kept rows see exactly the taps the unsharded filter would (the halo
+    supplies real neighbor rows; beyond the global border the mask skips
+    taps just as the whole-image filter does), so sharded preprocessing
+    matches unsharded float-for-float.
+    """
+    pf = config.prefilter
+    r = pf.window // 2
+    row0 = lax.axis_index(axis_name) * frame.shape[-2]
+    fp = halo_exchange(frame, r, r, axis_name, n)
+    if _prefilter_pallas(config):
+        from cuda_optical_flow_2_tpu.kernels import bilateral_tap, lk_fused
+
+        out = bilateral_tap.bilateral_kernel_band(
+            fp, row0 - r, h_global, pf.window, pf.sigma_spatial,
+            pf.sigma_range, interpret=lk_fused.interpret_forced(),
+            vma=(axis_name,),
+        )
+    else:
+        from cuda_optical_flow_2_tpu.ops.bilateral import bilateral_filter_band
+
+        out = bilateral_filter_band(
+            fp, row0 - r, h_global, pf.window, pf.sigma_spatial,
+            pf.sigma_range,
+        )
+    return _crop_rows(out, r)
+
+
 def _local_pyr_down(x: jax.Array, axis_name: str, n: int) -> jax.Array:
     """Shard-local fused blur + 2x subsample, halo-exact.
 
@@ -316,10 +358,11 @@ def _fused_enabled(config: LKConfig) -> bool:
 
 def validate_spatial(h: int, w: int, config: LKConfig, n: int) -> None:
     """Raise with a precise message if (h, w) can't be row-sharded n ways."""
-    if config.prefilter is not None:
-        raise NotImplementedError(
-            "bilateral prefilter is not supported in the spatially-sharded "
-            "path; prefilter frames before sharding"
+    if config.prefilter is not None and h // n < config.prefilter.window // 2:
+        raise ValueError(
+            f"prefilter window {config.prefilter.window} needs "
+            f"{config.prefilter.window // 2} halo rows but each of {n} "
+            f"shards holds only {h // n}"
         )
     if config.warp_mode == "nearest":
         raise NotImplementedError("spatial sharding supports bilinear/none warps")
@@ -354,6 +397,9 @@ def _local_pipeline(
     h: int,
 ) -> jax.Array:
     """The full per-shard pipeline on one row block (one frame pair)."""
+    if config.prefilter is not None:
+        prev_blk = _local_prefilter(prev_blk, config, axis_name, n, h)
+        nxt_blk = _local_prefilter(nxt_blk, config, axis_name, n, h)
     prev_pyr = [prev_blk]
     next_pyr = [nxt_blk]
     for _ in range(1, config.levels):
@@ -395,7 +441,7 @@ def spatial_pyramidal_lk(
         mesh=mesh,
         in_specs=(P(axis_name, None), P(axis_name, None)),
         out_specs=P(axis_name, None, None),
-        check_vma=not _fused_enabled(config),
+        check_vma=not (_fused_enabled(config) or _prefilter_pallas(config)),
     )
     return jax.jit(fn)(prev, nxt)
 
@@ -436,6 +482,6 @@ def grid_pyramidal_lk(
         mesh=mesh,
         in_specs=(P(batch_axis, space_axis, None),) * 2,
         out_specs=P(batch_axis, space_axis, None, None),
-        check_vma=not _fused_enabled(config),
+        check_vma=not (_fused_enabled(config) or _prefilter_pallas(config)),
     )
     return jax.jit(fn)(prev_batch, nxt_batch)

