@@ -12,6 +12,7 @@ scale-out here is TPU-native over a ``jax.sharding.Mesh``:
 
 from cuda_optical_flow_2_tpu.parallel.batching import (
     make_mesh,
+    chunked_flow,
     sharded_flow,
     sharded_pyramidal_lk,
     shard_batch,
@@ -34,6 +35,7 @@ from cuda_optical_flow_2_tpu.parallel.spatial_models import (
 
 __all__ = [
     "make_mesh",
+    "chunked_flow",
     "sharded_flow",
     "sharded_pyramidal_lk",
     "shard_batch",

@@ -22,7 +22,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from cuda_optical_flow_2_tpu.config import LKConfig
 from cuda_optical_flow_2_tpu.models import pyramidal_flow
 
-__all__ = ["make_mesh", "shard_batch", "sharded_flow", "sharded_pyramidal_lk"]
+__all__ = ["make_mesh", "shard_batch", "sharded_flow", "sharded_pyramidal_lk", "chunked_flow"]
 
 
 def make_mesh(n_devices: int | None = None, axis_name: str = "batch") -> Mesh:
@@ -81,3 +81,32 @@ def sharded_pyramidal_lk(
 ) -> jax.Array:
     """LK-typed alias of :func:`sharded_flow` (the original batching entry)."""
     return sharded_flow(prev_batch, next_batch, config, mesh, axis_name)
+
+
+def chunked_flow(
+    prev_batch: jax.Array,
+    next_batch: jax.Array,
+    config,
+    chunk: int = 2,
+) -> jax.Array:
+    """Large-batch flow with the batch serialized in ``chunk``-pair steps.
+
+    Measured serving guidance (docs/PERF.md "config 5 mechanism"): on one
+    chip, whole-batch programs pay a flat ~0.5 ms/pair program-embedding
+    penalty from b=4 up (519 -> ~365 pairs/s at 1080p); ``lax.map`` over
+    chunk=2 sub-batches is the best measured in-one-program point
+    (421 pairs/s at b=64, +16% over whole-batch).  For maximum per-chip
+    throughput prefer sequential dispatch / models.streaming; use this when
+    one program must own the whole batch (e.g. under a DP mesh where each
+    chip's shard is still large).
+    """
+    b = prev_batch.shape[0]
+    if b % chunk != 0:
+        raise ValueError(f"batch {b} not divisible by chunk {chunk}")
+    lead = prev_batch.shape[1:]
+    pc = prev_batch.reshape((b // chunk, chunk) + lead)
+    nc = next_batch.reshape((b // chunk, chunk) + lead)
+    out = jax.lax.map(
+        lambda pn: pyramidal_flow(pn[0], pn[1], config), (pc, nc)
+    )
+    return out.reshape((b,) + lead + (2,))

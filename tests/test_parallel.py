@@ -357,3 +357,17 @@ def test_spatial_prefilter_all_families(monkeypatch):
         np.asarray(flow), np.asarray(tvl1.pyramidal_tvl1(p, n, cfg_t)),
         atol=5e-4,
     )
+
+
+def test_chunked_flow_matches_whole_batch():
+    """lax.map chunked batch (the recommended large-batch serving form,
+    docs/PERF.md config-5 mechanism) == whole-batch flow."""
+    prev, nxt = _smooth_pair(64, 48, dx=2, dy=1)
+    pb = jnp.stack([prev + i * 0.5 for i in range(4)])
+    nb = jnp.stack([nxt + i * 0.5 for i in range(4)])
+    cfg = of.LKConfig(levels=2, window=9, use_pallas=False)
+    got = parallel.chunked_flow(pb, nb, cfg, chunk=2)
+    want = of.pyramidal_lk(pb, nb, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    with np.testing.assert_raises(ValueError):
+        parallel.chunked_flow(pb, nb, cfg, chunk=3)
