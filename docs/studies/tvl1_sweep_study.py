@@ -33,23 +33,16 @@ def _smooth(img: np.ndarray, reps: int = 2) -> np.ndarray:
 
 
 def _pairs():
-    """(name, prev, nxt, true_flow) cases: translation + rotation fields."""
+    """(name, prev, nxt, true_flow) cases: translation + rotation fields.
+
+    Both cases use the Gaussian-smoothed APERIODIC random texture: the
+    periodic synthetic_sequence texture aliases to near-DC at deep pyramid
+    levels and TV-L1's coarse-to-fine locks onto a harmonic (measured
+    EPE ~34 at levels=5 — texture artifact, not a solver property)."""
     rng = np.random.default_rng(7)
     base = _smooth(rng.uniform(0, 255, (H, W)))
     ys, xs = np.mgrid[0:H, 0:W].astype(np.float64)
     cases = []
-
-    tx, ty = 2.0, 1.0
-    frames = io.synthetic_sequence(2, H, W, velocity=(tx, ty), noise=0.0)
-    tf = np.stack([np.full((H, W), tx), np.full((H, W), ty)], -1)
-    cases.append(("trans(2,1)", frames[0].astype(np.float32),
-                  frames[1].astype(np.float32), tf))
-
-    ang = 0.002
-    cy, cx = H / 2, W / 2
-    dx = -(ys - cy) * ang
-    dy = (xs - cx) * ang
-    sx, sy = xs - dx, ys - dy
 
     def sample(img, sy, sx):
         y0 = np.clip(np.floor(sy).astype(int), 0, H - 2)
@@ -62,7 +55,17 @@ def _pairs():
             + img[y0 + 1, x0 + 1] * fy * fx
         )
 
-    nxt = sample(base, sy, sx)
+    tx, ty = 2.0, 1.0
+    nxt_t = sample(base, ys - ty, xs - tx)
+    tf = np.stack([np.full((H, W), tx), np.full((H, W), ty)], -1)
+    cases.append(("trans(2,1)", base.astype(np.float32),
+                  nxt_t.astype(np.float32), tf))
+
+    ang = 0.002
+    cy, cx = H / 2, W / 2
+    dx = -(ys - cy) * ang
+    dy = (xs - cx) * ang
+    nxt = sample(base, ys - dy, xs - dx)
     cases.append(("rot 0.002rad", base.astype(np.float32),
                   nxt.astype(np.float32), np.stack([dx, dy], -1)))
     return cases
