@@ -104,6 +104,10 @@ def main(argv=None) -> None:
         "--temporal-kernel", default="gauss3", choices=("dt3", "gauss3")
     )
     ap.add_argument("--bilateral", action="store_true", help="enable pre-filter")
+    ap.add_argument(
+        "--median", type=int, default=0,
+        help="TV-L1 flow median filter size (odd; 0 = off; OpenCV uses 5)",
+    )
     ap.add_argument("--no-pallas", action="store_true")
     ap.add_argument("--out", default=None, help="artifact output directory")
     ap.add_argument("--arrow-res", type=int, default=30)
@@ -172,6 +176,7 @@ def main(argv=None) -> None:
         cfg = TVL1Config(
             levels=args.levels,
             iterations=args.iterations if args.iterations is not None else 30,
+            median_filtering=args.median,
             prefilter=prefilter,
             use_pallas=not args.no_pallas,
         )

@@ -66,6 +66,10 @@ class TVL1Config:
       iterations: primal-dual iterations per warp.
       levels: pyramid depth.
       epsilon: |grad|^2 floor in the threshold step's division.
+      median_filtering: odd k applies a k x k spatial median to the flow
+        after each warp's iterations (the outlier-rejection step of the
+        standard TV-L1 pipeline — OpenCV DualTVL1's medianBlur(5)); 0/1
+        disables (default: off, preserving the pure Zach et al. update).
       use_pallas / max_displacement / d_local / c_max: warp dispatch knobs,
         same semantics as LKConfig (the inter-level/warp backward warp).
       prefilter: optional joint-bilateral pre-smoothing, as in LKConfig.
@@ -78,6 +82,7 @@ class TVL1Config:
     iterations: int = 30
     levels: int = 5
     epsilon: float = 1e-6
+    median_filtering: int = 0
     use_pallas: bool = True
     max_displacement: int = 32
     d_local: int = 7
@@ -93,6 +98,13 @@ class TVL1Config:
             raise ValueError("lambda_ and theta must be > 0")
         if self.epsilon <= 0:
             raise ValueError(f"epsilon must be > 0, got {self.epsilon}")
+        if self.median_filtering not in (0, 1) and (
+            self.median_filtering < 0 or self.median_filtering % 2 == 0
+        ):
+            raise ValueError(
+                f"median_filtering must be 0/1 (off) or odd, "
+                f"got {self.median_filtering}"
+            )
 
 
 def _fwd_diff(x: jax.Array, axis: int) -> jax.Array:
@@ -241,6 +253,16 @@ def tvl1_coarse_to_fine(
                 )
             warped = warp(n, flow)
             flow = tvl1_level(p, warped, flow, flow, config)
+            if config.median_filtering > 1:
+                from cuda_optical_flow_2_tpu.ops.median import median_filter
+
+                flow = jnp.moveaxis(
+                    median_filter(
+                        jnp.moveaxis(flow, -1, 0), config.median_filtering
+                    ),
+                    0,
+                    -1,
+                )
     return flow
 
 

@@ -515,6 +515,21 @@ def _local_tvl1_level(prev, nxt, flow, config, axis_name, n, row0, h_global,
             )
             state_loc = tuple(_crop_rows(x, k, -2) for x in state_b)
         flow = jnp.stack([state_loc[0], state_loc[1]], axis=-1)
+        if config.median_filtering > 1:
+            # Shard-local median: edge-replicated halo reproduces OpenCV's
+            # BORDER_REPLICATE at the mesh's global top/bottom shards;
+            # interior shards see true neighbor rows.
+            from cuda_optical_flow_2_tpu.ops.median import median_filter
+
+            rm = config.median_filtering // 2
+            planes = jnp.stack([flow[..., 0], flow[..., 1]])
+            planes = halo_exchange(
+                planes, rm, rm, axis_name, n, row_axis=-2, boundary="edge"
+            )
+            planes = _crop_rows(
+                median_filter(planes, config.median_filtering), rm, -2
+            )
+            flow = jnp.stack([planes[0], planes[1]], axis=-1)
     return flow
 
 
