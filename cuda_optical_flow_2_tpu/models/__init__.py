@@ -22,7 +22,11 @@ from cuda_optical_flow_2_tpu.models.consistency import (
     fb_consistency,
     occlusion_mask,
 )
-from cuda_optical_flow_2_tpu.models.tvl1 import TVL1Config, pyramidal_tvl1
+from cuda_optical_flow_2_tpu.models.tvl1 import (
+    TVL1_REALTIME,
+    TVL1Config,
+    pyramidal_tvl1,
+)
 from cuda_optical_flow_2_tpu.models.streaming import (
     FlowState,
     init_state,
@@ -69,6 +73,7 @@ __all__ = [
     "pyramidal_hs",
     "FBConfig",
     "pyramidal_farneback",
+    "TVL1_REALTIME",
     "TVL1Config",
     "pyramidal_tvl1",
 ]

@@ -276,3 +276,11 @@ def pyramidal_tvl1(
 
 
 pyramidal_tvl1_jit = jax.jit(pyramidal_tvl1, static_argnames=("config",))
+
+# Real-time operating point (docs/PERF.md "TV-L1 operating-point sweep"):
+# 69 fps at 1080p on one v5e chip vs the classic default's 32 fps.
+# iterations=14 exactly fills ONE time-tile chunk of kernels/tvl1_sweep.py
+# (a single halo load per warp — the measured efficiency knee); 4 warps
+# keep the rotation-field EPE within ~25% of the 150-iteration default
+# (0.136 vs 0.110) and the translation EPE at 0.023.
+TVL1_REALTIME = TVL1Config(levels=4, warps=4, iterations=14)

@@ -123,3 +123,22 @@ def test_tvl1_dispatch_forced_interpret(monkeypatch):
     fx = np.asarray(tvl1.pyramidal_tvl1(p, n, cfg_x))
     fk = np.asarray(tvl1.pyramidal_tvl1(p, n, cfg_k))
     np.testing.assert_allclose(fk, fx, atol=1e-4)
+
+
+def test_tvl1_realtime_preset():
+    """The documented >=60 fps operating point exists and tracks motion."""
+    import dataclasses
+
+    from cuda_optical_flow_2_tpu.models import TVL1_REALTIME
+    from cuda_optical_flow_2_tpu.models.tvl1 import pyramidal_tvl1
+    from cuda_optical_flow_2_tpu.utils import io
+
+    assert (TVL1_REALTIME.levels, TVL1_REALTIME.warps,
+            TVL1_REALTIME.iterations) == (4, 4, 14)
+    frames = io.synthetic_sequence(2, 128, 96, velocity=(2.0, 1.0), noise=0.0)
+    cfg = dataclasses.replace(TVL1_REALTIME, levels=2, use_pallas=False)
+    flow = np.asarray(pyramidal_tvl1(
+        jnp.asarray(frames[0], jnp.float32), jnp.asarray(frames[1], jnp.float32), cfg
+    ))
+    m = np.median(flow[24:-24, 24:-24], axis=(0, 1))
+    assert abs(m[0] - 2) < 0.3 and abs(m[1] - 1) < 0.3, m
