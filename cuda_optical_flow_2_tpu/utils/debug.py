@@ -58,8 +58,9 @@ class StageDiff:
     shape: tuple[int, ...]
 
     def __str__(self) -> str:
+        lvl = "E2E" if self.level < 0 else f"L{self.level}"
         return (
-            f"L{self.level} {self.stage:<12} {self.backend:>7} vs "
+            f"{lvl:<3} {self.stage:<12} {self.backend:>7} vs "
             f"{self.baseline}: max {self.max_abs:.3e}  mean "
             f"{self.mean_abs:.3e}  {self.shape}"
         )
@@ -479,6 +480,41 @@ def _tvl1_stages(prev_l, nxt_l, flow_in, config, n_bands):
     return {"sweeps": sweeps}
 
 
+def _flow_runner(prev, nxt, config):
+    """Whole-pipeline stage ("flow"): unsharded xla/pallas + a REAL-mesh
+    ``sharded`` backend (spatial TP over every available device)."""
+    from cuda_optical_flow_2_tpu.models import pyramidal_flow
+
+    def run(backend):
+        if backend in ("xla", "pallas"):
+            return pyramidal_flow(
+                prev, nxt,
+                dataclasses.replace(config, use_pallas=backend == "pallas"),
+            )
+        if backend == "sharded":
+            import cuda_optical_flow_2_tpu.models.farneback as fb
+            import cuda_optical_flow_2_tpu.models.horn_schunck as hs
+            import cuda_optical_flow_2_tpu.models.tvl1 as tvl1
+            from cuda_optical_flow_2_tpu import parallel
+
+            if len(jax.devices()) < 2:
+                return None
+            mesh = parallel.make_mesh(axis_name="space")
+            try:
+                if isinstance(config, hs.HSConfig):
+                    return parallel.spatial_pyramidal_hs(prev, nxt, config, mesh)
+                if isinstance(config, fb.FBConfig):
+                    return parallel.spatial_pyramidal_fb(prev, nxt, config, mesh)
+                if isinstance(config, tvl1.TVL1Config):
+                    return parallel.spatial_pyramidal_tvl1(prev, nxt, config, mesh)
+                return parallel.spatial_pyramidal_lk(prev, nxt, config, mesh)
+            except (ValueError, NotImplementedError):
+                return None  # shape/config not shardable this way
+        return None
+
+    return run
+
+
 def stages_for(config) -> Callable:
     """The stage-runner factory for a config's model family."""
     from cuda_optical_flow_2_tpu.models.farneback import FBConfig
@@ -594,6 +630,21 @@ def stage_report(
                             ),
                         )
                     )
+        if stages is None or "flow" in stages:
+            run = _flow_runner(prev, nxt, config)
+            base = run(baseline)
+            base_np = np.asarray(base)
+            for backend in backends:
+                got = run(backend)
+                if got is None:
+                    continue
+                mx, mean = _diff(base_np, np.asarray(got))
+                out.append(
+                    StageDiff(
+                        -1, "flow", backend, baseline, mx, mean,
+                        tuple(base_np.shape),
+                    )
+                )
     finally:
         if force_interp:
             if saved is None:

@@ -81,3 +81,17 @@ def test_cli_diff_smoke(capsys):
     )
     out = capsys.readouterr().out
     assert "window_sums" in out and "banded vs xla" in out
+
+
+def test_flow_stage_with_real_mesh():
+    """The end-to-end 'flow' stage diffs unsharded vs the 8-device spatial
+    TP pipeline — the full sharding-drift number next to its per-stage
+    decomposition."""
+    prev, nxt = _pair(256, 48)
+    cfg = of.LKConfig(levels=2, window=9, iterations=1, max_displacement=4.0)
+    rep = stage_report(
+        prev, nxt, cfg, backends=("sharded",), stages=("flow",)
+    )
+    assert len(rep) == 1 and rep[0].stage == "flow" and rep[0].level == -1
+    assert rep[0].max_abs < 1e-3, rep[0]
+    assert "E2E" in str(rep[0])
