@@ -371,3 +371,21 @@ def test_chunked_flow_matches_whole_batch():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
     with np.testing.assert_raises(ValueError):
         parallel.chunked_flow(pb, nb, cfg, chunk=3)
+
+
+def test_grid_fused_pallas_matches_unsharded(monkeypatch):
+    """Fused Pallas band kernel under the 2-D DP x TP grid (vmap over the
+    batch inside shard_map) == unsharded Pallas."""
+    from jax.sharding import Mesh
+
+    monkeypatch.setenv("OF2_PALLAS_INTERPRET", "1")
+    p, n = _smooth_pair(256, 48, dx=2, dy=1)
+    pb, nb = jnp.stack([p, p]), jnp.stack([n, n])
+    cfg = of.LKConfig(levels=2, window=9, iterations=2,
+                      max_displacement=4.0, use_pallas=True)
+    mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("batch", "space"))
+    flow = parallel.grid_pyramidal_lk(pb, nb, cfg, mesh)
+    assert len(flow.sharding.device_set) == 8
+    want = of.pyramidal_lk(p, n, cfg)
+    np.testing.assert_allclose(np.asarray(flow[0]), np.asarray(want), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(flow[1]), np.asarray(want), atol=1e-4)
