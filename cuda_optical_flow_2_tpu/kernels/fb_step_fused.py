@@ -46,7 +46,7 @@ from cuda_optical_flow_2_tpu.kernels.lk_fused import (
 )
 from cuda_optical_flow_2_tpu.ops.poly_exp import gaussian_1d, mixing_matrix
 
-__all__ = ["supported", "band_expansion", "fb_level_step"]
+__all__ = ["supported", "band_expansion", "fb_level_step", "fb_band_step"]
 
 _LANE = 128
 _SUBLANE = 8
@@ -120,6 +120,7 @@ def band_expansion(
 
 
 def _kernel(
+    row0_ref,
     nxt_ref,
     bx1_ref,
     by1_ref,
@@ -156,7 +157,10 @@ def _kernel(
     i = pl.program_id(1)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (text, wp), 0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (text, wp), 1)
-    img_row = row_ids + i * tile_h - rb
+    # GLOBAL image row of each band cell: row0_ref holds the global row of
+    # input row 0 (zero for the whole-image entry; the spatial-TP band entry
+    # passes the shard offset so clamping/masking act on the global image).
+    img_row = row_ids + i * tile_h - rb + row0_ref[0]
     img_col = col_ids - halo_x
     inside = (
         (img_row >= 0) & (img_row < img_h) & (img_col >= 0) & (img_col < img_w)
@@ -229,9 +233,6 @@ def _kernel(
     vo_ref[:, :] = jnp.where(safe, (s11 * h2 - s12 * h1) * inv_det, zc)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("config", "first", "interpret")
-)
 def fb_level_step(
     nxt: jax.Array,
     exp1: tuple[jax.Array, ...],
@@ -250,6 +251,55 @@ def fb_level_step(
       first: no prior flow — skip the warp, expand next directly.
     Returns the refined TOTAL flow (..., H, W, 2).
     """
+    h = nxt.shape[-2]
+    return _step_impl(
+        nxt, exp1, flow, jnp.zeros((1,), jnp.int32), h, config, first,
+        interpret,
+    )
+
+
+def fb_band_step(
+    nxt: jax.Array,
+    exp1: tuple[jax.Array, ...],
+    flow: jax.Array,
+    row0,
+    config,
+    h_global: int,
+    first: bool = False,
+    interpret: bool = False,
+    vma: tuple[str, ...] = (),
+) -> jax.Array:
+    """Fused FB refinement on a row BAND of an ``h_global``-row image.
+
+    The spatial-TP entry (parallel/spatial_models.py): inputs are one
+    shard's halo-extended band, ``row0`` the (traced) global row of band
+    row 0.  Warp border clamping and outside-image masking act on GLOBAL
+    coordinates, so kept rows (those whose reads stay within the caller's
+    real halo data) match the whole-image step; band-edge rows are garbage
+    and must be cropped by the caller.  ``vma`` names the shard_map mesh
+    axes the band varies over.
+    """
+    row0_arr = jnp.reshape(jnp.asarray(row0, jnp.int32), (1,))
+    return _step_impl(
+        nxt, exp1, flow, row0_arr, h_global, config, first, interpret, vma
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "h_global", "first", "interpret", "vma"),
+)
+def _step_impl(
+    nxt: jax.Array,
+    exp1: tuple[jax.Array, ...],
+    flow: jax.Array,
+    row0_arr: jax.Array,
+    h_global: int,
+    config,
+    first: bool,
+    interpret: bool,
+    vma: tuple[str, ...] = (),
+) -> jax.Array:
     lead = nxt.shape[:-2]
     h, w = nxt.shape[-2:]
     n = nxt.reshape((-1, h, w)).astype(jnp.float32)
@@ -303,7 +353,7 @@ def fb_level_step(
         rb=rb,
         halo_n=halo_n,
         halo_x=halo_x,
-        img_h=h,
+        img_h=h_global,
         img_w=w,
         r_win=r_win,
         g0=g.astype(np.float32),
@@ -327,20 +377,26 @@ def fb_level_step(
     out_spec = pl.BlockSpec(
         (None, tile_h, wp), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM
     )
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     uo, vo = pl.pallas_call(
         kernel,
         grid=(b, ht),
-        in_specs=[espec(halo_n)] + [espec(halo_e)] * 5 + [espec(rb)] * 2,
+        in_specs=[smem_spec, espec(halo_n)] + [espec(halo_e)] * 5
+        + [espec(rb)] * 2,
         out_specs=(out_spec, out_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((b, ht * tile_h, wp), jnp.float32),
-            jax.ShapeDtypeStruct((b, ht * tile_h, wp), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (b, ht * tile_h, wp), jnp.float32, vma=frozenset(vma)
+            ),
+            jax.ShapeDtypeStruct(
+                (b, ht * tile_h, wp), jnp.float32, vma=frozenset(vma)
+            ),
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-    )(np_, *pe, uf, vf)
+    )(row0_arr, np_, *pe, uf, vf)
     out = jnp.stack(
         [uo[:, :h, halo_x : halo_x + w], vo[:, :h, halo_x : halo_x + w]], axis=-1
     )

@@ -52,7 +52,7 @@ from cuda_optical_flow_2_tpu.kernels.lk_fused import (
 )
 from cuda_optical_flow_2_tpu.ops.gradients import SOBEL_GAIN
 
-__all__ = ["supported", "hs_relax"]
+__all__ = ["supported", "hs_relax", "hs_relax_band", "MAX_SWEEPS"]
 
 _LANE = 128
 _SUBLANE = 8
@@ -60,6 +60,7 @@ _SUBLANE = 8
 # ~13x at a 25% redundant-compute cost with tile_h=128; the sweep loop is
 # VPU-bound, so larger K buys little.
 _MAX_SWEEPS = 16
+MAX_SWEEPS = _MAX_SWEEPS
 
 
 def supported(prev: jax.Array) -> bool:
@@ -77,6 +78,7 @@ def _sep121(x: jax.Array) -> jax.Array:
 
 
 def _hs_kernel(
+    row0_ref,
     p_ref,
     n_ref,
     u_ref,
@@ -107,7 +109,11 @@ def _hs_kernel(
     i = pl.program_id(1)
     row_ids = lax.broadcasted_iota(jnp.int32, (g, wp), 0)
     col_ids = lax.broadcasted_iota(jnp.int32, (g, wp), 1)
-    img_row = row_ids + i * tile_h - halo_y
+    # GLOBAL image row of each band cell: row0_ref holds the global row of
+    # input row 0 (zero for the whole-image entry; the spatial-TP band entry
+    # passes the shard offset so the zero-pad boundary acts on the global
+    # image, not the band).
+    img_row = row_ids + i * tile_h - halo_y + row0_ref[0]
     inside = (
         (img_row >= 0)
         & (img_row < img_h)
@@ -160,6 +166,73 @@ def hs_relax(
     gradients, same neighbor average, same zero-pad boundary); returns
     (..., H, W, 2) float32.
     """
+    h = prev.shape[-2]
+    return _relax_impl(
+        prev, nxt, flow_init, jnp.zeros((1,), jnp.int32), h,
+        iterations=iterations, alpha=alpha, temporal_kernel=temporal_kernel,
+        interpret=interpret,
+    )
+
+
+def hs_relax_band(
+    prev: jax.Array,
+    nxt: jax.Array,
+    flow_init: jax.Array | None,
+    row0,
+    h_global: int,
+    *,
+    sweeps: int,
+    alpha: float,
+    temporal_kernel: str,
+    interpret: bool = False,
+    vma: tuple[str, ...] = (),
+) -> jax.Array:
+    """ONE chunk of ``sweeps`` Jacobi sweeps on a row BAND of an
+    ``h_global``-row image.
+
+    The spatial-TP entry (parallel/spatial_models._local_hs_relax): inputs
+    are one shard's halo-extended band, ``row0`` the (traced) global row of
+    band row 0.  The zero-pad boundary acts on GLOBAL coordinates, so with
+    a caller halo of ``sweeps + 2`` real rows (gradient ring 2 + one row of
+    band-edge staleness per sweep) the kept interior matches the unsharded
+    relaxation exactly; band-edge rows are garbage and must be cropped.
+    ``sweeps`` must fit one kernel invocation (<= ``MAX_SWEEPS``) — chunking
+    across exchanges is the caller's job, since each chunk needs fresh
+    neighbor rows.  ``vma`` names the shard_map mesh axes the band varies
+    over.
+    """
+    if sweeps > _MAX_SWEEPS:
+        raise ValueError(
+            f"hs_relax_band runs one chunk: sweeps={sweeps} > {_MAX_SWEEPS}"
+        )
+    row0_arr = jnp.reshape(jnp.asarray(row0, jnp.int32), (1,))
+    return _relax_impl(
+        prev, nxt, flow_init, row0_arr, h_global,
+        iterations=sweeps, alpha=alpha, temporal_kernel=temporal_kernel,
+        interpret=interpret, vma=vma,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "h_global", "iterations", "alpha", "temporal_kernel", "interpret",
+        "vma",
+    ),
+)
+def _relax_impl(
+    prev: jax.Array,
+    nxt: jax.Array,
+    flow_init: jax.Array | None,
+    row0_arr: jax.Array,
+    h_global: int,
+    *,
+    iterations: int,
+    alpha: float,
+    temporal_kernel: str,
+    interpret: bool,
+    vma: tuple[str, ...] = (),
+) -> jax.Array:
     lead = prev.shape[:-2]
     h, w = prev.shape[-2:]
     x = prev.reshape((-1, h, w)).astype(jnp.float32)
@@ -198,32 +271,34 @@ def hs_relax(
     )
     row_repad = ((0, 0), (halo_y, halo_y), (0, 0))
 
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
     def sweep_block(u, v, sweeps: int):
         kernel = functools.partial(
             _hs_kernel,
             tile_h=tile_h,
             halo_y=halo_y,
             halo_x=halo_x,
-            img_h=h,
+            img_h=h_global,
             img_w=w,
             k=sweeps,
             alpha2=alpha * alpha,
             temporal_mask=tmask,
         )
+        shape = jax.ShapeDtypeStruct(
+            (b, ht * tile_h, wp), jnp.float32, vma=frozenset(vma)
+        )
         uo, vo = pl.pallas_call(
             kernel,
             grid=(b, ht),
-            in_specs=[in_spec, in_spec, in_spec, in_spec],
+            in_specs=[smem_spec, in_spec, in_spec, in_spec, in_spec],
             out_specs=(out_spec, out_spec),
-            out_shape=(
-                jax.ShapeDtypeStruct((b, ht * tile_h, wp), jnp.float32),
-                jax.ShapeDtypeStruct((b, ht * tile_h, wp), jnp.float32),
-            ),
+            out_shape=(shape, shape),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024
             ),
             interpret=interpret,
-        )(xp, yp, u, v)
+        )(row0_arr, xp, yp, u, v)
         # The kernel zeroes everything outside the image, so re-padding the
         # halo rows with zeros reproduces the carried boundary exactly.
         return jnp.pad(uo, row_repad), jnp.pad(vo, row_repad)

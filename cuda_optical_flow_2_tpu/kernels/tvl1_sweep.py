@@ -50,11 +50,12 @@ from cuda_optical_flow_2_tpu.kernels.lk_fused import (
 from cuda_optical_flow_2_tpu.constants import MASKS
 from cuda_optical_flow_2_tpu.ops.gradients import SOBEL_GAIN
 
-__all__ = ["supported", "tvl1_relax"]
+__all__ = ["supported", "tvl1_relax", "tvl1_relax_band", "MAX_ITERS"]
 
 _LANE = 128
 _SUBLANE = 8
 _MAX_ITERS = 14  # per chunk; halo_y = round_up(14 + 2, 8) = 16 rows
+MAX_ITERS = _MAX_ITERS
 
 
 def supported(prev: jax.Array) -> bool:
@@ -65,6 +66,7 @@ def supported(prev: jax.Array) -> bool:
 
 
 def _kernel(
+    row0_ref,
     p_ref,
     w_ref,
     u0u_ref,
@@ -100,7 +102,11 @@ def _kernel(
     i = pl.program_id(1)
     row_ids = lax.broadcasted_iota(jnp.int32, (g, wp), 0)
     col_ids = lax.broadcasted_iota(jnp.int32, (g, wp), 1)
-    img_row = row_ids + i * tile_h - halo_y
+    # GLOBAL image row of each band cell: row0_ref holds the global row of
+    # input row 0 (zero for the whole-image entry; the spatial-TP band entry
+    # passes the shard offset so the Neumann boundary masking acts on the
+    # global image, not the band).
+    img_row = row_ids + i * tile_h - halo_y + row0_ref[0]
     inside = (
         (img_row >= 0)
         & (img_row < img_h)
@@ -212,10 +218,93 @@ def tvl1_relax(
     """
     lead = prev.shape[:-2]
     h, w = prev.shape[-2:]
+    f = flow.reshape((-1, h, w, 2)).astype(jnp.float32)
+    state = (f[..., 0], f[..., 1]) + (jnp.zeros_like(f[..., 0]),) * 4
+    state = _relax_impl(
+        prev, warped, u0, state, jnp.zeros((1,), jnp.int32), h,
+        iterations=iterations, lambda_=lambda_, theta=theta, tau=tau,
+        eps=eps, interpret=interpret,
+    )
+    return jnp.stack(state[:2], axis=-1).reshape(lead + (h, w, 2))
+
+
+def tvl1_relax_band(
+    prev: jax.Array,
+    warped: jax.Array,
+    u0: jax.Array,
+    state: tuple[jax.Array, ...],
+    row0,
+    h_global: int,
+    *,
+    iterations: int,
+    lambda_: float,
+    theta: float,
+    tau: float,
+    eps: float,
+    interpret: bool = False,
+    vma: tuple[str, ...] = (),
+) -> tuple[jax.Array, ...]:
+    """ONE chunk of ``iterations`` primal-dual steps on a row BAND of an
+    ``h_global``-row image, carrying the six-plane state.
+
+    The spatial-TP entry (parallel/spatial_models._local_tvl1_level):
+    inputs are one shard's halo-extended band (``prev``/``warped``/``u0``
+    frames plus ``state`` = (u, v, p1x, p1y, p2x, p2y), all (..., Hband, W));
+    ``row0`` is the (traced) global row of band row 0, so the Neumann
+    boundary special cases act on the GLOBAL image.  With a caller halo of
+    ``iterations + 2`` real rows (Sobel/constants ring 2 + one row of
+    band-edge staleness per iteration) the kept interior matches the
+    unsharded kernel exactly; band-edge rows are garbage and must be
+    cropped.  ``iterations`` must fit one kernel invocation
+    (<= ``MAX_ITERS``) — chunking across exchanges is the caller's job.
+    ``vma`` names the shard_map mesh axes the band varies over.
+    """
+    if iterations > _MAX_ITERS:
+        raise ValueError(
+            f"tvl1_relax_band runs one chunk: {iterations} > {_MAX_ITERS}"
+        )
+    row0_arr = jnp.reshape(jnp.asarray(row0, jnp.int32), (1,))
+    h, w = prev.shape[-2:]
+    lead = prev.shape[:-2]
+    state = tuple(
+        s.reshape((-1, h, w)).astype(jnp.float32) for s in state
+    )
+    out = _relax_impl(
+        prev, warped, u0, state, row0_arr, h_global,
+        iterations=iterations, lambda_=lambda_, theta=theta, tau=tau,
+        eps=eps, interpret=interpret, vma=vma,
+    )
+    return tuple(s.reshape(lead + (h, w)) for s in out)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "h_global", "iterations", "lambda_", "theta", "tau", "eps",
+        "interpret", "vma",
+    ),
+)
+def _relax_impl(
+    prev: jax.Array,
+    warped: jax.Array,
+    u0: jax.Array,
+    state: tuple[jax.Array, ...],
+    row0_arr: jax.Array,
+    h_global: int,
+    *,
+    iterations: int,
+    lambda_: float,
+    theta: float,
+    tau: float,
+    eps: float,
+    interpret: bool,
+    vma: tuple[str, ...] = (),
+) -> tuple[jax.Array, ...]:
+    """Shared impl: returns the six state planes as (B*, H, W) float32."""
+    h, w = prev.shape[-2:]
     x = prev.reshape((-1, h, w)).astype(jnp.float32)
     y = warped.reshape((-1, h, w)).astype(jnp.float32)
     f0 = u0.reshape((-1, h, w, 2)).astype(jnp.float32)
-    f = flow.reshape((-1, h, w, 2)).astype(jnp.float32)
     b = x.shape[0]
 
     k = min(_MAX_ITERS, iterations)
@@ -231,10 +320,7 @@ def tvl1_relax(
     yp = jnp.pad(y, pad)
     u0u = jnp.pad(f0[..., 0], pad)
     u0v = jnp.pad(f0[..., 1], pad)
-    u = jnp.pad(f[..., 0], pad)
-    v = jnp.pad(f[..., 1], pad)
-    zeros = jnp.zeros_like(u)
-    state = (u, v, zeros, zeros, zeros, zeros)
+    state = tuple(jnp.pad(s.reshape((-1, h, w)), pad) for s in state)
 
     g = tile_h + 2 * halo_y
     in_spec = pl.BlockSpec(
@@ -242,6 +328,7 @@ def tvl1_relax(
         lambda bb, i: (bb, i * tile_h, 0),
         memory_space=pltpu.VMEM,
     )
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     out_spec = pl.BlockSpec(
         (None, tile_h, wp), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM
     )
@@ -255,7 +342,7 @@ def tvl1_relax(
             tile_h=tile_h,
             halo_y=halo_y,
             halo_x=halo_x,
-            img_h=h,
+            img_h=h_global,
             img_w=w,
             k=iters,
             lt=lt,
@@ -263,18 +350,20 @@ def tvl1_relax(
             tt=tt,
             eps=eps,
         )
-        shape = jax.ShapeDtypeStruct((b, ht * tile_h, wp), jnp.float32)
+        shape = jax.ShapeDtypeStruct(
+            (b, ht * tile_h, wp), jnp.float32, vma=frozenset(vma)
+        )
         outs = pl.pallas_call(
             kernel,
             grid=(b, ht),
-            in_specs=[in_spec] * 10,
+            in_specs=[smem_spec] + [in_spec] * 10,
             out_specs=(out_spec,) * 6,
             out_shape=(shape,) * 6,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024
             ),
             interpret=interpret,
-        )(xp, yp, u0u, u0v, *state)
+        )(row0_arr, xp, yp, u0u, u0v, *state)
         return tuple(jnp.pad(o, row_repad) for o in outs)
 
     n_full, rem = divmod(iterations, k)
@@ -286,10 +375,6 @@ def tvl1_relax(
     if rem:
         state = block(state, rem)
 
-    u, v = state[0], state[1]
-    out = jnp.stack(
-        [u[:, halo_y : halo_y + h, halo_x : halo_x + w],
-         v[:, halo_y : halo_y + h, halo_x : halo_x + w]],
-        axis=-1,
+    return tuple(
+        s[:, halo_y : halo_y + h, halo_x : halo_x + w] for s in state
     )
-    return out.reshape(lead + (h, w, 2))

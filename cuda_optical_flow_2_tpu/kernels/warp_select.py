@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cuda_optical_flow_2_tpu.kernels import select_core
 
-__all__ = ["warp_bilinear_select", "supported"]
+__all__ = ["warp_bilinear_select", "warp_bilinear_select_band", "supported"]
 
 _LANE = 128
 _SUBLANE = 8
@@ -78,9 +78,6 @@ def _warp_kernel(
     out_ref[:, :] = warped
 
 
-@functools.partial(
-    jax.jit, static_argnames=("max_displacement", "d_local", "c_max", "interpret")
-)
 def warp_bilinear_select(
     img: jax.Array,
     flow: jax.Array,
@@ -98,6 +95,56 @@ def warp_bilinear_select(
     around the tile mean, and exactness requires the smooth-row-offset
     condition described in the module docstring.
     """
+    h = img.shape[-2]
+    return _select_impl(
+        img, flow, jnp.zeros((), jnp.int32), h, int(max_displacement),
+        d_local, c_max, interpret,
+    )
+
+
+def warp_bilinear_select_band(
+    img_band: jax.Array,
+    flow_band: jax.Array,
+    row0,
+    h_global: int,
+    max_displacement: int = 32,
+    d_local: int = select_core.DEFAULT_D_LOCAL,
+    c_max: int = 2,
+    interpret: bool = False,
+    vma: tuple[str, ...] = (),
+) -> jax.Array:
+    """Select-loop warp of a row BAND of an ``h_global``-row image.
+
+    The spatial-TP entry: ``row0`` is the (traced) global row of band row 0;
+    the vertical border clamp and the out-of-bounds valid mask act on the
+    GLOBAL image, so kept rows (>= ceil(max_displacement)+2 from the band
+    edges, where the caller's halo supplies real rows) match the whole-image
+    kernel; band-edge rows are garbage and must be cropped.  ``vma`` names
+    the shard_map mesh axes the band varies over.
+    """
+    return _select_impl(
+        img_band, flow_band, jnp.asarray(row0, jnp.int32), h_global,
+        int(max_displacement), d_local, c_max, interpret, vma,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "h_global", "max_displacement", "d_local", "c_max", "interpret", "vma"
+    ),
+)
+def _select_impl(
+    img: jax.Array,
+    flow: jax.Array,
+    row0: jax.Array,
+    h_global: int,
+    max_displacement: int,
+    d_local: int,
+    c_max: int,
+    interpret: bool,
+    vma: tuple[str, ...] = (),
+) -> jax.Array:
     lead = img.shape[:-2]
     h, w = img.shape[-2:]
     x = img.reshape((-1, h, w)).astype(jnp.float32)
@@ -105,7 +152,10 @@ def warp_bilinear_select(
     b = x.shape[0]
     d = int(max_displacement)
 
-    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    # GLOBAL row coordinates (row0 = 0 and h_global = h for the whole image)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + row0.astype(
+        jnp.float32
+    )
     xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     u_raw = f[..., 0]
     v_raw = f[..., 1]
@@ -113,12 +163,12 @@ def warp_bilinear_select(
     v = jnp.clip(v_raw, -d, d)
     # absolute clamp to the image (matches ops/warp.py warp_bilinear)
     u = jnp.clip(xs + u, 0.0, w - 1) - xs
-    v = jnp.clip(ys + v, 0.0, h - 1) - ys
+    v = jnp.clip(ys + v, 0.0, h_global - 1) - ys
     valid = (
         (xs + u_raw >= 0)
         & (xs + u_raw <= w - 1)
         & (ys + v_raw >= 0)
-        & (ys + v_raw <= h - 1)
+        & (ys + v_raw <= h_global - 1)
     )
 
     halo_y = _round_up(select_core.halo_y(d, d_local, c_max), _SUBLANE)
@@ -157,7 +207,9 @@ def warp_bilinear_select(
         out_specs=pl.BlockSpec(
             (None, tile_h, wp), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, ht * tile_h, wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, ht * tile_h, wp), jnp.float32, vma=frozenset(vma)
+        ),
         compiler_params=pltpu.CompilerParams(
             # Mosaic's default 16 MB scoped-VMEM cap is both tight and
             # compile-dependent (docs/PERF.md finding 5); the ~11 MB budget

@@ -62,6 +62,57 @@ __all__ = [
 ]
 
 
+def _warp_pallas(config) -> bool:
+    """Whether shard-local band warps dispatch to the select-loop kernel
+    (kernels/warp_select.warp_bilinear_select_band) instead of the XLA
+    gather form — the gather serializes on TPU (docs/PERF.md finding 1)."""
+    if not config.use_pallas:
+        return False
+    from cuda_optical_flow_2_tpu.kernels import lk_fused
+
+    return jax.default_backend() == "tpu" or lk_fused.interpret_forced()
+
+
+def _sweep_pallas(config) -> bool:
+    """Whether shard-local relaxation sweeps dispatch to the time-tiled
+    Pallas kernels (kernels/hs_sweep.hs_relax_band /
+    kernels/tvl1_sweep.tvl1_relax_band) instead of the XLA sweep loops —
+    the XLA forms pay one HBM round trip per sweep (their module
+    docstrings), which would leave TP ~20x off the single-chip path."""
+    if not config.use_pallas:
+        return False
+    from cuda_optical_flow_2_tpu.kernels import lk_fused
+
+    return jax.default_backend() == "tpu" or lk_fused.interpret_forced()
+
+
+def _band_warp(nxt, flow_c, config, axis_name, n, row0, h_global, r_out):
+    """Warp a shard band by a clamped flow, returning an ``r_out``-extended
+    warped band: Pallas select-loops when enabled, XLA gather twin else."""
+    d = int(math.ceil(config.max_displacement))
+    r_img = r_out + d + 2
+    nxt_p = halo_exchange(nxt, r_img, r_img, axis_name, n)
+    if _warp_pallas(config):
+        from cuda_optical_flow_2_tpu.kernels import lk_fused, warp_select
+
+        flow_p = halo_exchange(
+            flow_c, r_img, r_img, axis_name, n, row_axis=-3
+        )
+        warped = warp_select.warp_bilinear_select_band(
+            nxt_p, flow_p, row0 - r_img, h_global,
+            max_displacement=int(config.max_displacement),
+            d_local=config.d_local,
+            c_max=getattr(config, "c_max", 1),
+            interpret=lk_fused.interpret_forced(),
+            vma=(axis_name,),
+        )
+        return _crop_rows(warped, d + 2)
+    flow_p = halo_exchange(flow_c, r_out, r_out, axis_name, n, row_axis=-3)
+    return warp_bilinear_band(
+        nxt_p, flow_p, row0 - r_img, row0 - r_out, h_global
+    )
+
+
 # ---------------------------------------------------------------------------
 # Horn-Schunck
 # ---------------------------------------------------------------------------
@@ -83,7 +134,36 @@ def _local_hs_relax(
     flow is exchanged with ``K = sweep_tile`` halo rows and swept K times —
     band-edge contamination travels one row per sweep, so the kept interior
     equals the unsharded result exactly.
+
+    With ``config.use_pallas`` each chunk instead runs ONE invocation of the
+    time-tiled Pallas kernel on the exchanged band
+    (kernels/hs_sweep.hs_relax_band, global-coordinate boundary): the
+    gradient ring adds 2 halo rows per chunk, and the kernel recomputes the
+    gradients per chunk from the resident frame bands (noise next to K
+    sweeps — hs_sweep docstring).
     """
+    if _sweep_pallas(config):
+        from cuda_optical_flow_2_tpu.kernels import hs_sweep, lk_fused
+
+        k = min(sweep_tile, config.iterations, hs_sweep.MAX_SWEEPS)
+        rg = k + 2
+        prev_p = halo_exchange(prev, rg, rg, axis_name, n)
+        nxt_p = halo_exchange(nxt, rg, rg, axis_name, n)
+        uv = jnp.zeros(prev.shape + (2,), prev.dtype)
+        sweeps_left = config.iterations
+        for _ in range(-(-config.iterations // k)):
+            s = min(k, sweeps_left)
+            sweeps_left -= s
+            uv_p = halo_exchange(uv, rg, rg, axis_name, n, row_axis=-3)
+            uv_p = hs_sweep.hs_relax_band(
+                prev_p, nxt_p, uv_p, row0 - rg, h_global,
+                sweeps=s, alpha=config.alpha,
+                temporal_kernel=config.temporal_kernel,
+                interpret=lk_fused.interpret_forced(), vma=(axis_name,),
+            )
+            uv = _crop_rows(uv_p, rg, -3)
+        return uv
+
     k = min(sweep_tile, config.iterations)
     rg = k + 2
     prev_p = halo_exchange(prev, rg, rg, axis_name, n)
@@ -122,13 +202,9 @@ def _local_hs_relax(
 
 
 def _hs_warp_band(nxt, flow, config, axis_name, n, row0, h_global, r_out):
-    d = int(math.ceil(config.max_displacement))
-    r_img = r_out + d + 2
-    nxt_p = halo_exchange(nxt, r_img, r_img, axis_name, n)
     flow_c = jnp.clip(flow, -config.max_displacement, config.max_displacement)
-    flow_p = halo_exchange(flow_c, r_out, r_out, axis_name, n, row_axis=-3)
-    warped = warp_bilinear_band(
-        nxt_p, flow_p, row0 - r_img, row0 - r_out, h_global
+    warped = _band_warp(
+        nxt, flow_c, config, axis_name, n, row0, h_global, r_out
     )
     return flow_c, _crop_rows(warped, r_out)
 
@@ -212,7 +288,11 @@ def spatial_pyramidal_hs(
         mesh=mesh,
         in_specs=(P(axis_name, None), P(axis_name, None)),
         out_specs=P(axis_name, None, None),
-        check_vma=not _prefilter_pallas(config),
+        check_vma=not (
+            _prefilter_pallas(config)
+            or _warp_pallas(config)
+            or _sweep_pallas(config)
+        ),
     )
     return jax.jit(fn)(prev, nxt)
 
@@ -236,6 +316,69 @@ def _banded_expansion(frame_p, config, row0_pad, h_global):
     return poly_expansion(fz, config.poly_n, config.poly_sigma)
 
 
+def _fb_fused_enabled(config: FBConfig) -> bool:
+    """Whether _local_fb_level dispatches to the fused Pallas band kernel
+    (kernels/fb_step_fused.fb_band_step).  Same doctrine as the LK path
+    (parallel/spatial._fused_enabled): the hot path must be the fast path
+    under TP; the XLA form below stays as the use_pallas=False twin."""
+    if not config.use_pallas or config.warp_planes != "image":
+        return False
+    if config.gaussian_window or config.max_displacement > 96:
+        return False
+    if config.winsize > 33:
+        return False
+    from cuda_optical_flow_2_tpu.kernels import lk_fused
+
+    return jax.default_backend() == "tpu" or lk_fused.interpret_forced()
+
+
+def _fb_fused_halo(config: FBConfig) -> int:
+    """Caller-side halo for the fused band kernel: the kernel's band margin
+    (rb, sublane-rounded window+expansion reach) plus the warp budget."""
+    r_win, r_poly, _ = _fb_radii(config)
+    rb = -(-(r_win + r_poly + 1) // 4) * 4
+    return rb + int(math.ceil(config.max_displacement)) + 2
+
+
+def _local_fb_level_fused(
+    prev, nxt, flow, config, axis_name, n, row0, h_global
+):
+    """Fused-Pallas shard-local FB level: ONE kernel per iteration on the
+    halo-extended band (kernels/fb_step_fused.fb_band_step) — warp +
+    re-expansion + window sums + solve without leaving VMEM.
+
+    The prev expansion and the next band are exchanged once per level; each
+    iteration re-exchanges only the flow.  Band-edge rows are garbage by
+    construction and cropped.
+    """
+    from cuda_optical_flow_2_tpu.kernels import fb_step_fused, lk_fused
+
+    _, r_poly, _ = _fb_radii(config)
+    halo = _fb_fused_halo(config)
+    interp = lk_fused.interpret_forced()
+
+    prev_p = halo_exchange(prev, halo + r_poly, halo + r_poly, axis_name, n)
+    exp1 = tuple(
+        _crop_rows(x, r_poly)
+        for x in _banded_expansion(
+            prev_p, config, row0 - halo - r_poly, h_global
+        )
+    )
+    nxt_p = halo_exchange(nxt, halo, halo, axis_name, n)
+
+    first = flow is None
+    if first:
+        flow = jnp.zeros(prev.shape + (2,), prev.dtype)
+    for it in range(config.iterations):
+        flow_p = halo_exchange(flow, halo, halo, axis_name, n, row_axis=-3)
+        out = fb_step_fused.fb_band_step(
+            nxt_p, exp1, flow_p, row0 - halo, config, h_global,
+            first=first and it == 0, interpret=interp, vma=(axis_name,),
+        )
+        flow = _crop_rows(out, halo, -3)
+    return flow
+
+
 def _local_fb_level(prev, nxt, flow, config, axis_name, n, row0, h_global):
     """One Farnebäck level on a row shard (image-warp formulation).
 
@@ -243,7 +386,15 @@ def _local_fb_level(prev, nxt, flow, config, axis_name, n, row0, h_global):
     once on an ``r_e``-padded band; each iteration warps the next-frame band
     by the current flow, re-expands it, and solves the windowed normal
     equations, cropping back to the shard's rows.
+
+    With ``config.use_pallas`` (image formulation) the whole shard-local
+    step runs as the fused Pallas band kernel instead — see
+    :func:`_local_fb_level_fused`.
     """
+    if _fb_fused_enabled(config):
+        return _local_fb_level_fused(
+            prev, nxt, flow, config, axis_name, n, row0, h_global
+        )
     r_win, r_poly, r_e = _fb_radii(config)
     d = int(math.ceil(config.max_displacement))
     r_img = r_e + d + 2
@@ -331,6 +482,10 @@ def validate_spatial_fb(h: int, w: int, config: FBConfig, n: int) -> None:
         )
     _, _, r_e = _fb_radii(config)
     r_img = r_e + int(math.ceil(config.max_displacement)) + 2
+    if _fb_fused_enabled(config):
+        # the fused band kernel's margin is sublane-rounded (slightly wider)
+        r_img = max(r_img, _fb_fused_halo(config))
+        r_e = max(r_e, -(-(r_e + 1) // 4) * 4)
     for lvl in range(config.levels):
         hk = (h >> lvl) // n
         # every level past the coarsest warps (needs r_img); the coarsest
@@ -383,7 +538,7 @@ def spatial_pyramidal_fb(
         mesh=mesh,
         in_specs=(P(axis_name, None), P(axis_name, None)),
         out_specs=P(axis_name, None, None),
-        check_vma=not _prefilter_pallas(config),
+        check_vma=not (_prefilter_pallas(config) or _fb_fused_enabled(config)),
     )
     return jax.jit(fn)(prev, nxt)
 
@@ -473,31 +628,42 @@ def _tvl1_pd_band(consts, state, row0_pad, h_global, config, iters):
 def _local_tvl1_level(prev, nxt, flow, config, axis_name, n, row0, h_global,
                       iter_tile):
     """One TV-L1 level on a row shard: per-warp banded relinearizations with
-    time-tiled primal-dual chunks (``iter_tile`` iterations per exchange)."""
+    time-tiled primal-dual chunks (``iter_tile`` iterations per exchange).
+
+    With ``config.use_pallas`` each chunk runs ONE invocation of the
+    time-tiled Pallas kernel on the exchanged band
+    (kernels/tvl1_sweep.tvl1_relax_band, global-coordinate Neumann
+    boundary, six-plane carried state); the linearization constants are
+    recomputed in-kernel from the resident frame/flow bands.
+    """
+    pallas = _sweep_pallas(config)
     k = min(iter_tile, config.iterations)
+    if pallas:
+        from cuda_optical_flow_2_tpu.kernels import lk_fused, tvl1_sweep
+
+        k = min(k, tvl1_sweep.MAX_ITERS)
     rg = k + 2
-    d = int(math.ceil(config.max_displacement))
-    r_img = rg + d + 2
 
     prev_p = halo_exchange(prev, rg, rg, axis_name, n)
-    nxt_p = halo_exchange(nxt, r_img, r_img, axis_name, n)
     if flow is None:
         flow = jnp.zeros(prev.shape + (2,), prev.dtype)
 
     for _ in range(config.warps):
         flow = jnp.clip(flow, -config.max_displacement, config.max_displacement)
         flow_p = halo_exchange(flow, rg, rg, axis_name, n, row_axis=-3)
-        warped_p = warp_bilinear_band(
-            nxt_p, flow_p, row0 - r_img, row0 - rg, h_global
+        warped_p = _band_warp(
+            nxt, flow, config, axis_name, n, row0, h_global, rg
         )
         u0u, u0v = flow_p[..., 0], flow_p[..., 1]
-        # Linearization constants on the full rg band (Sobel ring stays 2
-        # rows clear of the iteration band), then cropped to the k band.
-        consts_f = _tvl1_constants(
-            prev_p, warped_p, u0u, u0v, row0 - rg, h_global, config
-        )
-        # rg - k == 2: drop the Sobel-ring margin rows.
-        consts = tuple(_crop_rows(x, rg - k, -2) for x in consts_f)
+        if not pallas:
+            # Linearization constants on the full rg band (Sobel ring stays
+            # 2 rows clear of the iteration band), then cropped to the k
+            # band.
+            consts_f = _tvl1_constants(
+                prev_p, warped_p, u0u, u0v, row0 - rg, h_global, config
+            )
+            # rg - k == 2: drop the Sobel-ring margin rows.
+            consts = tuple(_crop_rows(x, rg - k, -2) for x in consts_f)
         # time-tiled primal-dual: duals carried between chunks
         zl = jnp.zeros_like(prev)
         state_loc = (flow[..., 0], flow[..., 1], zl, zl, zl, zl)
@@ -506,6 +672,22 @@ def _local_tvl1_level(prev, nxt, flow, config, axis_name, n, row0, h_global,
         for _c in range(n_chunks):
             s = min(k, left)
             left -= s
+            if pallas:
+                stacked = halo_exchange(
+                    jnp.stack(state_loc), rg, rg, axis_name, n, row_axis=-2
+                )
+                state_b = tvl1_sweep.tvl1_relax_band(
+                    prev_p, warped_p, flow_p,
+                    tuple(stacked[i] for i in range(6)),
+                    row0 - rg, h_global,
+                    iterations=s, lambda_=config.lambda_,
+                    theta=config.theta, tau=config.tau,
+                    eps=config.epsilon,
+                    interpret=lk_fused.interpret_forced(),
+                    vma=(axis_name,),
+                )
+                state_loc = tuple(_crop_rows(x, rg, -2) for x in state_b)
+                continue
             stacked = halo_exchange(
                 jnp.stack(state_loc), k, k, axis_name, n, row_axis=-2
             )
@@ -604,6 +786,10 @@ def spatial_pyramidal_tvl1(
         mesh=mesh,
         in_specs=(P(axis_name, None), P(axis_name, None)),
         out_specs=P(axis_name, None, None),
-        check_vma=not _prefilter_pallas(config),
+        check_vma=not (
+            _prefilter_pallas(config)
+            or _warp_pallas(config)
+            or _sweep_pallas(config)
+        ),
     )
     return jax.jit(fn)(prev, nxt)

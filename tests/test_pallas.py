@@ -269,3 +269,102 @@ def test_prefilter_dispatches_to_kernel(rng, monkeypatch):
     xla = preprocess(frame, of.LKConfig(levels=2, prefilter=pf, use_pallas=False))
     for a, b in zip(pal, xla):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_fb_band_step_matches_full_image(rng):
+    """fb_band_step on a band == fb_level_step rows (global-coordinate
+    masking), incl. global-edge bands."""
+    from cuda_optical_flow_2_tpu.kernels import fb_step_fused
+    from cuda_optical_flow_2_tpu.models.farneback import FBConfig
+    from cuda_optical_flow_2_tpu.ops.poly_exp import poly_expansion
+
+    h, w = 64, 80
+    prev = jnp.asarray(rng.integers(0, 256, (h, w)).astype(np.float32))
+    nxt = jnp.asarray(rng.integers(0, 256, (h, w)).astype(np.float32))
+    flow = jnp.asarray(rng.normal(0, 1.5, (h, w, 2)).astype(np.float32))
+    cfg = FBConfig(levels=1, iterations=1, winsize=9, poly_n=5,
+                   max_displacement=4)
+    exp1 = poly_expansion(prev, cfg.poly_n, cfg.poly_sigma)
+    full = np.asarray(
+        fb_step_fused.fb_level_step(nxt, exp1, flow, cfg, interpret=True)
+    )
+    halo = 8 + 4 + 2  # rb(round_up(r_win+r_poly+1, 4)) + d + 2
+    for lo, hi in ((24, 48), (0, 32), (32, 64)):
+        a, b = max(lo - halo, 0), min(hi + halo, h)
+        band = np.asarray(
+            fb_step_fused.fb_band_step(
+                nxt[a:b], tuple(x[a:b] for x in exp1), flow[a:b], a, cfg, h,
+                interpret=True,
+            )
+        )
+        np.testing.assert_allclose(
+            band[lo - a : hi - a], full[lo:hi], atol=1e-5
+        )
+
+
+def test_warp_select_band_matches_full_image(rng):
+    """warp_bilinear_select_band on a band == the whole-image select warp."""
+    from cuda_optical_flow_2_tpu.kernels import warp_select
+
+    h, w = 64, 80
+    img = jnp.asarray(rng.integers(0, 256, (h, w)).astype(np.float32))
+    flow = jnp.asarray(rng.normal(0, 2.0, (h, w, 2)).astype(np.float32))
+    full = np.asarray(
+        warp_select.warp_bilinear_select(
+            img, flow, max_displacement=4, interpret=True
+        )
+    )
+    halo = 4 + 2
+    for lo, hi in ((24, 48), (0, 32), (32, 64)):
+        a, b = max(lo - halo, 0), min(hi + halo, h)
+        band = np.asarray(
+            warp_select.warp_bilinear_select_band(
+                img[a:b], flow[a:b], a, h, max_displacement=4, interpret=True
+            )
+        )
+        np.testing.assert_array_equal(band[lo - a : hi - a], full[lo:hi])
+
+
+def test_hs_relax_band_matches_full_image(rng):
+    """hs_relax_band on a band == hs_relax rows (global-coordinate zero-pad
+    boundary), incl. global-edge bands; caller halo = sweeps + 2."""
+    from cuda_optical_flow_2_tpu.kernels import hs_sweep
+
+    h, w = 64, 80
+    prev, nxt = _pair(rng, h, w)
+    kw = dict(alpha=8.0, temporal_kernel="gauss3", interpret=True)
+    full = np.asarray(hs_sweep.hs_relax(prev, nxt, None, iterations=8, **kw))
+    rg = 8 + 2
+    for lo, hi in ((24, 48), (0, 32), (32, 64)):
+        a, b = max(lo - rg, 0), min(hi + rg, h)
+        band = np.asarray(
+            hs_sweep.hs_relax_band(
+                prev[a:b], nxt[a:b], None, a, h, sweeps=8, **kw
+            )
+        )
+        np.testing.assert_array_equal(band[lo - a : hi - a], full[lo:hi])
+
+
+def test_tvl1_relax_band_matches_full_image(rng):
+    """tvl1_relax_band on a band == tvl1_relax rows (global-coordinate
+    Neumann boundary), all six carried state planes exact."""
+    from cuda_optical_flow_2_tpu.kernels import tvl1_sweep
+
+    h, w = 64, 80
+    prev, warped = _pair(rng, h, w)
+    flow = jnp.asarray(rng.normal(0, 1.0, (h, w, 2)).astype(np.float32))
+    kw = dict(lambda_=0.15, theta=0.3, tau=0.25, eps=1e-6, interpret=True)
+    full = np.asarray(
+        tvl1_sweep.tvl1_relax(prev, warped, flow, flow, iterations=10, **kw)
+    )
+    rg = 10 + 2
+    for lo, hi in ((24, 48), (0, 32), (32, 64)):
+        a, b = max(lo - rg, 0), min(hi + rg, h)
+        st = (flow[a:b, :, 0], flow[a:b, :, 1]) + (
+            jnp.zeros((b - a, w), jnp.float32),
+        ) * 4
+        out = tvl1_sweep.tvl1_relax_band(
+            prev[a:b], warped[a:b], flow[a:b], st, a, h, iterations=10, **kw
+        )
+        band = np.stack([np.asarray(out[0]), np.asarray(out[1])], -1)
+        np.testing.assert_array_equal(band[lo - a : hi - a], full[lo:hi])

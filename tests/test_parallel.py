@@ -389,3 +389,46 @@ def test_grid_fused_pallas_matches_unsharded(monkeypatch):
     want = of.pyramidal_lk(p, n, cfg)
     np.testing.assert_allclose(np.asarray(flow[0]), np.asarray(want), atol=1e-4)
     np.testing.assert_allclose(np.asarray(flow[1]), np.asarray(want), atol=1e-4)
+
+
+def test_spatial_pallas_all_families(monkeypatch):
+    """Every family's TP hot path runs the Pallas kernels shard-locally
+    (fused FB band step; select-loop band warps for HS/TV-L1) and matches
+    its unsharded Pallas twin (interpret mode)."""
+    from cuda_optical_flow_2_tpu.models import farneback as fb
+    from cuda_optical_flow_2_tpu.models import horn_schunck as hs
+    from cuda_optical_flow_2_tpu.models import tvl1
+
+    from cuda_optical_flow_2_tpu.utils import io as uio
+
+    monkeypatch.setenv("OF2_PALLAS_INTERPRET", "1")
+    mesh = parallel.make_mesh(axis_name="space")
+
+    # Smooth texture: the select-warp's per-TILE recentering picks different
+    # candidate windows for band tiles vs whole-image tiles, so exactness
+    # requires the within-tile flow variation to fit +-d_local around either
+    # mean (the documented select-warp condition); the checkerboard's spiky
+    # FB estimates violate it.
+    seq = uio.synthetic_sequence(2, 1024, 64, velocity=(2.0, 1.0), noise=0.0)
+    p, n = (jnp.asarray(s, jnp.float32) for s in seq)
+    cfg_f = fb.FBConfig(levels=3, iterations=2, winsize=11, use_pallas=True,
+                        max_displacement=4)
+    flow = parallel.spatial_pyramidal_fb(p, n, cfg_f, mesh)
+    want = fb.pyramidal_farneback(p, n, cfg_f)
+    # The fused band kernel IS the unsharded kernel on global coordinates:
+    # 3 orders tighter than the XLA-TP form's 2e-2 accumulation bound.
+    np.testing.assert_allclose(np.asarray(flow), np.asarray(want), atol=1e-4)
+
+    seq = uio.synthetic_sequence(2, 512, 64, velocity=(2.0, 1.0), noise=0.0)
+    p, n = (jnp.asarray(s, jnp.float32) for s in seq)
+    cfg_h = hs.HSConfig(alpha=8.0, iterations=20, levels=3, use_pallas=True,
+                        max_displacement=16)
+    flow = parallel.spatial_pyramidal_hs(p, n, cfg_h, mesh, sweep_tile=6)
+    want = hs.pyramidal_hs(p, n, cfg_h)
+    np.testing.assert_allclose(np.asarray(flow), np.asarray(want), atol=1e-4)
+
+    cfg_t = tvl1.TVL1Config(levels=2, warps=2, iterations=10,
+                            use_pallas=True, max_displacement=8)
+    flow = parallel.spatial_pyramidal_tvl1(p, n, cfg_t, mesh)
+    want = tvl1.pyramidal_tvl1(p, n, cfg_t)
+    np.testing.assert_allclose(np.asarray(flow), np.asarray(want), atol=1e-4)
