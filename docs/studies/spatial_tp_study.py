@@ -15,7 +15,16 @@ import jax
 import jax.numpy as jnp
 
 from cuda_optical_flow_2_tpu import LKConfig, pyramidal_lk
-from cuda_optical_flow_2_tpu.parallel import make_mesh, spatial_pyramidal_lk
+from cuda_optical_flow_2_tpu.models.farneback import FBConfig, pyramidal_farneback
+from cuda_optical_flow_2_tpu.models.horn_schunck import HSConfig, pyramidal_hs
+from cuda_optical_flow_2_tpu.models.tvl1 import TVL1Config, pyramidal_tvl1
+from cuda_optical_flow_2_tpu.parallel import (
+    make_mesh,
+    spatial_pyramidal_fb,
+    spatial_pyramidal_hs,
+    spatial_pyramidal_lk,
+    spatial_pyramidal_tvl1,
+)
 from cuda_optical_flow_2_tpu.utils import io
 from cuda_optical_flow_2_tpu.utils.profiling import device_time
 
@@ -40,7 +49,45 @@ def main() -> None:
             prev, nxt, iters=10,
         )
         print(
-            f"{name}: unsharded {t_un*1e3:7.2f} ms | TP(n=1) "
+            f"LK/{name}: unsharded {t_un*1e3:7.2f} ms | TP(n=1) "
+            f"{t_tp*1e3:7.2f} ms | ratio {t_tp/t_un:.2f}x",
+            flush=True,
+        )
+
+    # Round-2 follow-up: the other families' TP hot paths (fused FB band
+    # step; select-loop band warps + time-tiled band sweeps for HS/TV-L1).
+    fams = (
+        (
+            "HS",
+            HSConfig(levels=3, iterations=60, alpha=8.0,
+                     max_displacement=16.0),
+            pyramidal_hs,
+            lambda p, n, c: spatial_pyramidal_hs(p, n, c, mesh),
+        ),
+        (
+            "FB",
+            FBConfig(levels=3, iterations=3, winsize=15,
+                     max_displacement=16.0),
+            pyramidal_farneback,
+            lambda p, n, c: spatial_pyramidal_fb(p, n, c, mesh),
+        ),
+        (
+            "TVL1",
+            TVL1Config(levels=3, warps=3, iterations=28,
+                       max_displacement=16.0),
+            pyramidal_tvl1,
+            lambda p, n, c: spatial_pyramidal_tvl1(p, n, c, mesh),
+        ),
+    )
+    for name, cfg, un_fn, tp_fn in fams:
+        t_un = device_time(
+            lambda p, n, f=un_fn, c=cfg: f(p, n, c), prev, nxt, iters=10
+        )
+        t_tp = device_time(
+            lambda p, n, f=tp_fn, c=cfg: f(p, n, c), prev, nxt, iters=10
+        )
+        print(
+            f"{name}/Pallas: unsharded {t_un*1e3:7.2f} ms | TP(n=1) "
             f"{t_tp*1e3:7.2f} ms | ratio {t_tp/t_un:.2f}x",
             flush=True,
         )
