@@ -71,8 +71,10 @@ class HSConfig:
         (kernels/hs_sweep.py — K sweeps per HBM round trip instead of one)
         and the select-based Pallas warp in the pyramidal driver; the XLA
         scan/gather path is the fallback and the correctness twin.
-      max_displacement / d_local: per-level warp displacement budget and
-        per-tile scan range for the Pallas warp (same semantics as LKConfig).
+      max_displacement / d_local / c_max: per-level warp displacement
+        budget, per-tile scan range, and row-choice correction range for the
+        Pallas warp (same semantics as LKConfig; raise c_max to 2 for
+        bit-exact warps on fast-varying flows — docs/PERF.md c_max study).
     """
 
     alpha: float = 10.0
@@ -83,12 +85,15 @@ class HSConfig:
     use_pallas: bool = True
     max_displacement: int = 32
     d_local: int = 7
+    c_max: int = 1
 
     def __post_init__(self) -> None:
         if self.alpha <= 0:
             raise ValueError(f"alpha must be > 0, got {self.alpha}")
         if self.iterations < 1 or self.levels < 1:
             raise ValueError("iterations and levels must be >= 1")
+        if self.c_max < 0:
+            raise ValueError(f"c_max must be >= 0, got {self.c_max}")
 
 
 def hs_level(

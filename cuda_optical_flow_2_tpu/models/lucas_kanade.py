@@ -156,6 +156,7 @@ def _pick_warp(img: jax.Array, config: LKConfig):
                     warp_select.warp_bilinear_select,
                     max_displacement=config.max_displacement,
                     d_local=config.d_local,
+                    c_max=config.c_max,
                     interpret=_interpret_forced(),
                 ),
                 True,

@@ -121,11 +121,15 @@ def _zero_outside_global(x: jax.Array, row0, h_global: int, row_axis: int = -2):
 
 
 def _prefilter_pallas(config) -> bool:
-    """Whether the shard-local prefilter dispatches to the Pallas kernel."""
+    """Whether the shard-local prefilter dispatches to the Pallas kernel.
+    Mirrors the unsharded dispatch bounds (bilateral_tap.supported), so a
+    window the single-chip path routes to XLA stays XLA under TP."""
     if config.prefilter is None or not config.use_pallas:
         return False
-    from cuda_optical_flow_2_tpu.kernels import lk_fused
+    from cuda_optical_flow_2_tpu.kernels import bilateral_tap, lk_fused
 
+    if config.prefilter.window > bilateral_tap._MAX_WINDOW:
+        return False
     return jax.default_backend() == "tpu" or lk_fused.interpret_forced()
 
 
@@ -319,9 +323,17 @@ def _local_lk_level_fused(
     """
     from cuda_optical_flow_2_tpu.kernels import lk_step_fused
 
+    iterations = config.iterations
+    warps_here = iterations > 1 or flow is not None
+    # frames are constant across iterations: ONE exchange at the widest halo
+    # this level needs; narrower-halo calls crop the same band.
+    big = r_img if warps_here else r_grad
+    prev_b = halo_exchange(prev, big, big, axis_name, n)
+    nxt_b = halo_exchange(nxt, big, big, axis_name, n)
+
     def fused_iter(flow_b, halo):
-        prev_p = halo_exchange(prev, halo, halo, axis_name, n)
-        nxt_p = halo_exchange(nxt, halo, halo, axis_name, n)
+        prev_p = _crop_rows(prev_b, big - halo) if big != halo else prev_b
+        nxt_p = _crop_rows(nxt_b, big - halo) if big != halo else nxt_b
         flow_p = halo_exchange(flow_b, halo, halo, axis_name, n, row_axis=-3)
         out = lk_step_fused.lk_band_step(
             prev_p, nxt_p, flow_p, row0 - halo, config, h_global,
@@ -329,7 +341,6 @@ def _local_lk_level_fused(
         )
         return _crop_rows(out, halo, -3)
 
-    iterations = config.iterations
     if flow is None:
         flow = fused_iter(jnp.zeros(prev.shape + (2,), prev.dtype), r_grad)
         iterations -= 1

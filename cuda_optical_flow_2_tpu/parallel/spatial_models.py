@@ -65,8 +65,10 @@ __all__ = [
 def _warp_pallas(config) -> bool:
     """Whether shard-local band warps dispatch to the select-loop kernel
     (kernels/warp_select.warp_bilinear_select_band) instead of the XLA
-    gather form — the gather serializes on TPU (docs/PERF.md finding 1)."""
-    if not config.use_pallas:
+    gather form — the gather serializes on TPU (docs/PERF.md finding 1).
+    Mirrors the unsharded dispatch bounds (warp_select.supported), so a
+    config the single-chip path would route to XLA stays XLA under TP."""
+    if not config.use_pallas or config.max_displacement > 96:
         return False
     from cuda_optical_flow_2_tpu.kernels import lk_fused
 
@@ -86,18 +88,27 @@ def _sweep_pallas(config) -> bool:
     return jax.default_backend() == "tpu" or lk_fused.interpret_forced()
 
 
-def _band_warp(nxt, flow_c, config, axis_name, n, row0, h_global, r_out):
+def _band_warp(
+    nxt, flow_c, config, axis_name, n, row0, h_global, r_out, *,
+    nxt_p=None, flow_p=None,
+):
     """Warp a shard band by a clamped flow, returning an ``r_out``-extended
-    warped band: Pallas select-loops when enabled, XLA gather twin else."""
+    warped band: Pallas select-loops when enabled, XLA gather twin else.
+
+    ``nxt_p`` / ``flow_p`` accept pre-exchanged ``r_out + d + 2``-halo bands
+    so loops over a constant frame (the TV-L1 warps loop) exchange it once.
+    """
     d = int(math.ceil(config.max_displacement))
     r_img = r_out + d + 2
-    nxt_p = halo_exchange(nxt, r_img, r_img, axis_name, n)
+    if nxt_p is None:
+        nxt_p = halo_exchange(nxt, r_img, r_img, axis_name, n)
     if _warp_pallas(config):
         from cuda_optical_flow_2_tpu.kernels import lk_fused, warp_select
 
-        flow_p = halo_exchange(
-            flow_c, r_img, r_img, axis_name, n, row_axis=-3
-        )
+        if flow_p is None:
+            flow_p = halo_exchange(
+                flow_c, r_img, r_img, axis_name, n, row_axis=-3
+            )
         warped = warp_select.warp_bilinear_select_band(
             nxt_p, flow_p, row0 - r_img, h_global,
             max_displacement=int(config.max_displacement),
@@ -107,7 +118,8 @@ def _band_warp(nxt, flow_c, config, axis_name, n, row0, h_global, r_out):
             vma=(axis_name,),
         )
         return _crop_rows(warped, d + 2)
-    flow_p = halo_exchange(flow_c, r_out, r_out, axis_name, n, row_axis=-3)
+    if flow_p is None:
+        flow_p = halo_exchange(flow_c, r_out, r_out, axis_name, n, row_axis=-3)
     return warp_bilinear_band(
         nxt_p, flow_p, row0 - r_img, row0 - r_out, h_global
     )
@@ -480,18 +492,21 @@ def validate_spatial_fb(h: int, w: int, config: FBConfig, n: int) -> None:
             f"spatial FB needs H divisible by n_shards * 2^(levels-1) "
             f"= {n << top} and W by {1 << top}; got {h}x{w}"
         )
-    _, _, r_e = _fb_radii(config)
+    _, r_poly, r_e = _fb_radii(config)
     r_img = r_e + int(math.ceil(config.max_displacement)) + 2
-    if _fb_fused_enabled(config):
-        # the fused band kernel's margin is sublane-rounded (slightly wider)
-        r_img = max(r_img, _fb_fused_halo(config))
-        r_e = max(r_e, -(-(r_e + 1) // 4) * 4)
+    fused = _fb_fused_enabled(config)
+    # the fused local exchanges halo + r_poly rows of prev on EVERY level
+    # (expansion happens on the widest band, _local_fb_level_fused)
+    need_fused = _fb_fused_halo(config) + r_poly
     for lvl in range(config.levels):
         hk = (h >> lvl) // n
         # every level past the coarsest warps (needs r_img); the coarsest
         # only expands/windows (r_e), but iterations > 1 warp there too
         warps = lvl < top or config.iterations > 1
-        need = max(r_img if warps else r_e, 2)
+        if fused:
+            need = max(need_fused, 2)
+        else:
+            need = max(r_img if warps else r_e, 2)
         if hk < need:
             raise ValueError(
                 f"FB level {lvl} holds {hk} rows/shard but its halos need "
@@ -643,16 +658,29 @@ def _local_tvl1_level(prev, nxt, flow, config, axis_name, n, row0, h_global,
 
         k = min(k, tvl1_sweep.MAX_ITERS)
     rg = k + 2
+    d = int(math.ceil(config.max_displacement))
+    r_img = rg + d + 2
 
     prev_p = halo_exchange(prev, rg, rg, axis_name, n)
+    # the next frame is constant across warps: exchange its warp band ONCE
+    nxt_pw = halo_exchange(nxt, r_img, r_img, axis_name, n)
     if flow is None:
         flow = jnp.zeros(prev.shape + (2,), prev.dtype)
 
     for _ in range(config.warps):
         flow = jnp.clip(flow, -config.max_displacement, config.max_displacement)
-        flow_p = halo_exchange(flow, rg, rg, axis_name, n, row_axis=-3)
+        if _warp_pallas(config):
+            # one wide exchange serves both the select-warp (r_img) and the
+            # linearization band (rg = r_img - d - 2, cropped view)
+            flow_pw = halo_exchange(flow, r_img, r_img, axis_name, n,
+                                    row_axis=-3)
+            flow_p = _crop_rows(flow_pw, d + 2, -3)
+        else:
+            flow_pw = halo_exchange(flow, rg, rg, axis_name, n, row_axis=-3)
+            flow_p = flow_pw
         warped_p = _band_warp(
-            nxt, flow, config, axis_name, n, row0, h_global, rg
+            nxt, flow, config, axis_name, n, row0, h_global, rg,
+            nxt_p=nxt_pw, flow_p=flow_pw,
         )
         u0u, u0v = flow_p[..., 0], flow_p[..., 1]
         if not pallas:

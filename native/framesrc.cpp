@@ -200,7 +200,7 @@ extern "C" {
 
 // Binary P6/P5 PPM/PGM header probe: fills h, w, channels.  Returns 0 on
 // success; -1 open failure; -2 malformed header; -3 unsupported magic;
-// -4 unsupported maxval (only 8-bit, maxval 1..255, is supported).
+// -4 unsupported maxval (only maxval 255 — matches utils/io.read_ppm).
 int of2_ppm_probe(const char* path, int* h, int* w, int* channels) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
@@ -434,6 +434,10 @@ void of2_stream_close(void* sp) {
     s->consumed = s->produced;
   }
   s->cv_full.notify_all();
+  // also wake any consumer blocked in of2_stream_next2's cv_empty.wait
+  // (its predicate checks stop); without this, a cross-thread close would
+  // deadlock the consumer and then delete the mutex/cv under it.
+  s->cv_empty.notify_all();
   if (s->worker.joinable()) s->worker.join();
   delete s;
 }
