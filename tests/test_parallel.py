@@ -432,3 +432,45 @@ def test_spatial_pallas_all_families(monkeypatch):
     flow = parallel.spatial_pyramidal_tvl1(p, n, cfg_t, mesh)
     want = tvl1.pyramidal_tvl1(p, n, cfg_t)
     np.testing.assert_allclose(np.asarray(flow), np.asarray(want), atol=1e-4)
+
+
+def test_halo_exchange_counts_hoisted(monkeypatch):
+    """Loop-invariant frame bands are exchanged ONCE per level, not per
+    iteration/warp: the collective-permute count of the lowered sharded
+    program matches the hoisted formula exactly (one exchange = 2 permutes,
+    up + down).  On a real mesh every exchange is an ICI neighbor transfer,
+    so this pins the communication volume per level:
+      LK fused level:  2 frame exchanges + 1 flow exchange per iteration
+      TV-L1 level:     2 frame exchanges + (1 flow exchange +
+                       ceil(iterations / iter_tile) sweep-chunk exchanges)
+                       per warp
+    """
+    from cuda_optical_flow_2_tpu.models import tvl1
+
+    monkeypatch.setenv("OF2_PALLAS_INTERPRET", "1")
+    mesh = parallel.make_mesh(8, axis_name="space")
+    p = jnp.zeros((768, 128), jnp.float32)
+    n = jnp.zeros_like(p)
+
+    def permutes(fn):
+        return jax.jit(fn).lower(p, n).as_text().count("collective_permute")
+
+    for it in (1, 3):
+        cfg = of.LKConfig(
+            levels=1, window=9, iterations=it, max_displacement=8.0
+        )
+        got = permutes(
+            lambda a, b, c=cfg: parallel.spatial_pyramidal_lk(a, b, c, mesh)
+        )
+        assert got == 2 * (2 + it), (it, got)
+
+    for warps in (1, 3):
+        cfg = tvl1.TVL1Config(
+            levels=1, warps=warps, iterations=8, max_displacement=8
+        )
+        got = permutes(
+            lambda a, b, c=cfg: parallel.spatial_pyramidal_tvl1(
+                a, b, c, mesh, iter_tile=4
+            )
+        )
+        assert got == 2 * (2 + warps * (1 + 2)), (warps, got)
