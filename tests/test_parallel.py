@@ -474,3 +474,16 @@ def test_halo_exchange_counts_hoisted(monkeypatch):
             )
         )
         assert got == 2 * (2 + warps * (1 + 2)), (warps, got)
+
+    # FB fused level: prev expansion band + next band once, flow per
+    # iteration — same 2*(2 + iterations) shape as LK.
+    from cuda_optical_flow_2_tpu.models import farneback as fb
+
+    for it in (1, 3):
+        cfg = fb.FBConfig(
+            levels=1, iterations=it, winsize=11, max_displacement=4
+        )
+        got = permutes(
+            lambda a, b, c=cfg: parallel.spatial_pyramidal_fb(a, b, c, mesh)
+        )
+        assert got == 2 * (2 + it), (it, got)
