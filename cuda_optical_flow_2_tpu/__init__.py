@@ -11,6 +11,9 @@ Public API:
     import cuda_optical_flow_2_tpu as of
 
     flow = of.pyramidal_lk(prev_gray, next_gray, of.LKConfig(levels=4))
+
+    # or model-generic, dispatched on the config type:
+    flow = of.pyramidal_flow(prev_gray, next_gray, of.TVL1Config())
 """
 
 from cuda_optical_flow_2_tpu.config import (
@@ -19,6 +22,17 @@ from cuda_optical_flow_2_tpu.config import (
     PAPER_1080P,
     REFERENCE_CPU,
     REFERENCE_GPU,
+)
+from cuda_optical_flow_2_tpu.models import (
+    FBConfig,
+    HSConfig,
+    TVL1_REALTIME,
+    TVL1Config,
+    process_sequence,
+    pyramidal_farneback,
+    pyramidal_flow,
+    pyramidal_hs,
+    pyramidal_tvl1,
 )
 from cuda_optical_flow_2_tpu.models.lucas_kanade import (
     compose_flow_pyramid,
@@ -33,12 +47,21 @@ __version__ = "0.1.0"
 __all__ = [
     "BilateralConfig",
     "LKConfig",
+    "HSConfig",
+    "FBConfig",
+    "TVL1Config",
+    "TVL1_REALTIME",
     "REFERENCE_CPU",
     "REFERENCE_GPU",
     "PAPER_1080P",
+    "pyramidal_flow",
     "pyramidal_lk",
     "pyramidal_lk_jit",
     "pyramidal_lk_pyramid",
+    "pyramidal_hs",
+    "pyramidal_farneback",
+    "pyramidal_tvl1",
+    "process_sequence",
     "lk_level",
     "compose_flow_pyramid",
     "__version__",
