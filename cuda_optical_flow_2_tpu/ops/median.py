@@ -24,14 +24,6 @@ import jax.numpy as jnp
 __all__ = ["median_filter"]
 
 
-def _shift_edge(x: jax.Array, dy: int, dx: int) -> jax.Array:
-    """out[y, x] = in[clamp(y+dy), clamp(x+dx)] (edge-replicated shift)."""
-    h, w = x.shape[-2:]
-    ys = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
-    xs = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
-    return x[..., ys, :][..., :, xs]
-
-
 def _median_network(vals: list[jax.Array]) -> jax.Array:
     """Median of n same-shaped arrays via pairwise min/max elimination.
 
@@ -69,9 +61,17 @@ def median_filter(x: jax.Array, size: int = 5) -> jax.Array:
     if size == 1:
         return x
     r = size // 2
+    # One edge pad + k^2 STATIC slices: each slice is a constant-offset view
+    # (zero-cost sublane / cheap lane shift on TPU) — never a gather, which
+    # serializes per element (docs/PERF.md finding 1).
+    h, w = x.shape[-2:]
+    pads = [(0, 0)] * (x.ndim - 2) + [(r, r), (r, r)]
+    xp = jnp.pad(x, pads, mode="edge")
     vals = [
-        _shift_edge(x, dy, dx)
-        for dy in range(-r, r + 1)
-        for dx in range(-r, r + 1)
+        jax.lax.slice_in_dim(
+            jax.lax.slice_in_dim(xp, dy, dy + h, axis=-2), dx, dx + w, axis=-1
+        )
+        for dy in range(size)
+        for dx in range(size)
     ]
     return _median_network(vals)

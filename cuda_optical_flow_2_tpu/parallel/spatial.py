@@ -367,14 +367,21 @@ def _fused_enabled(config: LKConfig) -> bool:
     return jax.default_backend() == "tpu" or lk_fused.interpret_forced()
 
 
-def validate_spatial(h: int, w: int, config: LKConfig, n: int) -> None:
-    """Raise with a precise message if (h, w) can't be row-sharded n ways."""
+def validate_prefilter_shards(h: int, n: int, config) -> None:
+    """Shared check: every family's spatial validator must reject shards too
+    short to supply the bilateral prefilter's halo rows (model-generic — only
+    ``config.prefilter`` is consulted)."""
     if config.prefilter is not None and h // n < config.prefilter.window // 2:
         raise ValueError(
             f"prefilter window {config.prefilter.window} needs "
             f"{config.prefilter.window // 2} halo rows but each of {n} "
             f"shards holds only {h // n}"
         )
+
+
+def validate_spatial(h: int, w: int, config: LKConfig, n: int) -> None:
+    """Raise with a precise message if (h, w) can't be row-sharded n ways."""
+    validate_prefilter_shards(h, n, config)
     if config.warp_mode == "nearest":
         raise NotImplementedError("spatial sharding supports bilinear/none warps")
     r_grad, r_img = _halo_radius(config)

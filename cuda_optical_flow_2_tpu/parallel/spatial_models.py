@@ -50,6 +50,7 @@ from cuda_optical_flow_2_tpu.parallel.spatial import (
     _zero_outside_global,
     halo_exchange,
     shard_map,
+    validate_prefilter_shards,
 )
 
 __all__ = [
@@ -224,12 +225,7 @@ def _hs_warp_band(nxt, flow, config, axis_name, n, row0, h_global, r_out):
 def validate_spatial_hs(
     h: int, w: int, config: HSConfig, n: int, sweep_tile: int = 8
 ) -> None:
-    if config.prefilter is not None and h // n < config.prefilter.window // 2:
-        raise ValueError(
-            f"prefilter window {config.prefilter.window} needs "
-            f"{config.prefilter.window // 2} halo rows but each of {n} "
-            f"shards holds only {h // n}"
-        )
+    validate_prefilter_shards(h, n, config)
     top = config.levels - 1
     if h % (n << top) or (top and w % (1 << top)):
         raise ValueError(
@@ -476,12 +472,7 @@ def _local_fb_level(prev, nxt, flow, config, axis_name, n, row0, h_global):
 
 
 def validate_spatial_fb(h: int, w: int, config: FBConfig, n: int) -> None:
-    if config.prefilter is not None and h // n < config.prefilter.window // 2:
-        raise ValueError(
-            f"prefilter window {config.prefilter.window} needs "
-            f"{config.prefilter.window // 2} halo rows but each of {n} "
-            f"shards holds only {h // n}"
-        )
+    validate_prefilter_shards(h, n, config)
     if config.gaussian_window:
         raise NotImplementedError(
             "spatial FB supports the box window (gaussian_window=False)"
@@ -746,12 +737,7 @@ def _local_tvl1_level(prev, nxt, flow, config, axis_name, n, row0, h_global,
 def validate_spatial_tvl1(
     h: int, w: int, config, n: int, iter_tile: int = 8
 ) -> None:
-    if config.prefilter is not None and h // n < config.prefilter.window // 2:
-        raise ValueError(
-            f"prefilter window {config.prefilter.window} needs "
-            f"{config.prefilter.window // 2} halo rows but each of {n} "
-            f"shards holds only {h // n}"
-        )
+    validate_prefilter_shards(h, n, config)
     top = config.levels - 1
     if h % (n << top) or (top and w % (1 << top)):
         raise ValueError(

@@ -147,6 +147,44 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _make_warp_stage(nxt_l, clamped, config, n_bands):
+    """Shared 'warp' stage runner (LK and FB use the identical stage).
+
+    Threads the config's ``c_max`` into the select warp — the production
+    kernels run the config value (default 1), so the A/B row must too, or a
+    c_max-induced divergence (the documented staircase caveat, docs/PERF.md)
+    would vanish from the very report built to localize it.
+    """
+
+    def warp(backend):
+        if backend == "xla":
+            from cuda_optical_flow_2_tpu.ops.warp import warp_bilinear
+
+            return warp_bilinear(nxt_l, clamped)
+        if backend == "pallas":
+            from cuda_optical_flow_2_tpu.kernels import warp_select
+
+            return warp_select.warp_bilinear_select(
+                nxt_l, clamped, max_displacement=config.max_displacement,
+                d_local=config.d_local, c_max=config.c_max,
+                interpret=_interpret(),
+            )
+        if backend == "banded":
+            from cuda_optical_flow_2_tpu.ops.warp import warp_bilinear_band
+
+            halo = int(np.ceil(config.max_displacement)) + 2
+            h = nxt_l.shape[-2]
+            outs = []
+            for lo, hi in _band_bounds(h, n_bands):
+                nb = _extend_band(nxt_l, lo, hi, halo)
+                fb = _extend_band(clamped, lo, hi, 0, row_axis=-3)
+                outs.append(warp_bilinear_band(nb, fb, lo - halo, lo, h))
+            return jnp.concatenate(outs, axis=-2)
+        return None
+
+    return warp
+
+
 def _guarded_solve_np(sums, det_eps: float) -> np.ndarray:
     """NumPy float twin of ops/solve.solve_2x2 (guarded Cramer)."""
     g11, g22, g12, h1, h2 = (np.asarray(s, np.float32) for s in sums)
@@ -249,28 +287,7 @@ def _lk_stages(prev_l, nxt_l, flow_in, config, n_bands):
             return _guarded_solve_np(sums, config.det_eps)
         return None
 
-    def warp(backend):
-        if backend == "xla":
-            return warp_bilinear(nxt_l, clamped)
-        if backend == "pallas":
-            from cuda_optical_flow_2_tpu.kernels import warp_select
-
-            return warp_select.warp_bilinear_select(
-                nxt_l, clamped, max_displacement=config.max_displacement,
-                d_local=config.d_local, interpret=_interpret(),
-            )
-        if backend == "banded":
-            from cuda_optical_flow_2_tpu.ops.warp import warp_bilinear_band
-
-            halo = int(np.ceil(config.max_displacement)) + 2
-            h = nxt_l.shape[-2]
-            outs = []
-            for lo, hi in _band_bounds(h, n_bands):
-                nb = _extend_band(nxt_l, lo, hi, halo)
-                fb = _extend_band(clamped, lo, hi, 0, row_axis=-3)
-                outs.append(warp_bilinear_band(nb, fb, lo - halo, lo, h))
-            return jnp.concatenate(outs, axis=-2)
-        return None
+    warp = _make_warp_stage(nxt_l, clamped, config, n_bands)
 
     def residual(backend):
         if backend == "xla":
@@ -367,28 +384,7 @@ def _fb_stages(prev_l, nxt_l, flow_in, config, n_bands):
             )(prev_l)
         return None
 
-    def warp(backend):
-        if backend == "xla":
-            return warp_bilinear(nxt_l, clamped)
-        if backend == "pallas":
-            from cuda_optical_flow_2_tpu.kernels import warp_select
-
-            return warp_select.warp_bilinear_select(
-                nxt_l, clamped, max_displacement=config.max_displacement,
-                d_local=config.d_local, interpret=_interpret(),
-            )
-        if backend == "banded":
-            from cuda_optical_flow_2_tpu.ops.warp import warp_bilinear_band
-
-            halo = int(np.ceil(config.max_displacement)) + 2
-            h = nxt_l.shape[-2]
-            outs = []
-            for lo, hi in _band_bounds(h, n_bands):
-                nb = _extend_band(nxt_l, lo, hi, halo)
-                fb = _extend_band(clamped, lo, hi, 0, row_axis=-3)
-                outs.append(warp_bilinear_band(nb, fb, lo - halo, lo, h))
-            return jnp.concatenate(outs, axis=-2)
-        return None
+    warp = _make_warp_stage(nxt_l, clamped, config, n_bands)
 
     def window_solve(backend):
         if backend == "xla":
@@ -651,6 +647,15 @@ def stage_report(
                 os.environ.pop("OF2_PALLAS_INTERPRET", None)
             else:
                 os.environ["OF2_PALLAS_INTERPRET"] = saved
+            # Cache-poisoning note: the flag is read at TRACE time, so an
+            # executable cached while it was forced would silently stay in
+            # interpret mode.  No such executable can outlive this scope:
+            # every kernel jit keys on an explicit `interpret` static arg,
+            # and the parallel/* entry points jit fresh per-call closures
+            # (re-traced each call).  The persistent jit wrappers
+            # (pyramidal_*_jit, streaming.step) are never called here — but
+            # the override IS process-global, so don't trace those from
+            # OTHER threads while a stage_report is in flight off-TPU.
     return out
 
 
