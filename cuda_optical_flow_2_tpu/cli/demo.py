@@ -37,6 +37,11 @@ __all__ = ["main"]
 
 def _load_frames(args) -> np.ndarray:
     if args.frames:
+        if args.frames.endswith(".y4m"):
+            frames = [f.astype(np.float32) for f in io.read_y4m(args.frames)]
+            if len(frames) < 2:
+                raise SystemExit(f"need >= 2 frames in {args.frames}")
+            return np.stack(frames)
         paths = sorted(glob.glob(args.frames))
         if len(paths) < 2:
             raise SystemExit(f"need >= 2 frames, matched {len(paths)}: {args.frames}")
@@ -76,7 +81,10 @@ def _dump_gradients(frame, prev_frame, levels: int, out_dir: str, idx: int) -> N
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     src = ap.add_mutually_exclusive_group()
-    src.add_argument("--frames", help="glob of input frames (png/ppm/npy)")
+    src.add_argument(
+        "--frames",
+        help="glob of input frames (png/ppm/npy), or a .y4m video file",
+    )
     src.add_argument(
         "--synthetic", type=int, default=8, help="number of synthetic frames"
     )
@@ -138,7 +146,9 @@ def main(argv=None) -> None:
 
     stream = None
     if args.native_stream:
-        if args.frames:
+        if args.frames and args.frames.endswith(".y4m"):
+            stream = native.FrameStream.from_y4m(args.frames)
+        elif args.frames:
             paths = sorted(glob.glob(args.frames))
             if len(paths) < 2:
                 raise SystemExit(f"need >= 2 frames, matched {len(paths)}")
@@ -239,8 +249,12 @@ def main(argv=None) -> None:
             if args.frames is None:
                 m = min(24, flow_np.shape[0] // 4, flow_np.shape[1] // 4)
                 inner = flow_np[m : flow_np.shape[0] - m, m : flow_np.shape[1] - m]
-                epe = float(np.hypot(inner[..., 0] - vx, inner[..., 1] - vy).mean())
-                msg += f"  EPE vs ({vx}, {vy}): {epe:.3f}"
+                # After a decode failure the pair spans the gap, so the true
+                # displacement is (frames skipped + 1) x the per-frame velocity.
+                gap = 1 if frames is not None else i - max(k for k in recent if k < i)
+                ex, ey = gap * vx, gap * vy
+                epe = float(np.hypot(inner[..., 0] - ex, inner[..., 1] - ey).mean())
+                msg += f"  EPE vs ({ex}, {ey}): {epe:.3f}"
             print(msg, flush=True)
             if args.out:
                 cur = frames[i] if frames is not None else recent[i]

@@ -19,8 +19,80 @@ __all__ = [
     "read_image",
     "read_flo",
     "write_flo",
+    "read_y4m",
+    "write_y4m",
     "synthetic_sequence",
 ]
+
+
+def read_y4m(path: str):
+    """Yield the luma plane of each frame of a Y4M video as (H, W) uint8.
+
+    Y4M (YUV4MPEG2) is the standard uncompressed video interchange format
+    (``ffmpeg -i clip.mp4 out.y4m``); the luma (Y) plane IS the grayscale
+    frame, so chroma planes are skipped unread.  Supports C420*/C422*/C444/
+    Cmono colorspaces.  Pure-Python twin of the native Y4M FrameStream
+    source (native/framesrc.cpp); the reference's video input is an OpenCV
+    webcam capture (main.cu:181-184).
+    """
+    with open(path, "rb") as f:
+        header = f.readline()
+        if not header.startswith(b"YUV4MPEG2"):
+            raise ValueError(f"not a Y4M stream: {path}")
+        w = h = 0
+        chroma = "420jpeg"
+        for tok in header.split()[1:]:
+            if tok[:1] == b"W":
+                w = int(tok[1:])
+            elif tok[:1] == b"H":
+                h = int(tok[1:])
+            elif tok[:1] == b"C":
+                chroma = tok[1:].decode()
+        if w <= 0 or h <= 0:
+            raise ValueError(f"malformed Y4M header: {header!r}")
+        cw, ch2 = (w + 1) // 2, (h + 1) // 2
+        if chroma.startswith("420"):
+            skip = 2 * cw * ch2
+        elif chroma.startswith("422"):
+            skip = 2 * cw * h
+        elif chroma == "444":
+            skip = 2 * w * h
+        elif chroma == "mono":
+            skip = 0
+        else:
+            raise ValueError(f"unsupported Y4M colorspace C{chroma}")
+        while True:
+            line = f.readline()
+            if not line:
+                return  # clean EOF at a frame boundary
+            if not line.startswith(b"FRAME"):
+                raise ValueError(f"malformed Y4M frame marker: {line[:16]!r}")
+            y = f.read(w * h)
+            if len(y) != w * h:
+                raise ValueError("truncated Y4M frame")
+            if skip and len(f.read(skip)) != skip:
+                raise ValueError("truncated Y4M chroma planes")
+            yield np.frombuffer(y, np.uint8).reshape(h, w).copy()
+
+
+def write_y4m(path: str, frames, fps: tuple[int, int] = (30, 1)) -> None:
+    """Write (H, W) uint8 luma frames as a Cmono Y4M video."""
+    it = iter(frames)
+    with open(path, "wb") as f:
+        wrote_header = False
+        for frame in it:
+            frame = np.asarray(frame)
+            if frame.dtype != np.uint8 or frame.ndim != 2:
+                raise ValueError("write_y4m expects (H, W) uint8 frames")
+            if not wrote_header:
+                h, w = frame.shape
+                f.write(
+                    b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 Cmono\n"
+                    % (w, h, fps[0], fps[1])
+                )
+                wrote_header = True
+            f.write(b"FRAME\n")
+            f.write(frame.tobytes())
 
 
 def read_ppm(path: str) -> np.ndarray:

@@ -50,7 +50,7 @@ def _try_load() -> ctypes.CDLL | None:
         lib.of2_gray_u8.argtypes = [u8p, ctypes.c_int, ctypes.c_int, u8p]
         lib.of2_u8_to_f32.argtypes = [u8p, ctypes.c_int64, f32p]
         lib.of2_synthetic_frame.argtypes = [
-            ctypes.c_int,
+            ctypes.c_int64,  # 64-bit frame index: unbounded streams never wrap
             ctypes.c_int,
             ctypes.c_int,
             ctypes.c_double,
@@ -70,6 +70,14 @@ def _try_load() -> ctypes.CDLL | None:
         lib.of2_stream_open_synthetic.restype = ctypes.c_void_p
         lib.of2_stream_open_ppm.argtypes = [ctypes.c_char_p, ctypes.c_int]
         lib.of2_stream_open_ppm.restype = ctypes.c_void_p
+        lib.of2_stream_open_y4m.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        lib.of2_stream_open_y4m.restype = ctypes.c_void_p
+        lib.of2_y4m_probe.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.of2_y4m_probe.restype = ctypes.c_int
         lib.of2_stream_info.argtypes = [
             ctypes.c_void_p,
             ctypes.POINTER(ctypes.c_int),
@@ -83,12 +91,14 @@ def _try_load() -> ctypes.CDLL | None:
             f32p,
             ctypes.POINTER(ctypes.c_int),
         ]
-        lib.of2_stream_next2.restype = ctypes.c_int
+        lib.of2_stream_next2.restype = ctypes.c_int64
         lib.of2_stream_stats.argtypes = [
             ctypes.c_void_p,
             ctypes.POINTER(ctypes.c_longlong),
             ctypes.POINTER(ctypes.c_longlong),
         ]
+        lib.of2_stream_stats.restype = None
+        lib.of2_stream_stop.argtypes = [ctypes.c_void_p]
         lib.of2_stream_close.argtypes = [ctypes.c_void_p]
         _lib = lib
     except (OSError, AttributeError):
@@ -193,12 +203,19 @@ class FrameStream:
     """
 
     def __init__(self, handle, h, w, nframes, fallback=None):
+        import threading
+
         self._handle = handle
         self.h, self.w, self.nframes = h, w, nframes
         self._fallback = fallback  # callable t -> np.ndarray, when no native
         self._t = 0
         self.decoded = 0  # frames yielded OK
         self.failed = 0   # frames yielded as (t, None) on decode failure
+        # Serializes the native next2 call against close(): close() first
+        # STOPS the stream (wakes a consumer blocked inside next2 — ctypes
+        # releases the GIL, so that consumer holds this lock while blocked),
+        # then takes the lock to retire the handle before freeing it.
+        self._lock = threading.Lock()
 
     @classmethod
     def synthetic(
@@ -246,6 +263,52 @@ class FrameStream:
         )
         return cls(handle, h.value, w.value, n.value)
 
+    @classmethod
+    def from_y4m(cls, path: str, prefetch: int = 4) -> "FrameStream":
+        """Stream the luma plane of a Y4M (YUV4MPEG2) video file.
+
+        Y4M is the uncompressed video interchange format
+        (``ffmpeg -i clip.mp4 out.y4m``) — the real-video twin of the
+        reference's webcam capture.  Frame count is unknown until EOF
+        (``nframes`` is None); the stream ends itself at end of file.
+        """
+        lib = _try_load()
+        if lib is None:
+            from cuda_optical_flow_2_tpu.utils import io as _io
+
+            it = _io.read_y4m(path)
+            try:
+                first = next(it)
+            except StopIteration:
+                raise ValueError(f"empty Y4M stream: {path}") from None
+            h, w = first.shape
+            frames = [first]
+
+            def fb(t, _it=it, _frames=frames):
+                # strictly sequential access (t == frames consumed so far)
+                if t < len(_frames):
+                    return _frames[t].astype(np.float32)
+                return next(_it).astype(np.float32)  # StopIteration ends us
+
+            return cls(None, h, w, None, fallback=fb)
+        handle = lib.of2_stream_open_y4m(path.encode(), prefetch)
+        if not handle:
+            h = ctypes.c_int()
+            w = ctypes.c_int()
+            rc = lib.of2_y4m_probe(path.encode(), ctypes.byref(h), ctypes.byref(w))
+            reason = {
+                -1: "cannot open",
+                -2: "malformed header",
+                -3: "not a YUV4MPEG2 stream",
+                -4: "unsupported colorspace",
+            }.get(rc, f"error {rc}")
+            raise ValueError(f"cannot open Y4M stream {path}: {reason}")
+        h = ctypes.c_int()
+        w = ctypes.c_int()
+        n = ctypes.c_int()
+        lib.of2_stream_info(handle, ctypes.byref(h), ctypes.byref(w), ctypes.byref(n))
+        return cls(handle, h.value, w.value, None)
+
     def __iter__(self):
         return self
 
@@ -266,9 +329,12 @@ class FrameStream:
             return t, frame
         out = np.empty((self.h, self.w), np.float32)
         ok = ctypes.c_int()
-        t = _try_load().of2_stream_next2(
-            self._handle, _f32p(out), ctypes.byref(ok)
-        )
+        with self._lock:
+            if self._handle is None:
+                raise StopIteration  # closed between the check above and here
+            t = _try_load().of2_stream_next2(
+                self._handle, _f32p(out), ctypes.byref(ok)
+            )
         if t < 0:
             raise StopIteration
         self._t += 1
@@ -278,10 +344,41 @@ class FrameStream:
         self.decoded += 1
         return t, out
 
+    def stats(self) -> tuple[int, int]:
+        """Lifetime (decoded_ok, failed) counters from the PRODUCER side.
+
+        Sourced from the native worker's ledger (``of2_stream_stats``) when
+        the library is active, so they may lead the consumer-side
+        ``decoded``/``failed`` attributes by up to ``prefetch`` in-flight
+        frames; after a finite stream is fully drained the two agree.  Falls
+        back to the consumer counters when no native stream exists.
+        """
+        lib = _try_load()
+        if lib is not None:
+            with self._lock:
+                if self._handle is not None:
+                    n_ok = ctypes.c_longlong()
+                    n_failed = ctypes.c_longlong()
+                    lib.of2_stream_stats(
+                        self._handle, ctypes.byref(n_ok), ctypes.byref(n_failed)
+                    )
+                    return n_ok.value, n_failed.value
+        return self.decoded, self.failed
+
     def close(self) -> None:
+        """End the stream.  Safe to call from another thread while a consumer
+        is blocked in ``next()`` — the consumer wakes and raises
+        StopIteration."""
         if self._handle is not None:
-            _try_load().of2_stream_close(self._handle)
-            self._handle = None
+            lib = _try_load()
+            # Phase 1: stop (wakes any consumer blocked inside next2; the
+            # handle stays valid).  Phase 2: retire the handle under the
+            # iteration lock so no thread can call into it again, then free.
+            lib.of2_stream_stop(self._handle)
+            with self._lock:
+                handle, self._handle = self._handle, None
+            if handle is not None:
+                lib.of2_stream_close(handle)
         self._fallback = None
         self.nframes = 0
 

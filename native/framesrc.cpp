@@ -103,9 +103,11 @@ void of2_u8_to_f32(const uint8_t* src, int64_t n, float* dst) {
 }
 
 // Noise-free synthetic translating texture frame (t-th frame), matching
-// utils/io.py synthetic_sequence(noise=0).
-void of2_synthetic_frame(int t, int h, int w, double vx, double vy, int period,
-                         uint8_t* dst) {
+// utils/io.py synthetic_sequence(noise=0).  ``t`` is 64-bit so unbounded
+// live streams (of2_stream_open_synthetic with nframes < 0) never overflow
+// the frame counter.
+void of2_synthetic_frame(int64_t t, int h, int w, double vx, double vy,
+                         int period, uint8_t* dst) {
   const double p1 = 2.0 * kPi / period;
   const double p2 = 2.0 * kPi / (period * 2.7);
   parallel_rows(h, [=](int y0, int y1) {
@@ -241,54 +243,160 @@ int of2_ppm_read(const char* path, uint8_t* dst, int64_t n) {
 
 namespace {
 
+// Y4M (YUV4MPEG2) chroma subsampling of the stream, reduced to what sizes
+// the U/V planes (the gray path reads only the Y plane and skips chroma).
+enum class Y4mChroma { k420, k422, k444, kMono };
+
 struct FrameStream {
   int h = 0, w = 0;
-  int nframes = 0;           // total frames to produce; -1 = unbounded
+  int nframes = 0;           // total frames to produce; -1 = unbounded/unknown
   int capacity = 0;          // ring slots
-  // source: synthetic params or file list
+  // source: synthetic params, file list, or a sequential Y4M file
   bool synthetic = false;
   double vx = 0, vy = 0;
   int period = 16;
   std::vector<std::string> paths;
+  FILE* y4m = nullptr;          // open sequential Y4M source (worker-owned)
+  Y4mChroma y4m_chroma = Y4mChroma::k420;
+  std::vector<uint8_t> y4m_buf;  // worker-only Y-plane scratch
+  bool finished = false;         // worker hit end of a sequential source
 
-  std::vector<float> ring;      // capacity * h * w
-  std::vector<int> slot_idx;    // frame index in each slot, -1 empty
-  std::vector<char> slot_ok;    // decode status of each slot
-  int head = 0;                 // next slot the consumer reads
-  int produced = 0;             // frames produced so far
-  int consumed = 0;             // frames consumed so far
-  long long n_ok = 0;           // frames decoded successfully (lifetime)
-  long long n_failed = 0;       // frames skipped on decode failure (lifetime)
+  // Frame counters are 64-bit: an unbounded live stream (nframes < 0) must
+  // never overflow them (a 500 fps stream overflows int in ~50 days).
+  std::vector<float> ring;           // capacity * h * w
+  std::vector<long long> slot_idx;   // frame index in each slot, -1 empty
+  std::vector<char> slot_ok;         // decode status of each slot
+  long long produced = 0;            // frames produced so far
+  long long consumed = 0;            // frames consumed so far
+  long long n_ok = 0;                // frames decoded OK (lifetime)
+  long long n_failed = 0;            // frames skipped on failure (lifetime)
+  int waiters = 0;                   // consumers inside of2_stream_next2
   bool stop = false;
 
   std::mutex mu;
-  std::condition_variable cv_full, cv_empty;
+  std::condition_variable cv_full, cv_empty, cv_exit;
   std::thread worker;
 };
 
-bool produce_frame(FrameStream* s, int t, float* dst) {
+// ---- Y4M (YUV4MPEG2) sequential parsing ----------------------------------
+//
+// Y4M is the standard uncompressed-video interchange format (what
+// ``ffmpeg -i any.mp4 out.y4m`` emits): one ASCII stream header
+// "YUV4MPEG2 W<w> H<h> F<n>:<d> ..." then per frame an ASCII "FRAME...\n"
+// marker followed by the planar YUV payload.  The gray ingestion path reads
+// ONLY the Y (luma) plane — Y IS the grayscale of the video — and skips the
+// chroma planes; the twin of the reference's webcam VideoCapture source
+// (main.cu:176-282) for real video files and ffmpeg pipes.
+
+int y4m_parse_header(FILE* f, int* h, int* w, Y4mChroma* chroma) {
+  char magic[9];
+  if (std::fread(magic, 1, 9, f) != 9) return -2;
+  if (std::memcmp(magic, "YUV4MPEG2", 9) != 0) return -3;
+  *chroma = Y4mChroma::k420;  // the spec default (C420jpeg)
+  *h = *w = 0;
+  int c = std::fgetc(f);
+  while (c == ' ') {
+    std::string tok;
+    c = std::fgetc(f);
+    while (c != ' ' && c != '\n' && c != EOF) {
+      tok.push_back(static_cast<char>(c));
+      c = std::fgetc(f);
+    }
+    if (tok.empty()) continue;
+    switch (tok[0]) {
+      case 'W': *w = std::atoi(tok.c_str() + 1); break;
+      case 'H': *h = std::atoi(tok.c_str() + 1); break;
+      case 'C': {
+        const std::string cs = tok.substr(1);
+        if (cs == "444alpha") return -4;  // has an alpha plane we won't skip right
+        if (cs.rfind("420", 0) == 0) {
+          *chroma = Y4mChroma::k420;
+        } else if (cs.rfind("422", 0) == 0) {
+          *chroma = Y4mChroma::k422;
+        } else if (cs.rfind("444", 0) == 0) {
+          *chroma = Y4mChroma::k444;
+        } else if (cs == "mono") {
+          *chroma = Y4mChroma::kMono;
+        } else {
+          return -4;
+        }
+        break;
+      }
+      default:
+        break;  // F (rate), I (interlacing), A (aspect), X (comment): ignored
+    }
+  }
+  if (c != '\n') return -2;
+  if (*w <= 0 || *h <= 0 || *w > 1000000 || *h > 1000000) return -2;
+  return 0;
+}
+
+enum class Produce { kOk, kFail, kEnd };
+
+// One frame: "FRAME[ params]\n" + Y plane (kept) + chroma planes (skipped by
+// reading, so FIFO/pipe sources work too).  kEnd only on clean EOF at a
+// frame boundary; a truncated/garbled frame is kFail (published as a decode
+// failure; the following read then reports kEnd).
+Produce y4m_read_frame(FILE* f, int h, int w, Y4mChroma chroma, uint8_t* y) {
+  int c = std::fgetc(f);
+  if (c == EOF) return Produce::kEnd;
+  char magic[5] = {static_cast<char>(c), 0, 0, 0, 0};
+  if (std::fread(magic + 1, 1, 4, f) != 4 ||
+      std::memcmp(magic, "FRAME", 5) != 0)
+    return Produce::kFail;
+  while ((c = std::fgetc(f)) != '\n')
+    if (c == EOF) return Produce::kFail;
+  size_t ybytes = static_cast<size_t>(h) * w;
+  if (std::fread(y, 1, ybytes, f) != ybytes) return Produce::kFail;
+  size_t cw = (static_cast<size_t>(w) + 1) / 2;
+  size_t ch2 = (static_cast<size_t>(h) + 1) / 2;
+  size_t skip_bytes = 0;
+  switch (chroma) {
+    case Y4mChroma::k420: skip_bytes = 2 * cw * ch2; break;
+    case Y4mChroma::k422: skip_bytes = 2 * cw * static_cast<size_t>(h); break;
+    case Y4mChroma::k444: skip_bytes = 2 * ybytes; break;
+    case Y4mChroma::kMono: skip_bytes = 0; break;
+  }
+  uint8_t scratch[65536];
+  while (skip_bytes) {
+    size_t k = skip_bytes < sizeof scratch ? skip_bytes : sizeof scratch;
+    if (std::fread(scratch, 1, k, f) != k) return Produce::kFail;
+    skip_bytes -= k;
+  }
+  return Produce::kOk;
+}
+
+Produce produce_frame(FrameStream* s, long long t, float* dst) {
   if (s->synthetic) {
     std::vector<uint8_t> u8(static_cast<size_t>(s->h) * s->w);
     of2_synthetic_frame(t, s->h, s->w, s->vx, s->vy, s->period, u8.data());
     of2_u8_to_f32(u8.data(), static_cast<int64_t>(s->h) * s->w, dst);
-    return true;
+    return Produce::kOk;
+  }
+  if (s->y4m) {
+    Produce r =
+        y4m_read_frame(s->y4m, s->h, s->w, s->y4m_chroma, s->y4m_buf.data());
+    if (r == Produce::kOk)
+      of2_u8_to_f32(s->y4m_buf.data(), static_cast<int64_t>(s->h) * s->w, dst);
+    return r;
   }
   int h, w, ch;
-  if (of2_ppm_probe(s->paths[t].c_str(), &h, &w, &ch) != 0) return false;
+  const std::string& path = s->paths[static_cast<size_t>(t)];
+  if (of2_ppm_probe(path.c_str(), &h, &w, &ch) != 0) return Produce::kFail;
   // Mid-stream size check: a frame whose dimensions drift from the stream's
   // is a per-frame failure (skipped), not a stream abort — the twin of the
   // reference's live-capture loop surviving a glitched frame.
-  if (h != s->h || w != s->w) return false;
+  if (h != s->h || w != s->w) return Produce::kFail;
   std::vector<uint8_t> raw(static_cast<size_t>(h) * w * ch);
-  if (of2_ppm_read(s->paths[t].c_str(), raw.data(),
+  if (of2_ppm_read(path.c_str(), raw.data(),
                    static_cast<int64_t>(raw.size())) != 0)
-    return false;
+    return Produce::kFail;
   if (ch == 3) {
     of2_gray_f32(raw.data(), h, w, dst);
   } else {
     of2_u8_to_f32(raw.data(), static_cast<int64_t>(h) * w, dst);
   }
-  return true;
+  return Produce::kOk;
 }
 
 // Unbounded-stream worker: with nframes < 0 this loops until stop (the twin
@@ -297,7 +405,7 @@ bool produce_frame(FrameStream* s, int t, float* dst) {
 // frames).  A decode failure publishes a FAILED slot and keeps going —
 // the consumer sees the failure, decides, and the stream recovers.
 void stream_worker(FrameStream* s) {
-  for (int t = 0; s->nframes < 0 || t < s->nframes; ++t) {
+  for (long long t = 0; s->nframes < 0 || t < s->nframes; ++t) {
     int slot;
     {
       std::unique_lock<std::mutex> lk(s->mu);
@@ -305,10 +413,12 @@ void stream_worker(FrameStream* s) {
         return s->stop || s->produced - s->consumed < s->capacity;
       });
       if (s->stop) return;
-      slot = s->produced % s->capacity;
+      slot = static_cast<int>(s->produced % s->capacity);
     }
     float* dst = s->ring.data() + static_cast<size_t>(slot) * s->h * s->w;
-    bool ok = produce_frame(s, t, dst);
+    Produce r = produce_frame(s, t, dst);
+    if (r == Produce::kEnd) break;  // sequential source drained (Y4M EOF)
+    bool ok = r == Produce::kOk;
     {
       std::lock_guard<std::mutex> lk(s->mu);
       s->slot_idx[slot] = t;
@@ -318,6 +428,14 @@ void stream_worker(FrameStream* s) {
     }
     s->cv_empty.notify_one();
   }
+  // End of source: wake any consumer blocked on an empty ring so it can
+  // observe EOS (buffered frames drain first — the consumer only reports -1
+  // once produced == consumed).
+  {
+    std::lock_guard<std::mutex> lk(s->mu);
+    s->finished = true;
+  }
+  s->cv_empty.notify_all();
 }
 
 FrameStream* stream_start(FrameStream* s, int prefetch) {
@@ -372,6 +490,39 @@ void* of2_stream_open_ppm(const char* paths, int prefetch) {
   return stream_start(s, prefetch);
 }
 
+// Y4M header probe: fills h, w.  Returns 0 on success; -1 open failure;
+// -2 malformed header; -3 not a YUV4MPEG2 stream; -4 unsupported colorspace
+// (only C420*/C422*/C444/Cmono — i.e. anything whose first plane is full-res
+// luma).
+int of2_y4m_probe(const char* path, int* h, int* w) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  Y4mChroma chroma;
+  int rc = y4m_parse_header(f, h, w, &chroma);
+  std::fclose(f);
+  return rc;
+}
+
+// Prefetching stream over a Y4M video file (or drained FIFO): yields the
+// luma plane of each frame as planar float32.  nframes is reported as -1
+// (unknown until EOF); the stream ends itself at EOF.  Returns null if the
+// file can't be opened or the header doesn't parse (use of2_y4m_probe for
+// the distinct error code).
+void* of2_stream_open_y4m(const char* path, int prefetch) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return nullptr;
+  auto* s = new FrameStream();
+  if (y4m_parse_header(f, &s->h, &s->w, &s->y4m_chroma) != 0) {
+    std::fclose(f);
+    delete s;
+    return nullptr;
+  }
+  s->y4m = f;
+  s->y4m_buf.resize(static_cast<size_t>(s->h) * s->w);
+  s->nframes = -1;
+  return stream_start(s, prefetch);
+}
+
 void of2_stream_info(void* sp, int* h, int* w, int* nframes) {
   auto* s = static_cast<FrameStream*>(sp);
   *h = s->h;
@@ -382,17 +533,33 @@ void of2_stream_info(void* sp, int* h, int* w, int* nframes) {
 // Advance to the next frame.  Returns the frame index (>= 0) with
 // *frame_ok = 1 and dst filled (h*w floats), or the FAILED frame's index
 // with *frame_ok = 0 and dst untouched (decode failure — stream continues);
-// -1 at end of stream.  Never returns -1 on an unbounded stream.
-int of2_stream_next2(void* sp, float* dst, int* frame_ok) {
+// -1 at end of stream (with *frame_ok = 0).  On an unbounded stream -1 is
+// returned only after of2_stream_close.  64-bit so unbounded streams never
+// wrap the index.
+int64_t of2_stream_next2(void* sp, float* dst, int* frame_ok) {
   auto* s = static_cast<FrameStream*>(sp);
-  int t;
+  *frame_ok = 0;
+  long long t;
   int ok;
   {
     std::unique_lock<std::mutex> lk(s->mu);
+    // The waiter count lets of2_stream_close block until no consumer is
+    // inside this critical section before it destroys the stream (a woken
+    // waiter still touches s->mu/s->produced after notify_all).
+    s->waiters += 1;
+    struct Scope {
+      FrameStream* s;
+      ~Scope() {
+        s->waiters -= 1;
+        if (s->stop && s->waiters == 0) s->cv_exit.notify_all();
+      }
+    } scope{s};
     if (s->nframes >= 0 && s->consumed >= s->nframes) return -1;
-    s->cv_empty.wait(lk, [s] { return s->stop || s->produced > s->consumed; });
-    if (s->produced <= s->consumed) return -1;  // closed under the consumer
-    int slot = s->consumed % s->capacity;
+    s->cv_empty.wait(lk, [s] {
+      return s->stop || s->finished || s->produced > s->consumed;
+    });
+    if (s->produced <= s->consumed) return -1;  // closed or source drained
+    int slot = static_cast<int>(s->consumed % s->capacity);
     t = s->slot_idx[slot];
     ok = s->slot_ok[slot];
     if (ok) {
@@ -401,8 +568,11 @@ int of2_stream_next2(void* sp, float* dst, int* frame_ok) {
                   static_cast<size_t>(s->h) * s->w * sizeof(float));
     }
     s->consumed += 1;
+    // Notify while still counted in `waiters` (and under the lock): once the
+    // count drops, of2_stream_close may destroy the stream, so no s-> access
+    // is legal outside the critical section.
+    s->cv_full.notify_one();
   }
-  s->cv_full.notify_one();
   *frame_ok = ok;
   return t;
 }
@@ -410,11 +580,13 @@ int of2_stream_next2(void* sp, float* dst, int* frame_ok) {
 // Back-compat wrapper: frame index on success, -1 at end of stream, -2 on a
 // decode failure (the frame is skipped; the stream continues — callers that
 // treat -2 as fatal still work, they just stop earlier than they need to).
+// int return: use of2_stream_next2 for unbounded streams (finite streams are
+// bounded by the int nframes/paths count, so the index fits).
 int of2_stream_next(void* sp, float* dst) {
   int ok;
-  int t = of2_stream_next2(sp, dst, &ok);
+  int64_t t = of2_stream_next2(sp, dst, &ok);
   if (t < 0) return -1;
-  return ok ? t : -2;
+  return ok ? static_cast<int>(t) : -2;
 }
 
 // Lifetime decode counters (frames produced OK / skipped on failure).
@@ -425,20 +597,32 @@ void of2_stream_stats(void* sp, long long* ok, long long* failed) {
   *failed = s->n_failed;
 }
 
-void of2_stream_close(void* sp) {
+// Stop the stream: wake the producer and any blocked consumers, wait for
+// every consumer to leave of2_stream_next2's critical section, join the
+// worker.  Idempotent, and the handle STAYS VALID (subsequent next2 calls
+// return -1 immediately).  Split from of2_stream_close so a caller can first
+// stop a stream that another thread may still be calling next2 on, make the
+// handle unreachable (e.g. under its own lock), and only then free it —
+// deleting while a woken waiter still reads s->produced/consumed or unlocks
+// s->mu would be a use-after-free.
+void of2_stream_stop(void* sp) {
   auto* s = static_cast<FrameStream*>(sp);
   {
-    std::lock_guard<std::mutex> lk(s->mu);
+    std::unique_lock<std::mutex> lk(s->mu);
     s->stop = true;
     // unblock a worker waiting for ring space by draining the ledger
     s->consumed = s->produced;
+    s->cv_full.notify_all();
+    s->cv_empty.notify_all();
+    s->cv_exit.wait(lk, [s] { return s->waiters == 0; });
   }
-  s->cv_full.notify_all();
-  // also wake any consumer blocked in of2_stream_next2's cv_empty.wait
-  // (its predicate checks stop); without this, a cross-thread close would
-  // deadlock the consumer and then delete the mutex/cv under it.
-  s->cv_empty.notify_all();
   if (s->worker.joinable()) s->worker.join();
+}
+
+void of2_stream_close(void* sp) {
+  of2_stream_stop(sp);
+  auto* s = static_cast<FrameStream*>(sp);
+  if (s->y4m) std::fclose(s->y4m);  // worker joined in stop: safe to close
   delete s;
 }
 

@@ -290,3 +290,167 @@ def test_process_sequence_leading_failures():
     assert [i for i, _ in out] == [3]
     seq_all_bad = [None, None]
     assert list(streaming.process_sequence(seq_all_bad, cfg)) == []
+
+
+def test_frame_stream_stats_after_drain(tmp_path, rng):
+    """Producer-side stats() agree with consumer counters once drained."""
+    from cuda_optical_flow_2_tpu.utils import io
+    from cuda_optical_flow_2_tpu.utils.native import FrameStream
+
+    paths = []
+    for t in range(4):
+        img = rng.integers(0, 256, (12, 16, 3), dtype=np.uint8)
+        path = str(tmp_path / f"f{t}.ppm")
+        io.write_ppm(path, img)
+        paths.append(path)
+    # corrupt one mid-stream frame
+    with open(paths[2], "wb") as f:
+        f.write(b"P6\n12 16\nnot-a-header")
+    with FrameStream.from_ppm(paths, prefetch=2) as src:
+        seen = [(t, frame is not None) for t, frame in src]
+        assert [t for t, _ in seen] == [0, 1, 2, 3]
+        assert [ok for _, ok in seen] == [True, True, False, True]
+        assert (src.decoded, src.failed) == (3, 1)
+        assert src.stats() == (3, 1)
+
+
+def test_frame_stream_cross_thread_close():
+    """close() racing a consumer blocked inside next2 must not crash/deadlock.
+
+    The consumer thread iterates an UNBOUNDED stream (so it regularly blocks
+    on the empty ring waiting for the producer); the main thread closes the
+    stream underneath it.  Regression test for the consumer-side
+    use-after-free: close() must drain the waiter count before deleting the
+    stream.  Run several rounds to shake the race window.
+    """
+    import threading
+    import time
+
+    from cuda_optical_flow_2_tpu.utils.native import FrameStream
+
+    for round_ in range(5):
+        src = FrameStream.synthetic(None, 96, 128, vx=1.0, vy=0.0, prefetch=1)
+        n_consumed = []
+
+        def consume(src=src, n_consumed=n_consumed):
+            count = 0
+            try:
+                for _t, _f in src:
+                    count += 1
+            except StopIteration:  # pragma: no cover - raised inside next()
+                pass
+            n_consumed.append(count)
+
+        th = threading.Thread(target=consume)
+        th.start()
+        time.sleep(0.02 * (round_ % 3))
+        src.close()
+        th.join(timeout=30)
+        assert not th.is_alive(), "consumer failed to exit after close()"
+
+
+def _write_y4m_420(path, frames, extras=b"F25:1 Ip A1:1 C420jpeg Xmade-by-test"):
+    h, w = frames[0].shape
+    with open(path, "wb") as f:
+        f.write(b"YUV4MPEG2 W%d H%d %s\n" % (w, h, extras))
+        for fr in frames:
+            f.write(b"FRAME\n")
+            f.write(fr.tobytes())
+            f.write(bytes(((w + 1) // 2) * ((h + 1) // 2) * 2))  # gray chroma
+
+
+def test_y4m_roundtrip_and_stream(tmp_path, rng):
+    """write_y4m -> read_y4m and the native Y4M FrameStream agree exactly."""
+    from cuda_optical_flow_2_tpu.utils import io
+    from cuda_optical_flow_2_tpu.utils.native import FrameStream
+
+    frames = [
+        rng.integers(0, 256, (24, 32), dtype=np.uint8) for _ in range(4)
+    ]
+    path = str(tmp_path / "seq.y4m")
+    io.write_y4m(path, frames)
+    got = list(io.read_y4m(path))
+    assert len(got) == 4
+    for a, b in zip(got, frames):
+        np.testing.assert_array_equal(a, b)
+    with FrameStream.from_y4m(path) as src:
+        assert (src.h, src.w, src.nframes) == (24, 32, None)
+        out = [(t, f) for t, f in src]
+    assert [t for t, _ in out] == [0, 1, 2, 3]
+    for (_, f), ref in zip(out, frames):
+        np.testing.assert_array_equal(f, ref.astype(np.float32))
+
+
+def test_y4m_420_chroma_skipped(tmp_path, rng):
+    """C420 streams yield the luma plane; chroma is skipped unread."""
+    from cuda_optical_flow_2_tpu.utils import io
+    from cuda_optical_flow_2_tpu.utils.native import FrameStream
+
+    frames = [
+        rng.integers(0, 256, (16, 20), dtype=np.uint8) for _ in range(3)
+    ]
+    path = str(tmp_path / "c420.y4m")
+    _write_y4m_420(path, frames)
+    got = list(io.read_y4m(path))
+    assert len(got) == 3
+    np.testing.assert_array_equal(got[1], frames[1])
+    with FrameStream.from_y4m(path) as src:
+        out = [f for _, f in src]
+    assert len(out) == 3
+    np.testing.assert_array_equal(out[2], frames[2].astype(np.float32))
+
+
+def test_y4m_truncated_frame(tmp_path, rng):
+    """A truncated trailing frame is a decode failure, then clean EOS."""
+    from cuda_optical_flow_2_tpu.utils.native import FrameStream, available
+
+    frames = [
+        rng.integers(0, 256, (16, 20), dtype=np.uint8) for _ in range(2)
+    ]
+    path = str(tmp_path / "trunc.y4m")
+    _write_y4m_420(path, frames)
+    data = open(path, "rb").read()
+    with open(path, "wb") as f:
+        f.write(data[:-100])  # cut into the last frame's payload
+    with FrameStream.from_y4m(path) as src:
+        out = [(t, f is not None) for t, f in src]
+    assert out[0] == (0, True)
+    if available():
+        # native: the cut frame is yielded as a per-frame failure, then EOS
+        assert out[1:] == [(1, False)]
+    else:
+        # python fallback: the generator ends at the decode error
+        assert out[1:] == []
+
+
+def test_y4m_error_codes(tmp_path):
+    from cuda_optical_flow_2_tpu.utils.native import FrameStream
+
+    bad = str(tmp_path / "bad.y4m")
+    with open(bad, "wb") as f:
+        f.write(b"NOTAVIDEO\n")
+    with pytest.raises(ValueError):
+        FrameStream.from_y4m(bad)
+    with pytest.raises(ValueError):
+        FrameStream.from_y4m(str(tmp_path / "missing.y4m"))
+
+
+def test_y4m_process_sequence(tmp_path):
+    """Full pipeline over a Y4M stream: flow recovered from a real video file."""
+    import cuda_optical_flow_2_tpu as of
+    from cuda_optical_flow_2_tpu.models import streaming
+    from cuda_optical_flow_2_tpu.utils import io as uio
+    from cuda_optical_flow_2_tpu.utils.native import FrameStream
+
+    frames = uio.synthetic_sequence(5, 48, 64, velocity=(2.0, 1.0), noise=0.0)
+    path = str(tmp_path / "seq.y4m")
+    uio.write_y4m(path, [np.asarray(f, np.uint8) for f in frames])
+    cfg = of.LKConfig(levels=2, window=9, iterations=2, use_pallas=False)
+    with FrameStream.from_y4m(path) as src:
+        out = list(
+            streaming.process_sequence((f for _, f in src), cfg)
+        )
+    assert [i for i, _ in out] == [1, 2, 3, 4]
+    inner = np.asarray(out[-1][1])[12:-12, 12:-12]
+    np.testing.assert_allclose(np.median(inner[..., 0]), 2.0, atol=0.2)
+    np.testing.assert_allclose(np.median(inner[..., 1]), 1.0, atol=0.2)
