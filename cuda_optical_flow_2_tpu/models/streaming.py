@@ -124,7 +124,10 @@ def process_sequence(frames, config, warm_start: bool = False):
     ``config`` selects the model family (LKConfig / HSConfig / FBConfig /
     TVL1Config).  Host->device transfer happens once per frame at this
     boundary — the reference crosses PCIe ~24 times per level per frame
-    (SURVEY.md section 3.1).  ``warm_start`` seeds each pair with the
+    (SURVEY.md section 3.1) — and in the frame's NATIVE dtype: a uint8
+    source (PNG/Y4M/native stream) ships 1 byte/px over the host link and
+    is cast to float32 on device inside the jitted step, not 4 bytes/px
+    after a host-side cast.  ``warm_start`` seeds each pair with the
     previous pair's flow (see :func:`step`).
 
     Decode-failure recovery: a ``None`` element (how
@@ -141,7 +144,7 @@ def process_sequence(frames, config, warm_start: bool = False):
     offset = 0
     for offset, frame in enumerate(it):
         if frame is not None:
-            first = jnp.asarray(frame, dtype=jnp.float32)
+            first = jnp.asarray(frame)
             break
     if first is None:
         return
@@ -154,7 +157,5 @@ def process_sequence(frames, config, warm_start: bool = False):
             if state.flow is not None:
                 state = FlowState(state.pyramid, None)
             continue
-        state, flow = step(
-            state, jnp.asarray(frame, dtype=jnp.float32), config, warm_start
-        )
+        state, flow = step(state, jnp.asarray(frame), config, warm_start)
         yield i, flow

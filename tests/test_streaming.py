@@ -36,6 +36,24 @@ def test_streaming_recovers_velocity():
         assert abs(np.median(inner[..., 1]) - 1.0) < 0.2
 
 
+def test_streaming_uint8_source_matches_float32():
+    """uint8 frames ship over the host link in their native dtype (1 B/px)
+    and are cast to float32 on device inside the jitted step; the flow must
+    be identical to pre-cast float32 frames."""
+    frames_f32 = io.synthetic_sequence(3, 64, 96, velocity=(1.0, 0.5))
+    frames_u8 = [np.clip(f, 0, 255).astype(np.uint8) for f in frames_f32]
+    cfg = of.LKConfig(levels=2, window=9, use_pallas=False)
+    ref = dict(
+        streaming.process_sequence(
+            [f.astype(np.float32) for f in frames_u8], cfg
+        )
+    )
+    got = dict(streaming.process_sequence(frames_u8, cfg))
+    assert sorted(got) == sorted(ref)
+    for i in got:
+        np.testing.assert_array_equal(np.asarray(got[i]), np.asarray(ref[i]))
+
+
 def test_flow_state_checkpoints_with_orbax(tmp_path):
     """The carried FlowState is a pytree, so checkpoint/resume is plain orbax
     (the reference has no checkpointing at all — SURVEY.md section 5)."""
