@@ -142,6 +142,12 @@ def main(argv=None) -> None:
         help="feed frames through the native prefetching FrameStream "
         "(C++ worker + ring buffer) instead of materializing the sequence",
     )
+    ap.add_argument(
+        "--out-video", default=None, metavar="FLOW.y4m",
+        help="write the flow-color frames as one Y4M video (play with "
+        "`ffplay FLOW.y4m` — the headless twin of the reference's live "
+        "imshow window); works for unbounded streams (constant memory)",
+    )
     args = ap.parse_args(argv)
 
     stream = None
@@ -239,6 +245,7 @@ def main(argv=None) -> None:
     vx, vy = args.velocity
     t0 = time.perf_counter()
     count = 0
+    video = io.Y4MWriter(args.out_video) if args.out_video else None
     try:
         for i, flow in streaming.process_sequence(
             frame_iter, cfg, warm_start=args.warm_start
@@ -256,6 +263,8 @@ def main(argv=None) -> None:
                 epe = float(np.hypot(inner[..., 0] - ex, inner[..., 1] - ey).mean())
                 msg += f"  EPE vs ({ex}, {ey}): {epe:.3f}"
             print(msg, flush=True)
+            if video is not None:
+                video.write(viz.flow_to_color(flow_np))
             if args.out:
                 cur = frames[i] if frames is not None else recent[i]
                 prv = (
@@ -290,6 +299,8 @@ def main(argv=None) -> None:
                 if args.debug_gradients:
                     _dump_gradients(cur, prv, min(args.levels, 3), args.out, i)
     finally:
+        if video is not None:
+            video.close()
         if stream is not None:
             stream.close()  # joins the C++ worker even on mid-loop errors
     dt = time.perf_counter() - t0

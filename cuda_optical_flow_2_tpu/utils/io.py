@@ -21,6 +21,7 @@ __all__ = [
     "write_flo",
     "read_y4m",
     "write_y4m",
+    "Y4MWriter",
     "synthetic_sequence",
 ]
 
@@ -75,24 +76,76 @@ def read_y4m(path: str):
             yield np.frombuffer(y, np.uint8).reshape(h, w).copy()
 
 
+def _rgb_to_yuv444(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """BT.601 studio-range RGB -> (Y, Cb, Cr) uint8 planes (what players
+    assume for Y4M without an XCOLORRANGE extension)."""
+    r, g, b = (rgb[..., k].astype(np.float32) for k in range(3))
+    y = 16.0 + (65.738 * r + 129.057 * g + 25.064 * b) / 256.0
+    cb = 128.0 + (-37.945 * r - 74.494 * g + 112.439 * b) / 256.0
+    cr = 128.0 + (112.439 * r - 94.154 * g - 18.285 * b) / 256.0
+    to8 = lambda p: np.clip(p + 0.5, 0, 255).astype(np.uint8)  # noqa: E731
+    return to8(y), to8(cb), to8(cr)
+
+
+class Y4MWriter:
+    """Incremental Y4M writer: ``write()`` one frame at a time (bounded
+    memory on unbounded streams), or use :func:`write_y4m` for an iterable.
+
+    Gray (H, W) uint8 frames emit a Cmono stream; RGB (H, W, 3) uint8 frames
+    (e.g. ``viz.flow_to_color`` output) emit C444 with BT.601 studio-range
+    conversion — ``ffplay out.y4m`` is the headless twin of the reference's
+    live ``cv::imshow`` windows (main.cu:264-268).  All frames must match
+    the first frame's shape.  Context manager; ``close()`` is idempotent.
+    """
+
+    def __init__(self, path: str, fps: tuple[int, int] = (30, 1)):
+        self._f = open(path, "wb")
+        self._fps = fps
+        self._shape: tuple[int, ...] | None = None
+
+    def write(self, frame) -> None:
+        frame = np.asarray(frame)
+        if frame.dtype != np.uint8 or frame.ndim not in (2, 3) or (
+            frame.ndim == 3 and frame.shape[-1] != 3
+        ):
+            raise ValueError("Y4MWriter expects (H, W) or (H, W, 3) uint8")
+        if self._shape is None:
+            h, w = frame.shape[:2]
+            cs = b"Cmono" if frame.ndim == 2 else b"C444"
+            self._f.write(
+                b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 %s\n"
+                % (w, h, self._fps[0], self._fps[1], cs)
+            )
+            self._shape = frame.shape
+        elif frame.shape != self._shape:
+            raise ValueError(
+                f"frame shape {frame.shape} != stream shape {self._shape}"
+            )
+        self._f.write(b"FRAME\n")
+        if frame.ndim == 2:
+            self._f.write(frame.tobytes())
+        else:
+            for plane in _rgb_to_yuv444(frame):
+                self._f.write(plane.tobytes())
+
+    def close(self) -> None:
+        if not self._f.closed:
+            self._f.close()
+
+    def __enter__(self) -> "Y4MWriter":
+        return self
+
+    def __exit__(self, *exc) -> bool:
+        self.close()
+        return False
+
+
 def write_y4m(path: str, frames, fps: tuple[int, int] = (30, 1)) -> None:
-    """Write (H, W) uint8 luma frames as a Cmono Y4M video."""
-    it = iter(frames)
-    with open(path, "wb") as f:
-        wrote_header = False
-        for frame in it:
-            frame = np.asarray(frame)
-            if frame.dtype != np.uint8 or frame.ndim != 2:
-                raise ValueError("write_y4m expects (H, W) uint8 frames")
-            if not wrote_header:
-                h, w = frame.shape
-                f.write(
-                    b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 Cmono\n"
-                    % (w, h, fps[0], fps[1])
-                )
-                wrote_header = True
-            f.write(b"FRAME\n")
-            f.write(frame.tobytes())
+    """Write uint8 frames as a Y4M video: (H, W) luma -> Cmono,
+    (H, W, 3) RGB -> C444 (see :class:`Y4MWriter`)."""
+    with Y4MWriter(path, fps) as wr:
+        for frame in frames:
+            wr.write(frame)
 
 
 def read_ppm(path: str) -> np.ndarray:

@@ -22,6 +22,22 @@ def test_demo_synthetic_writes_artifacts(tmp_path, capsys):
     assert any("_I" in f for f in files)  # gradient maps (showTest twin)
 
 
+def test_demo_out_video(tmp_path, capsys):
+    """--out-video writes the flow-color frames as one playable C444 Y4M."""
+    from cuda_optical_flow_2_tpu.cli import demo
+    from cuda_optical_flow_2_tpu.utils import io
+
+    path = str(tmp_path / "flow.y4m")
+    demo.main([
+        "--synthetic", "4", "--size", "48x64", "--levels", "2", "--window",
+        "9", "--no-pallas", "--out-video", path,
+    ])
+    capsys.readouterr()
+    lumas = list(io.read_y4m(path))
+    assert len(lumas) == 3  # one flow frame per pair
+    assert lumas[0].shape == (48, 64)
+
+
 def test_demo_native_stream_matches_materialized(tmp_path, capsys):
     from cuda_optical_flow_2_tpu.cli import demo
 

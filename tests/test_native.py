@@ -359,6 +359,43 @@ def _write_y4m_420(path, frames, extras=b"F25:1 Ip A1:1 C420jpeg Xmade-by-test")
             f.write(bytes(((w + 1) // 2) * ((h + 1) // 2) * 2))  # gray chroma
 
 
+def test_y4m_color_roundtrip(tmp_path, rng):
+    """RGB frames write as C444 (BT.601 studio range); read_y4m recovers the
+    luma plane, and the Y4M FrameStream consumes the video (skipping the
+    full-res chroma planes)."""
+    from cuda_optical_flow_2_tpu.utils import io
+    from cuda_optical_flow_2_tpu.utils.native import FrameStream
+
+    frames = [
+        rng.integers(0, 256, (24, 32, 3), dtype=np.uint8) for _ in range(3)
+    ]
+    path = str(tmp_path / "color.y4m")
+    io.write_y4m(path, frames)
+    got = list(io.read_y4m(path))
+    assert len(got) == 3
+    for y, rgb in zip(got, frames):
+        r, g, b = (rgb[..., k].astype(np.float64) for k in range(3))
+        want = 16.0 + (65.738 * r + 129.057 * g + 25.064 * b) / 256.0
+        assert np.abs(y.astype(np.float64) - want).max() <= 1.0
+    with FrameStream.from_y4m(path) as src:
+        out = [(t, f) for t, f in src]
+    assert [t for t, _ in out] == [0, 1, 2]
+    for (_, f), y in zip(out, got):
+        np.testing.assert_array_equal(f, y.astype(np.float32))
+
+
+def test_y4m_writer_rejects_shape_drift(tmp_path):
+    from cuda_optical_flow_2_tpu.utils import io
+
+    path = str(tmp_path / "drift.y4m")
+    with io.Y4MWriter(path) as wr:
+        wr.write(np.zeros((8, 8), np.uint8))
+        with np.testing.assert_raises(ValueError):
+            wr.write(np.zeros((8, 10), np.uint8))
+        with np.testing.assert_raises(ValueError):
+            wr.write(np.zeros((8, 8), np.float32))
+
+
 def test_y4m_roundtrip_and_stream(tmp_path, rng):
     """write_y4m -> read_y4m and the native Y4M FrameStream agree exactly."""
     from cuda_optical_flow_2_tpu.utils import io
