@@ -34,6 +34,23 @@ def rng() -> np.random.Generator:
     return np.random.default_rng(0)
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _release_jit_executables():
+    """Drop compiled-executable references after each test module.
+
+    A full single-process suite run compiles many hundreds of XLA:CPU
+    programs; keeping every LoadedExecutable alive for the whole run grows
+    the LLVM JIT's code memory until a late large compile (the spatial-TP
+    interpret-mode programs) segfaults inside backend_compile — reproducible
+    at the same test in consecutive full runs, while the same test passes in
+    isolation.  Cross-module cache reuse is negligible (each module compiles
+    its own shapes/configs), so clearing per module costs little and bounds
+    the per-process JIT footprint.
+    """
+    yield
+    jax.clear_caches()
+
+
 def make_translating_pair(
     h: int = 64, w: int = 64, dx: int = 1, dy: int = 0, seed: int = 0, period: int = 8
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -18,7 +18,9 @@ def _by_key(report):
 
 def test_lk_stage_report_backends_agree():
     prev, nxt = _pair(128, 64)
-    cfg = of.LKConfig(levels=2, window=9, iterations=2, max_displacement=8.0)
+    # iterations=1: the stage runners take one canonical flow_in; iteration
+    # count only multiplies the interpret-mode cost of the level/flow rows.
+    cfg = of.LKConfig(levels=2, window=9, iterations=1, max_displacement=8.0)
     rep = _by_key(
         stage_report(
             prev, nxt, cfg, backends=("pallas", "banded", "oracle"), n_bands=4
@@ -59,7 +61,7 @@ def test_hs_and_tvl1_sweep_stages():
 
     prev, nxt = _pair(128, 64)
     rep = stage_report(
-        prev, nxt, HSConfig(levels=2, iterations=20, c_max=2),
+        prev, nxt, HSConfig(levels=2, iterations=12, c_max=2),
         backends=("pallas",),
     )
     assert any(r.stage == "sweeps" for r in rep)
@@ -77,7 +79,7 @@ def test_hs_and_tvl1_sweep_stages():
     # staircase; the flow stage gets a mean-norm bound.
     rep = stage_report(
         prev, nxt,
-        TVL1Config(levels=2, iterations=10, median_filtering=5),
+        TVL1Config(levels=2, iterations=8, median_filtering=5),
         backends=("pallas",),
     )
     assert any(r.stage == "sweeps" for r in rep)

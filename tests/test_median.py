@@ -62,9 +62,9 @@ def test_tvl1_median_filtering_config(rng):
     frames = io.synthetic_sequence(2, 256, 48, velocity=(2.0, 1.0), noise=0.0)
     p = jnp.asarray(frames[0], jnp.float32)
     n = jnp.asarray(frames[1], jnp.float32)
-    base = tvl1.TVL1Config(levels=2, warps=2, iterations=10,
+    base = tvl1.TVL1Config(levels=2, warps=2, iterations=8,
                            use_pallas=False, max_displacement=8)
-    med = tvl1.TVL1Config(levels=2, warps=2, iterations=10,
+    med = tvl1.TVL1Config(levels=2, warps=2, iterations=8,
                           use_pallas=False, max_displacement=8,
                           median_filtering=5)
     f0 = np.asarray(tvl1.pyramidal_tvl1(p, n, base))

@@ -267,7 +267,7 @@ def test_spatial_tvl1_matches_unsharded():
     # max_displacement=16 keeps the sharded path's always-on budget clamp
     # non-binding (this texture's TV-L1 has outlier pixels up to ~6 px —
     # the one documented semantic difference, as in the LK spatial test)
-    cfg = tvl1.TVL1Config(levels=2, warps=2, iterations=12, use_pallas=False,
+    cfg = tvl1.TVL1Config(levels=2, warps=2, iterations=10, use_pallas=False,
                           max_displacement=16)
     mesh = parallel.make_mesh(axis_name="space")
     flow = parallel.spatial_pyramidal_tvl1(p, n, cfg, mesh, iter_tile=5)
@@ -320,10 +320,13 @@ def test_spatial_prefilter_all_families(monkeypatch):
     mesh = parallel.make_mesh(axis_name="space")
     p, n = _smooth_pair(256, 48, dx=2, dy=1)
 
+    # Iteration counts are minimal: the prefilter exchange happens once per
+    # pyramid build, so extra solver iterations only grow these six programs'
+    # compile time without adding prefilter coverage.
     for up in (False, True):
         if up:
             monkeypatch.setenv("OF2_PALLAS_INTERPRET", "1")
-        cfg = of.LKConfig(levels=2, window=9, iterations=2,
+        cfg = of.LKConfig(levels=2, window=9, iterations=1,
                           max_displacement=4.0, prefilter=pf, use_pallas=up)
         flow = parallel.spatial_pyramidal_lk(p, n, cfg, mesh)
         want = of.pyramidal_lk(p, n, cfg)
@@ -331,14 +334,14 @@ def test_spatial_prefilter_all_families(monkeypatch):
             np.asarray(flow), np.asarray(want), atol=1e-4
         )
 
-    cfg_h = hs.HSConfig(alpha=8.0, iterations=15, levels=2, use_pallas=False,
+    cfg_h = hs.HSConfig(alpha=8.0, iterations=8, levels=2, use_pallas=False,
                         max_displacement=8, prefilter=pf)
     flow = parallel.spatial_pyramidal_hs(p, n, cfg_h, mesh, sweep_tile=6)
     np.testing.assert_allclose(
         np.asarray(flow), np.asarray(hs.pyramidal_hs(p, n, cfg_h)), atol=5e-4
     )
 
-    cfg_f = fb.FBConfig(levels=2, iterations=2, winsize=11, use_pallas=False,
+    cfg_f = fb.FBConfig(levels=2, iterations=1, winsize=11, use_pallas=False,
                         max_displacement=4, prefilter=pf)
     flow = parallel.spatial_pyramidal_fb(p, n, cfg_f, mesh)
     np.testing.assert_allclose(
@@ -349,7 +352,7 @@ def test_spatial_prefilter_all_families(monkeypatch):
     # max_displacement must exceed TV-L1's transient overshoot on this
     # high-contrast texture: the sharded path always enforces the budget
     # (documented semantic difference) while the unsharded warp does not.
-    cfg_t = tvl1.TVL1Config(levels=2, warps=2, iterations=10,
+    cfg_t = tvl1.TVL1Config(levels=2, warps=1, iterations=8,
                             use_pallas=False, max_displacement=8,
                             prefilter=pf)
     flow = parallel.spatial_pyramidal_tvl1(p, n, cfg_t, mesh, iter_tile=4)
@@ -409,9 +412,12 @@ def test_spatial_pallas_all_families(monkeypatch):
     # requires the within-tile flow variation to fit +-d_local around either
     # mean (the documented select-warp condition); the checkerboard's spiky
     # FB estimates violate it.
-    seq = uio.synthetic_sequence(2, 1024, 64, velocity=(2.0, 1.0), noise=0.0)
+    # Shapes/iteration counts are the smallest that still cover the moving
+    # parts (multi-level driver + a warping level + multi-chunk sweeps):
+    # interpret-mode spatial programs are the suite's biggest compiles.
+    seq = uio.synthetic_sequence(2, 512, 64, velocity=(2.0, 1.0), noise=0.0)
     p, n = (jnp.asarray(s, jnp.float32) for s in seq)
-    cfg_f = fb.FBConfig(levels=3, iterations=2, winsize=11, use_pallas=True,
+    cfg_f = fb.FBConfig(levels=2, iterations=2, winsize=11, use_pallas=True,
                         max_displacement=4)
     flow = parallel.spatial_pyramidal_fb(p, n, cfg_f, mesh)
     want = fb.pyramidal_farneback(p, n, cfg_f)
@@ -419,17 +425,15 @@ def test_spatial_pallas_all_families(monkeypatch):
     # 3 orders tighter than the XLA-TP form's 2e-2 accumulation bound.
     np.testing.assert_allclose(np.asarray(flow), np.asarray(want), atol=1e-4)
 
-    seq = uio.synthetic_sequence(2, 512, 64, velocity=(2.0, 1.0), noise=0.0)
-    p, n = (jnp.asarray(s, jnp.float32) for s in seq)
-    cfg_h = hs.HSConfig(alpha=8.0, iterations=20, levels=3, use_pallas=True,
+    cfg_h = hs.HSConfig(alpha=8.0, iterations=12, levels=2, use_pallas=True,
                         max_displacement=16)
     flow = parallel.spatial_pyramidal_hs(p, n, cfg_h, mesh, sweep_tile=6)
     want = hs.pyramidal_hs(p, n, cfg_h)
     np.testing.assert_allclose(np.asarray(flow), np.asarray(want), atol=1e-4)
 
-    cfg_t = tvl1.TVL1Config(levels=2, warps=2, iterations=10,
+    cfg_t = tvl1.TVL1Config(levels=2, warps=2, iterations=8,
                             use_pallas=True, max_displacement=8)
-    flow = parallel.spatial_pyramidal_tvl1(p, n, cfg_t, mesh)
+    flow = parallel.spatial_pyramidal_tvl1(p, n, cfg_t, mesh, iter_tile=4)
     want = tvl1.pyramidal_tvl1(p, n, cfg_t)
     np.testing.assert_allclose(np.asarray(flow), np.asarray(want), atol=1e-4)
 
