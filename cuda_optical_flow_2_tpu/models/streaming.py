@@ -120,7 +120,12 @@ def process_sequence(frames, config, warm_start: bool = False):
 
     ``frames`` is any iterable of (H, W) arrays (NumPy or jax) — finite OR
     unbounded (the live-capture twin of the reference's while(true) loop,
-    main.cu:222-275: e.g. ``utils.native.FrameStream.synthetic(None, ...)``).
+    main.cu:222-275).  A :class:`utils.native.FrameStream` yields
+    ``(t, frame)`` tuples, so unpack it first::
+
+        with FrameStream.synthetic(None, h, w, vx=2, vy=1) as src:
+            for i, flow in process_sequence((f for _, f in src), cfg):
+                ...
     ``config`` selects the model family (LKConfig / HSConfig / FBConfig /
     TVL1Config).  Host->device transfer happens once per frame at this
     boundary — the reference crosses PCIe ~24 times per level per frame

@@ -37,6 +37,9 @@ __all__ = [
 ]
 
 
+_initialized = False
+
+
 def initialize(
     coordinator_address: str | None = None,
     num_processes: int | None = None,
@@ -48,17 +51,25 @@ def initialize(
     cluster env vars); single-process callers may simply skip this.
     """
     # Idempotency via runtime state, not error-message matching: a repeated
-    # call is a no-op when the distributed client already exists.
+    # call is a no-op when the distributed client already exists.  The
+    # private-attribute probe is belt; the module-level flag is suspenders
+    # for JAX versions that move jax._src.distributed.global_state (a second
+    # initialize() in THIS process is the case the flag must survive).
+    global _initialized
+    if _initialized:
+        return
     state = getattr(
         getattr(jax._src, "distributed", None), "global_state", None
     )
     if state is not None and getattr(state, "client", None) is not None:
+        _initialized = True
         return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
         process_id=process_id,
     )
+    _initialized = True
 
 
 def make_global_mesh(

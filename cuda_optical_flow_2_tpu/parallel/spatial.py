@@ -260,8 +260,15 @@ def _local_lk_level(
     if config.use_pallas and config.warp_mode == "bilinear":
         from cuda_optical_flow_2_tpu.kernels import lk_fused, lk_step_fused
 
+        # supported() already includes forced-interpret mode (its backend
+        # clause is "tpu or interpret_forced"), so dispatching on it alone
+        # keeps the shape/window/displacement bounds in force and stays in
+        # lockstep with _fused_enabled's check_vma decision — an extra
+        # "or interp" here would run the kernel outside its validated budget
+        # AND trip shard_map's varying-mesh-axes check (check_vma stays True
+        # when _fused_enabled rejects the config).
         interp = lk_fused.interpret_forced()
-        if lk_step_fused.supported(prev, config) or interp:
+        if lk_step_fused.supported(prev, config):
             return _local_lk_level_fused(
                 prev, nxt, flow, config, axis_name, n, h_global,
                 row0, r_grad, r_img, interp,

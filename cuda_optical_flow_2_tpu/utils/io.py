@@ -51,10 +51,13 @@ def read_y4m(path: str):
                 chroma = tok[1:].decode()
         if w <= 0 or h <= 0:
             raise ValueError(f"malformed Y4M header: {header!r}")
+        # Only 8-bit colorspaces: bit-depth variants (C420p10, C444p16,
+        # mono12, ...) carry 2-byte samples — reading w*h bytes would yield
+        # a garbage half-frame.  The 4:2:0 suffixes are chroma SITING only.
         cw, ch2 = (w + 1) // 2, (h + 1) // 2
-        if chroma.startswith("420"):
+        if chroma in ("420", "420jpeg", "420paldv", "420mpeg2"):
             skip = 2 * cw * ch2
-        elif chroma.startswith("422"):
+        elif chroma == "422":
             skip = 2 * cw * h
         elif chroma == "444":
             skip = 2 * w * h

@@ -216,6 +216,11 @@ class FrameStream:
         # releases the GIL, so that consumer holds this lock while blocked),
         # then takes the lock to retire the handle before freeing it.
         self._lock = threading.Lock()
+        # Serializes CLOSERS against each other (and stats() against a
+        # mid-close free).  A consumer never takes it, so a closer can hold
+        # it across the stop-then-free sequence without deadlocking against
+        # a consumer blocked inside next2 holding _lock.
+        self._close_lock = threading.Lock()
 
     @classmethod
     def synthetic(
@@ -271,6 +276,12 @@ class FrameStream:
         (``ffmpeg -i clip.mp4 out.y4m``) — the real-video twin of the
         reference's webcam capture.  Frame count is unknown until EOF
         (``nframes`` is None); the stream ends itself at end of file.
+
+        FIFO/pipe caveat: frames are consumed with blocking reads, so
+        ``close()`` on a mid-frame STALLED pipe (producer paused, no EOF)
+        waits for the producer to resume or close its end — the worker
+        cannot be interrupted inside a blocking ``fread``.  Regular files
+        and drained/closed pipes close immediately.
         """
         lib = _try_load()
         if lib is None:
@@ -355,7 +366,11 @@ class FrameStream:
         """
         lib = _try_load()
         if lib is not None:
-            with self._lock:
+            # _close_lock (not _lock): a consumer blocked inside next2 holds
+            # _lock for the whole blocking wait, but the native stats call
+            # only needs the handle to stay unfreed — which closers guarantee
+            # by holding _close_lock across stop+free.
+            with self._close_lock:
                 if self._handle is not None:
                     n_ok = ctypes.c_longlong()
                     n_failed = ctypes.c_longlong()
@@ -369,15 +384,20 @@ class FrameStream:
         """End the stream.  Safe to call from another thread while a consumer
         is blocked in ``next()`` — the consumer wakes and raises
         StopIteration."""
-        if self._handle is not None:
-            lib = _try_load()
-            # Phase 1: stop (wakes any consumer blocked inside next2; the
-            # handle stays valid).  Phase 2: retire the handle under the
-            # iteration lock so no thread can call into it again, then free.
-            lib.of2_stream_stop(self._handle)
-            with self._lock:
-                handle, self._handle = self._handle, None
-            if handle is not None:
+        # _close_lock serializes concurrent closers: the loser waits here,
+        # then sees _handle is None and skips — without it, two closers
+        # could both read the handle and the second would stop/free a
+        # pointer the first already freed.
+        with self._close_lock:
+            if self._handle is not None:
+                lib = _try_load()
+                # Phase 1: stop (wakes any consumer blocked inside next2;
+                # the handle stays valid).  Phase 2: retire the handle under
+                # the iteration lock so no thread can call into it again,
+                # then free.
+                lib.of2_stream_stop(self._handle)
+                with self._lock:
+                    handle, self._handle = self._handle, None
                 lib.of2_stream_close(handle)
         self._fallback = None
         self.nframes = 0

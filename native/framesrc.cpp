@@ -307,18 +307,23 @@ int y4m_parse_header(FILE* f, int* h, int* w, Y4mChroma* chroma) {
       case 'W': *w = std::atoi(tok.c_str() + 1); break;
       case 'H': *h = std::atoi(tok.c_str() + 1); break;
       case 'C': {
+        // Only 8-bit colorspaces: bit-depth variants (C420p10, C422p12,
+        // C444p16, Cmono12, ...) have 2-byte samples — accepting them would
+        // hand back a garbage half-frame as a "valid" luma plane.  The
+        // 8-bit 4:2:0 family differs only in chroma SITING (jpeg / paldv /
+        // mpeg2), which the luma-only reader doesn't care about.
         const std::string cs = tok.substr(1);
-        if (cs == "444alpha") return -4;  // has an alpha plane we won't skip right
-        if (cs.rfind("420", 0) == 0) {
+        if (cs == "420" || cs == "420jpeg" || cs == "420paldv" ||
+            cs == "420mpeg2") {
           *chroma = Y4mChroma::k420;
-        } else if (cs.rfind("422", 0) == 0) {
+        } else if (cs == "422") {
           *chroma = Y4mChroma::k422;
-        } else if (cs.rfind("444", 0) == 0) {
+        } else if (cs == "444") {
           *chroma = Y4mChroma::k444;
         } else if (cs == "mono") {
           *chroma = Y4mChroma::kMono;
         } else {
-          return -4;
+          return -4;  // incl. 444alpha (alpha plane) and >8-bit variants
         }
         break;
       }

@@ -472,6 +472,39 @@ def test_y4m_error_codes(tmp_path):
         FrameStream.from_y4m(str(tmp_path / "missing.y4m"))
 
 
+def test_y4m_rejects_high_bit_depth(tmp_path):
+    """>8-bit colorspaces (C420p10, C444p16, mono12) have 2-byte samples —
+    both parsers must reject them as unsupported rather than hand back a
+    garbage half-frame as valid luma; 8-bit chroma-SITING suffixes
+    (C420jpeg/paldv/mpeg2) stay accepted."""
+    from cuda_optical_flow_2_tpu.utils import io
+    from cuda_optical_flow_2_tpu.utils.native import FrameStream
+
+    y = np.arange(8 * 16, dtype=np.uint8).reshape(8, 16)
+    for cs in (b"C420p10", b"C422p12", b"C444p16", b"C444alpha", b"Cmono12"):
+        path = str(tmp_path / (cs.decode() + ".y4m"))
+        with open(path, "wb") as f:
+            f.write(b"YUV4MPEG2 W16 H8 F25:1 Ip A1:1 %s\n" % cs)
+            f.write(b"FRAME\n" + (y.tobytes() * 2))  # 2 B/px payload
+        with pytest.raises(ValueError, match="unsupported"):
+            list(io.read_y4m(path))
+        with pytest.raises(ValueError, match="unsupported colorspace"):
+            FrameStream.from_y4m(path)
+    for cs in (b"C420jpeg", b"C420paldv", b"C420mpeg2"):
+        path = str(tmp_path / (cs.decode() + ".y4m"))
+        chroma = np.zeros((8 // 2) * (16 // 2) * 2, np.uint8)
+        with open(path, "wb") as f:
+            f.write(b"YUV4MPEG2 W16 H8 F25:1 Ip A1:1 %s\n" % cs)
+            f.write(b"FRAME\n" + y.tobytes() + chroma.tobytes())
+        got = list(io.read_y4m(path))
+        assert len(got) == 1
+        np.testing.assert_array_equal(got[0], y)
+        with FrameStream.from_y4m(path) as src:
+            out = [(t, f) for t, f in src]
+        assert len(out) == 1
+        np.testing.assert_array_equal(out[0][1], y.astype(np.float32))
+
+
 def test_y4m_process_sequence(tmp_path):
     """Full pipeline over a Y4M stream: flow recovered from a real video file."""
     import cuda_optical_flow_2_tpu as of
