@@ -349,6 +349,32 @@ def test_frame_stream_cross_thread_close():
         assert not th.is_alive(), "consumer failed to exit after close()"
 
 
+def test_frame_stream_concurrent_close():
+    """Two threads closing the same stream concurrently: one frees, the
+    other no-ops (the close lock serializes them) — no double free, no
+    stop() on a stale pointer."""
+    import threading
+
+    from cuda_optical_flow_2_tpu.utils.native import FrameStream
+
+    for _ in range(5):
+        src = FrameStream.synthetic(None, 32, 48, vx=1.0, vy=0.0, prefetch=1)
+        next(iter(src))  # stream is live
+        barrier = threading.Barrier(2)
+
+        def close(src=src, barrier=barrier):
+            barrier.wait()
+            src.close()
+
+        threads = [threading.Thread(target=close) for _ in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+            assert not t.is_alive(), "closer deadlocked"
+        assert src._handle is None
+
+
 def _write_y4m_420(path, frames, extras=b"F25:1 Ip A1:1 C420jpeg Xmade-by-test"):
     h, w = frames[0].shape
     with open(path, "wb") as f:
