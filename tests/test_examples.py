@@ -4,7 +4,14 @@ import runpy
 import sys
 import os
 
-EXAMPLES = ["basic", "streaming_video", "sharded_batch", "spatial_tp", "flow_quality"]
+EXAMPLES = [
+    "basic",
+    "streaming_video",
+    "sharded_batch",
+    "spatial_tp",
+    "flow_quality",
+    "gradient_alignment",
+]
 
 
 def test_examples_run():
