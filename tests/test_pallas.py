@@ -142,6 +142,36 @@ def test_pipeline_with_pallas_warp_matches_xla(rng, monkeypatch):
     assert np.percentile(err, 99) < 0.1, np.percentile(err, 99)
 
 
+def test_random_config_parity_sweep(monkeypatch):
+    """Seeded sweep over the LK config space: Pallas (interpret) vs XLA on
+    random shapes (incl. odd), windows, temporal kernels, iteration counts
+    and normalization — insurance against dispatch/config-space regressions
+    a fixed-config test can't see."""
+    monkeypatch.setenv("OF2_PALLAS_INTERPRET", "1")
+    from cuda_optical_flow_2_tpu.utils import io
+
+    rng_ = np.random.default_rng(7)
+    for case in range(4):
+        h = int(rng_.integers(48, 96))
+        w = int(rng_.integers(56, 112))
+        v = (float(rng_.uniform(-2, 2)), float(rng_.uniform(-1.5, 1.5)))
+        seq = io.synthetic_sequence(2, h, w, velocity=v, noise=0.0)
+        p, n = (jnp.asarray(s, jnp.float32) for s in seq)
+        kw = dict(
+            levels=int(rng_.integers(1, 3)),
+            window=int(rng_.choice([5, 9, 11, 15])),
+            iterations=int(rng_.integers(1, 3)),
+            temporal_kernel=str(rng_.choice(["dt3", "gauss3"])),
+            normalize_gradients=bool(rng_.integers(0, 2)),
+            max_displacement=8.0,
+        )
+        got = np.asarray(of.pyramidal_lk(p, n, of.LKConfig(use_pallas=True, **kw)))
+        want = np.asarray(of.pyramidal_lk(p, n, of.LKConfig(use_pallas=False, **kw)))
+        err = np.abs(got - want)
+        assert np.median(err) < 2e-3, (case, kw, np.median(err))
+        assert np.percentile(err, 99) < 0.1, (case, kw, np.percentile(err, 99))
+
+
 def test_lk_step_fused_matches_xla_composition(rng):
     from cuda_optical_flow_2_tpu.kernels import lk_step_fused
     from cuda_optical_flow_2_tpu.models.lucas_kanade import _lk_residual_xla

@@ -438,6 +438,25 @@ def test_spatial_pallas_all_families(monkeypatch):
     np.testing.assert_allclose(np.asarray(flow), np.asarray(want), atol=1e-4)
 
 
+def test_spatial_interpret_respects_kernel_budget(monkeypatch):
+    """Forced interpret mode must NOT dispatch the fused band kernel outside
+    its validated bounds (max_displacement > 96): the dispatch falls back to
+    the XLA twin, in lockstep with _fused_enabled's check_vma decision —
+    regression for the 'or interp' bypass that tripped shard_map's
+    varying-mesh-axes check."""
+    monkeypatch.setenv("OF2_PALLAS_INTERPRET", "1")
+    p, n = _smooth_pair(256, 48, dx=1, dy=0)
+    mesh = parallel.make_mesh(axis_name="space")
+    cfg = of.LKConfig(levels=1, window=9, iterations=1, use_pallas=True,
+                      max_displacement=128.0)
+    flow = parallel.spatial_pyramidal_lk(p, n, cfg, mesh)
+    want = of.pyramidal_lk(
+        p, n, of.LKConfig(levels=1, window=9, iterations=1,
+                          use_pallas=False, max_displacement=128.0)
+    )
+    np.testing.assert_allclose(np.asarray(flow), np.asarray(want), atol=1e-4)
+
+
 def test_halo_exchange_counts_hoisted(monkeypatch):
     """Loop-invariant frame bands are exchanged ONCE per level, not per
     iteration/warp: the collective-permute count of the lowered sharded
