@@ -220,9 +220,20 @@ def _window_solve(prods, config: FBConfig) -> jax.Array:
                 interpret=win_solve.interpret_forced(),
             )
     sums = _window(jnp.stack(prods), config)
+    return solve_normal_eqs(sums, config.det_eps)
+
+
+def solve_normal_eqs(sums: jax.Array, det_eps: float) -> jax.Array:
+    """Guarded 2x2 solve of the windowed normal equations.
+
+    ``sums`` stacks (g11, g12, g22, h1, h2); |det| < det_eps pixels get
+    zero flow.  Shared by the XLA window-solve here and the sharded band
+    form (parallel/spatial_models.py), so the guard semantics cannot drift
+    between the unsharded and TP paths.
+    """
     g11, g12, g22, h1, h2 = (sums[i] for i in range(5))
     det = g11 * g22 - g12 * g12
-    safe = jnp.abs(det) >= config.det_eps
+    safe = jnp.abs(det) >= det_eps
     inv_det = 1.0 / jnp.where(safe, det, jnp.ones_like(det))
     zero = jnp.zeros_like(det)
     u_new = jnp.where(safe, (g22 * h1 - g12 * h2) * inv_det, zero)

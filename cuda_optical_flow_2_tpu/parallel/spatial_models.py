@@ -32,7 +32,10 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from cuda_optical_flow_2_tpu.models.farneback import FBConfig
+from cuda_optical_flow_2_tpu.models.farneback import (
+    FBConfig,
+    solve_normal_eqs,
+)
 from cuda_optical_flow_2_tpu.models.horn_schunck import HSConfig, _avg3x3
 from cuda_optical_flow_2_tpu.ops.gradients import (
     spatial_gradients,
@@ -87,6 +90,25 @@ def _sweep_pallas(config) -> bool:
     from cuda_optical_flow_2_tpu.kernels import lk_fused
 
     return jax.default_backend() == "tpu" or lk_fused.interpret_forced()
+
+
+def _validate_pallas_band_width(w: int, config, family: str) -> None:
+    """Reject configs whose coarsest level is too narrow for the band
+    kernels the TP path would dispatch (their ``supported()`` bounds
+    require w >= 8, but the TP predicates are config-only so shard_map
+    halo sizing and check_vma stay consistent across levels) — an early
+    precise error instead of running a kernel outside its validated
+    budget."""
+    if not (_warp_pallas(config) or _sweep_pallas(config)):
+        return
+    w_top = w >> (config.levels - 1)
+    if w_top < 8:
+        raise ValueError(
+            f"spatial {family} with use_pallas needs the coarsest level "
+            f">= 8 columns for the band kernels; got {w_top} "
+            f"(w={w}, levels={config.levels}) — reduce levels or set "
+            f"use_pallas=False"
+        )
 
 
 def _band_warp(
@@ -226,6 +248,7 @@ def validate_spatial_hs(
     h: int, w: int, config: HSConfig, n: int, sweep_tile: int = 8
 ) -> None:
     validate_prefilter_shards(h, n, config)
+    _validate_pallas_band_width(w, config, "HS")
     top = config.levels - 1
     if h % (n << top) or (top and w % (1 << top)):
         raise ValueError(
@@ -427,11 +450,23 @@ def _local_fb_level(prev, nxt, flow, config, axis_name, n, row0, h_global):
             flow = jnp.clip(
                 flow, -config.max_displacement, config.max_displacement
             )
-            flow_p = halo_exchange(
-                flow, r_e, r_e, axis_name, n, row_axis=-3
-            )
-            warped = warp_bilinear_band(
-                nxt_p, flow_p, row0 - r_img, row0 - r_e, h_global
+            # Same warp dispatch as HS/TV-L1 (_band_warp): select-loops when
+            # the Pallas path is on (matching unsharded fb_level_image's
+            # warp backend), XLA gather twin otherwise.  The select path
+            # needs the r_img-halo flow; its r_e-halo view feeds u, v.
+            if _warp_pallas(config):
+                flow_pw = halo_exchange(
+                    flow, r_img, r_img, axis_name, n, row_axis=-3
+                )
+                flow_p = _crop_rows(flow_pw, d + 2, -3)
+            else:
+                flow_pw = halo_exchange(
+                    flow, r_e, r_e, axis_name, n, row_axis=-3
+                )
+                flow_p = flow_pw
+            warped = _band_warp(
+                nxt, flow, config, axis_name, n, row0, h_global, r_e,
+                nxt_p=nxt_p, flow_p=flow_pw,
             )
             w_exp = _banded_expansion(warped, config, row0 - r_e, h_global)
             u, v = flow_p[..., 0], flow_p[..., 1]
@@ -460,14 +495,9 @@ def _local_fb_level(prev, nxt, flow, config, axis_name, n, row0, h_global):
             _crop_rows(prods, r_poly), row0 - r_win, h_global
         )
         sums = window_sum(prods, config.winsize)
-        g11, g12, g22, h1, h2 = (sums[i] for i in range(5))
-        det = g11 * g22 - g12 * g12
-        safe = jnp.abs(det) >= config.det_eps
-        inv_det = 1.0 / jnp.where(safe, det, jnp.ones_like(det))
-        zero = jnp.zeros_like(det)
-        u_new = jnp.where(safe, (g22 * h1 - g12 * h2) * inv_det, zero)
-        v_new = jnp.where(safe, (g11 * h2 - g12 * h1) * inv_det, zero)
-        flow = _crop_rows(jnp.stack([u_new, v_new], axis=-1), r_win, -3)
+        flow = _crop_rows(
+            solve_normal_eqs(sums, config.det_eps), r_win, -3
+        )
     return flow
 
 
@@ -477,6 +507,13 @@ def validate_spatial_fb(h: int, w: int, config: FBConfig, n: int) -> None:
         raise NotImplementedError(
             "spatial FB supports the box window (gaussian_window=False)"
         )
+    if config.warp_planes != "image":
+        raise NotImplementedError(
+            "spatial FB implements the image-warp formulation "
+            "(warp_planes='image'); the coefficient-warp form would "
+            "silently diverge from pyramidal_farneback"
+        )
+    _validate_pallas_band_width(w, config, "FB")
     top = config.levels - 1
     if h % (n << top) or (top and w % (1 << top)):
         raise ValueError(
@@ -544,7 +581,12 @@ def spatial_pyramidal_fb(
         mesh=mesh,
         in_specs=(P(axis_name, None), P(axis_name, None)),
         out_specs=P(axis_name, None, None),
-        check_vma=not (_prefilter_pallas(config) or _fb_fused_enabled(config)),
+        check_vma=not (
+            _prefilter_pallas(config)
+            or _fb_fused_enabled(config)
+            # the non-fused branch still warps via the select kernel
+            or _warp_pallas(config)
+        ),
     )
     return jax.jit(fn)(prev, nxt)
 
@@ -738,6 +780,7 @@ def validate_spatial_tvl1(
     h: int, w: int, config, n: int, iter_tile: int = 8
 ) -> None:
     validate_prefilter_shards(h, n, config)
+    _validate_pallas_band_width(w, config, "TV-L1")
     top = config.levels - 1
     if h % (n << top) or (top and w % (1 << top)):
         raise ValueError(
@@ -746,14 +789,15 @@ def validate_spatial_tvl1(
         )
     k = min(iter_tile, config.iterations)
     d = int(math.ceil(config.max_displacement))
-    need = k + 2 + d + 2
+    # the per-warp median filter exchanges window//2 edge-replicated rows
+    need = max(k + 2 + d + 2, config.median_filtering // 2)
     for lvl in range(config.levels):
         hk = (h >> lvl) // n
         if hk < need:
             raise ValueError(
                 f"TV-L1 level {lvl} holds {hk} rows/shard but its halos "
-                f"need {need}; reduce levels, iter_tile, max_displacement "
-                f"or shards"
+                f"need {need}; reduce levels, iter_tile, max_displacement, "
+                f"median_filtering or shards"
             )
 
 

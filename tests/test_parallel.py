@@ -438,6 +438,64 @@ def test_spatial_pallas_all_families(monkeypatch):
     np.testing.assert_allclose(np.asarray(flow), np.asarray(want), atol=1e-4)
 
 
+def test_spatial_validators_reject_unsupported_configs(monkeypatch):
+    """Precise early errors instead of silent divergence / opaque trace
+    failures: coeff-formulation FB, band-kernel-narrow coarsest levels, and
+    median halos taller than a shard."""
+    from cuda_optical_flow_2_tpu.models import farneback as fb
+    from cuda_optical_flow_2_tpu.models import tvl1
+    from cuda_optical_flow_2_tpu.parallel.spatial_models import (
+        validate_spatial_fb,
+        validate_spatial_tvl1,
+    )
+
+    # spatial FB implements only the image-warp formulation
+    with pytest.raises(NotImplementedError, match="image-warp"):
+        validate_spatial_fb(
+            256, 64, fb.FBConfig(levels=2, warp_planes="coeff"), 8
+        )
+    # coarsest level too narrow for the band kernels (w>>1 = 6 < 8)
+    monkeypatch.setenv("OF2_PALLAS_INTERPRET", "1")
+    with pytest.raises(ValueError, match="coarsest level"):
+        validate_spatial_tvl1(
+            512, 12, tvl1.TVL1Config(levels=2, use_pallas=True), 8
+        )
+    # ...but the XLA path accepts the same narrow shape
+    validate_spatial_tvl1(
+        512, 12, tvl1.TVL1Config(levels=2, use_pallas=False,
+                                 max_displacement=2), 8
+    )
+    # median halo must fit the shard
+    with pytest.raises(ValueError, match="median_filtering"):
+        validate_spatial_tvl1(
+            64, 64,
+            tvl1.TVL1Config(levels=2, use_pallas=False, iterations=1,
+                            max_displacement=0, median_filtering=13),
+            8, iter_tile=1,
+        )
+
+
+def test_spatial_fb_select_warp_nonfused(monkeypatch):
+    """FB configs the fused kernel rejects (winsize > 33) still warp via the
+    select-loop kernel under TP, matching the unsharded fb_level_image warp
+    backend (regression: this branch used the XLA gather warp)."""
+    from cuda_optical_flow_2_tpu.models import farneback as fb
+    from cuda_optical_flow_2_tpu.utils import io as uio
+
+    monkeypatch.setenv("OF2_PALLAS_INTERPRET", "1")
+    seq = uio.synthetic_sequence(2, 512, 64, velocity=(2.0, 1.0), noise=0.0)
+    p, n = (jnp.asarray(s, jnp.float32) for s in seq)
+    cfg = fb.FBConfig(levels=2, iterations=2, winsize=35, use_pallas=True,
+                      max_displacement=4)
+    mesh = parallel.make_mesh(axis_name="space")
+    flow = parallel.spatial_pyramidal_fb(p, n, cfg, mesh)
+    want = fb.pyramidal_farneback(p, n, cfg)
+    np.testing.assert_allclose(np.asarray(flow), np.asarray(want), atol=2e-2)
+    inner = np.asarray(flow)[32:-32, 16:-16]
+    med = np.median(inner, axis=(0, 1))
+    assert abs(med[0] - 2) < 0.15 and abs(med[1] - 1) < 0.15, med
+
+
 def test_spatial_interpret_respects_kernel_budget(monkeypatch):
     """Forced interpret mode must NOT dispatch the fused band kernel outside
     its validated bounds (max_displacement > 96): the dispatch falls back to
