@@ -171,6 +171,41 @@ def test_random_config_parity_sweep(monkeypatch):
         assert np.median(err) < 2e-3, (case, kw, np.median(err))
         assert np.percentile(err, 99) < 0.1, (case, kw, np.percentile(err, 99))
 
+    # one random case per extension family (same insurance, wider surface)
+    from cuda_optical_flow_2_tpu.models import (
+        FBConfig,
+        HSConfig,
+        TVL1Config,
+        pyramidal_flow,
+    )
+
+    h = int(rng_.integers(48, 96))
+    w = int(rng_.integers(56, 112))
+    seq = io.synthetic_sequence(2, h, w, velocity=(1.5, -1.0), noise=0.0)
+    p, n = (jnp.asarray(s, jnp.float32) for s in seq)
+    for cfg_t, cfg_x in [
+        (HSConfig(levels=2, iterations=int(rng_.integers(8, 20)),
+                  use_pallas=True, max_displacement=8),
+         None),
+        (FBConfig(levels=2, iterations=int(rng_.integers(1, 3)),
+                  winsize=int(rng_.choice([9, 11, 15])),
+                  use_pallas=True, max_displacement=4),
+         None),
+        (TVL1Config(levels=2, warps=1, iterations=int(rng_.integers(5, 12)),
+                    use_pallas=True, max_displacement=8,
+                    median_filtering=5),
+         None),
+    ]:
+        import dataclasses
+
+        cfg_x = dataclasses.replace(cfg_t, use_pallas=False)
+        got = np.asarray(pyramidal_flow(p, n, cfg_t))
+        want = np.asarray(pyramidal_flow(p, n, cfg_x))
+        err = np.abs(got - want)
+        assert np.median(err) < 2e-3, (type(cfg_t).__name__, np.median(err))
+        assert np.percentile(err, 99) < 0.1, (
+            type(cfg_t).__name__, np.percentile(err, 99))
+
 
 def test_lk_step_fused_matches_xla_composition(rng):
     from cuda_optical_flow_2_tpu.kernels import lk_step_fused
