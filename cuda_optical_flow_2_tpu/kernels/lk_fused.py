@@ -192,6 +192,20 @@ def _lk_kernel(
     sum_ixit = win(ix * it)
     sum_iyit = win(iy * it)
 
+    u, v = _solve2x2(
+        sum_ix2, sum_iy2, sum_ixiy, sum_ixit, sum_iyit, det_eps
+    )
+    u_ref[:] = u
+    v_ref[:] = v
+
+
+def _solve2x2(sum_ix2, sum_iy2, sum_ixiy, sum_ixit, sum_iyit, det_eps: float):
+    """Guarded per-pixel 2x2 LK solve (elementwise VPU math).
+
+    det_eps=0 reproduces the reference's raw 1/det (OptFlowGpu.cu:1835).
+    SHARED by lk_fused and lk_step_fused so the guard semantics cannot
+    drift between the fused-level and residual-only kernels.
+    """
     det = sum_ix2 * sum_iy2 - sum_ixiy * sum_ixiy
     if det_eps > 0.0:
         safe = jnp.abs(det) >= det_eps
@@ -203,8 +217,7 @@ def _lk_kernel(
         inv_det = 1.0 / det
         u = (-sum_iy2 * sum_ixit + sum_ixiy * sum_iyit) * inv_det
         v = (sum_ixiy * sum_ixit - sum_ix2 * sum_iyit) * inv_det
-    u_ref[:] = u
-    v_ref[:] = v
+    return u, v
 
 
 def _pick_tile_h(h: int, wp: int, halo_y: int) -> int:

@@ -39,6 +39,7 @@ from cuda_optical_flow_2_tpu.constants import MASKS
 from cuda_optical_flow_2_tpu.kernels import select_core
 from cuda_optical_flow_2_tpu.kernels.lk_fused import (
     _box_sum,
+    _solve2x2,
     _stencil3,
     supported as _lk_supported,
 )
@@ -119,14 +120,21 @@ def _kernel(
     fzero = jnp.zeros((text, wp), jnp.float32)
     u_c = jnp.where(inside, jnp.clip(xf + u_b, 0.0, img_w - 1) - xf, fzero)
     v_c = jnp.where(inside, jnp.clip(yf + v_b, 0.0, img_h - 1) - yf, fzero)
+    # valid from the BUDGET-CLAMPED flow: the XLA/unfused twin clips to
+    # max_displacement before the warp, so its out-of-bounds test sees the
+    # clamped components — testing the raw flow here would keep the unwarped
+    # pixel for samples the twin actually takes in-bounds.
     valid = (
-        (xf + u_in >= 0)
-        & (xf + u_in <= img_w - 1)
-        & (yf + v_in >= 0)
-        & (yf + v_in <= img_h - 1)
+        (xf + u_b >= 0)
+        & (xf + u_b <= img_w - 1)
+        & (yf + v_b >= 0)
+        & (yf + v_b <= img_h - 1)
     )
 
-    # --- Warp: next sampled at x + flow over the extended band.
+    # --- Warp: next sampled at x + flow over the extended band.  The
+    # recentering mean runs over real image pixels only (`inside`) — the
+    # zeroed outside-image flow would bias it toward zero and the d_local
+    # clamp would truncate large uniform flows.
     warped, au, av = select_core.warp_core(
         nxt,
         u_c,
@@ -134,6 +142,7 @@ def _kernel(
         row0=halo_n - rw,
         d_local=d_local,
         c_max=c_max,
+        mask=inside,
     )
     # Out-of-bounds samples keep the unwarped pixel; outside the image the
     # warped band must read as ZERO so the temporal stencil keeps the XLA
@@ -163,21 +172,9 @@ def _kernel(
     sum_ixit = win(ix * it)
     sum_iyit = win(iy * it)
 
-    det = sum_ix2 * sum_iy2 - sum_ixiy * sum_ixiy
-    if det_eps > 0.0:
-        safe = jnp.abs(det) >= det_eps
-        inv_det = 1.0 / jnp.where(safe, det, jnp.ones_like(det))
-        zc = jnp.zeros_like(det)
-        res_u = jnp.where(
-            safe, (-sum_iy2 * sum_ixit + sum_ixiy * sum_iyit) * inv_det, zc
-        )
-        res_v = jnp.where(
-            safe, (sum_ixiy * sum_ixit - sum_ix2 * sum_iyit) * inv_det, zc
-        )
-    else:
-        inv_det = 1.0 / det
-        res_u = (-sum_iy2 * sum_ixit + sum_ixiy * sum_iyit) * inv_det
-        res_v = (sum_ixiy * sum_ixit - sum_ix2 * sum_iyit) * inv_det
+    res_u, res_v = _solve2x2(
+        sum_ix2, sum_iy2, sum_ixiy, sum_ixit, sum_iyit, det_eps
+    )
 
     # Accumulate on the budget-clamped flow (matching the XLA path, which
     # clips to max_displacement before warping): the border clamp and the
@@ -272,7 +269,10 @@ def _step_impl(
     # for the smooth upsampled fields the pyramid feeds this kernel.
     c_max = config.c_max
 
-    halo_p = _round_up(rw + rw, _SUBLANE)  # band extension + gradient margin
+    # prev reads span exactly [halo_p - rw, halo_p + rw + tile_h) (the
+    # prev_band slice); rw rows of halo suffice — the gradient/window margins
+    # are already inside rw = r + 1 rounded up.
+    halo_p = _round_up(rw, _SUBLANE)
     halo_n = _round_up(select_core.halo_y(d, d_local, c_max) + rw, _SUBLANE)
     halo_x = max(select_core.halo_x(d, d_local), rw + 1)
     wp = _round_up(w + 2 * halo_x, _LANE)

@@ -67,6 +67,7 @@ def warp_core(
     d_local: int = DEFAULT_D_LOCAL,
     c_max: int = 2,
     compute_dtype=jnp.float32,
+    mask: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Bilinear warp of ``img`` by (u, v) with per-tile recentering.
 
@@ -84,6 +85,12 @@ def warp_core(
         non-32-bit data ("Rotate with non-32-bit data", tpu.dynamic_rotate),
         so only float32 compiles on TPU today; the parameter is kept for when
         that lands.  The bilinear blend always runs float32.
+      mask: (To, WP) bool marking REAL flow entries.  The recentering mean
+        must ignore the zero-flow lane/halo padding and partial-tile rows —
+        averaging them in biases (u0, v0) toward zero, and the +-d_local
+        clamp then silently truncates large uniform flows that are squarely
+        inside the documented exactness condition (e.g. a uniform 28 px flow
+        on a tile whose real columns are half of WP applies as ~21 px).
 
     Returns (warped, applied_u, applied_v), each (To, WP): the warped tile
     and the flow actually applied (recentered + locally clamped) — callers
@@ -93,9 +100,17 @@ def warp_core(
     ncands = 2 * c_max + 2
     img = img.astype(compute_dtype)
 
-    # Per-tile integer recentering.
-    u0 = jnp.round(jnp.mean(u)).astype(jnp.int32)
-    v0 = jnp.round(jnp.mean(v)).astype(jnp.int32)
+    # Per-tile integer recentering (mean over REAL pixels only).
+    if mask is None:
+        u_mean = jnp.mean(u)
+        v_mean = jnp.mean(v)
+    else:
+        cnt = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
+        fz = jnp.zeros((), jnp.float32)
+        u_mean = jnp.sum(jnp.where(mask, u, fz)) / cnt
+        v_mean = jnp.sum(jnp.where(mask, v, fz)) / cnt
+    u0 = jnp.round(u_mean).astype(jnp.int32)
+    v0 = jnp.round(v_mean).astype(jnp.int32)
     ul = jnp.clip(u - u0.astype(jnp.float32), -d_local, d_local)
     vl = jnp.clip(v - v0.astype(jnp.float32), -d_local, d_local)
     applied_u = u0.astype(jnp.float32) + ul

@@ -66,14 +66,29 @@ def _warp_kernel(
     halo_y: int,
     d_local: int,
     c_max: int,
+    tile_h: int,
+    halo_x: int,
+    h: int,
+    w: int,
 ):
+    u = u_ref[0]
+    v = v_ref[0]
+    to, wp = u.shape
+    # Real flow entries of this tile: the recentering mean must not average
+    # the zero-flow lane padding / partial-last-tile rows (select_core
+    # docstring) — at wp ~2x w the bias would halve large uniform flows.
+    i = pl.program_id(1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (to, wp), 0) + i * tile_h
+    cols = jax.lax.broadcasted_iota(jnp.int32, (to, wp), 1)
+    mask = (rows < h) & (cols >= halo_x) & (cols < halo_x + w)
     warped, _, _ = select_core.warp_core(
         img_ref[0],
-        u_ref[0],
-        v_ref[0],
+        u,
+        v,
         row0=halo_y,
         d_local=d_local,
         c_max=c_max,
+        mask=mask,
     )
     out_ref[:, :] = warped
 
@@ -174,10 +189,14 @@ def _select_impl(
     halo_y = _round_up(select_core.halo_y(d, d_local, c_max), _SUBLANE)
     halo_x = select_core.halo_x(d, d_local)
     wp = _round_up(w + 2 * halo_x, _LANE)
-    # VMEM: ~22 (tile_h, wp) arrays live at the pass-2 peak plus the
-    # (tile_h + 2*halo_y, wp) image tile.
+    # VMEM: 3*ncands select accumulators + 2 vig maps + ~8 temporaries live
+    # at the pass-2 peak, plus the (tile_h + 2*halo_y, wp) image tile —
+    # sized from ncands so larger c_max shrinks the tile instead of blowing
+    # the budget.
+    ncands = 2 * c_max + 2
+    arrays = 5 + 3 * ncands  # == the measured 23 at the default c_max=2
     budget = 11 * 1024 * 1024 // 4
-    th_max = (budget // wp - 2 * halo_y) // 23
+    th_max = (budget // wp - 2 * halo_y) // arrays
     tile_h = max(_SUBLANE, min(_round_up(h, _SUBLANE), (th_max // _SUBLANE) * _SUBLANE))
     ht = pl.cdiv(h, tile_h)
     hp = ht * tile_h + 2 * halo_y
@@ -188,7 +207,8 @@ def _select_impl(
     vp = jnp.pad(v, pad_uv)
 
     kernel = functools.partial(
-        _warp_kernel, halo_y=halo_y, d_local=d_local, c_max=c_max
+        _warp_kernel, halo_y=halo_y, d_local=d_local, c_max=c_max,
+        tile_h=tile_h, halo_x=halo_x, h=h, w=w,
     )
     img_spec = pl.BlockSpec(
         (pl.Element(1), pl.Element(tile_h + 2 * halo_y), pl.Element(wp)),

@@ -231,6 +231,55 @@ def test_lk_step_fused_matches_xla_composition(rng):
         np.testing.assert_allclose(got, want, atol=1e-4), (h, w)
 
 
+def test_select_warp_exact_on_large_uniform_flow(rng):
+    """A uniform flow near the budget (zero within-tile variation — squarely
+    inside the documented exactness condition) must match the gather warp
+    bit-for-bit.  Regression: the per-tile recentering mean averaged the
+    zero-flow lane/halo padding, biasing (u0, v0) toward zero so the
+    +-d_local clamp silently truncated the applied flow (measured max error
+    194.6 intensity levels at 28 px)."""
+    from cuda_optical_flow_2_tpu.kernels import warp_select
+    from cuda_optical_flow_2_tpu.ops.warp import warp_bilinear
+
+    img = jnp.asarray(rng.normal(0, 50, (32, 64)).astype(np.float32) + 128)
+    for uv in [(28.0, 0.0), (0.0, 28.0), (-25.0, 19.0)]:
+        flow = jnp.asarray(np.full((32, 64, 2), 0.0, np.float32))
+        flow = flow.at[..., 0].set(uv[0]).at[..., 1].set(uv[1])
+        got = np.asarray(
+            warp_select.warp_bilinear_select(
+                img, flow, max_displacement=32, interpret=True
+            )
+        )
+        want = np.asarray(warp_bilinear(img, flow))
+        np.testing.assert_array_equal(got, want), uv
+
+
+def test_lk_step_fused_over_budget_flow_matches_twin(rng):
+    """Flow beyond max_displacement: the fused kernel must match the
+    clip -> warp -> residual twin.  Regression: the out-of-bounds valid mask
+    tested the RAW flow while sampling with the clamped flow, keeping the
+    unwarped pixel for samples the twin takes in-bounds (0.43 px divergence
+    on rows where only the raw target is out of range)."""
+    from cuda_optical_flow_2_tpu.kernels import lk_step_fused
+    from cuda_optical_flow_2_tpu.models.lucas_kanade import _lk_residual_xla
+    from cuda_optical_flow_2_tpu.ops.warp import warp_bilinear
+
+    h, w = 32, 64
+    prev = jnp.asarray(rng.normal(0, 50, (h, w)).astype(np.float32) + 128)
+    nxt = jnp.asarray(rng.normal(0, 50, (h, w)).astype(np.float32) + 128)
+    flow = jnp.asarray(np.full((h, w, 2), 0.0, np.float32)).at[..., 1].set(20.0)
+    cfg = of.LKConfig(levels=1, window=9, temporal_kernel="gauss3",
+                      use_pallas=False, max_displacement=8.0)
+    clipped = jnp.clip(flow, -8.0, 8.0)
+    want = np.asarray(
+        clipped + _lk_residual_xla(prev, warp_bilinear(nxt, clipped), cfg)
+    )
+    got = np.asarray(
+        lk_step_fused.lk_level_step(prev, nxt, flow, cfg, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
 def test_lk_step_fused_batched(rng):
     from cuda_optical_flow_2_tpu.kernels import lk_step_fused
 
