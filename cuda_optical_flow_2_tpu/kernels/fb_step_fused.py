@@ -187,8 +187,12 @@ def _kernel(
             & (yf + v_b >= 0)
             & (yf + v_b <= img_h - 1)
         )
+        # mask: the recentering mean must skip the zeroed outside-image flow
+        # (select_core docstring — the bias silently truncates large
+        # uniform flows through the d_local clamp).
         warped, _, _ = select_core.warp_core(
-            nxt, u_c, v_c, row0=halo_n - rb, d_local=d_local, c_max=c_max
+            nxt, u_c, v_c, row0=halo_n - rb, d_local=d_local, c_max=c_max,
+            mask=inside,
         )
         nxt_center = nxt[halo_n - rb : halo_n - rb + text, :]
         warped = jnp.where(valid, warped, nxt_center)
