@@ -46,10 +46,26 @@ from cuda_optical_flow_2_tpu.kernels.lk_fused import (
 )
 from cuda_optical_flow_2_tpu.ops.poly_exp import gaussian_1d, mixing_matrix
 
-__all__ = ["supported", "band_expansion", "fb_level_step", "fb_band_step"]
+__all__ = [
+    "supported",
+    "band_expansion",
+    "band_margin",
+    "fb_level_step",
+    "fb_band_step",
+]
 
 _LANE = 128
 _SUBLANE = 8
+
+
+def band_margin(config) -> int:
+    """Rows at each band edge the kernel treats as margin (garbage on
+    output).  Spatial-TP callers must provision their halo_exchange from
+    THIS value (plus the warp budget) so it can never desync from the
+    kernel's internal ``rb``."""
+    r_win = config.winsize // 2
+    r_poly = config.poly_n // 2
+    return _round_up(r_win + r_poly + 1, 4)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -316,7 +332,7 @@ def _step_impl(
     # Band margin: window sums need r_win product rows; the in-band expansion
     # needs r_poly more warped rows below/above those.  Multiple of 4 keeps
     # the Element block heights sublane-divisible.
-    rb = _round_up(r_win + r_poly + 1, 4)
+    rb = band_margin(config)
     d = int(config.max_displacement)
     d_local = config.d_local
     c_max = config.c_max

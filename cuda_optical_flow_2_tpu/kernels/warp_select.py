@@ -58,6 +58,7 @@ def supported(img: jax.Array, max_displacement: int) -> bool:
 
 
 def _warp_kernel(
+    row0_ref,
     img_ref,
     u_ref,
     v_ref,
@@ -70,6 +71,7 @@ def _warp_kernel(
     halo_x: int,
     h: int,
     w: int,
+    h_global: int,
 ):
     u = u_ref[0]
     v = v_ref[0]
@@ -77,10 +79,22 @@ def _warp_kernel(
     # Real flow entries of this tile: the recentering mean must not average
     # the zero-flow lane padding / partial-last-tile rows (select_core
     # docstring) — at wp ~2x w the bias would halve large uniform flows.
+    # For a shard BAND, "real" additionally means inside the GLOBAL image:
+    # the caller's halo_exchange zero-fills boundary shards' out-of-image
+    # rows (row0_ref[0] is the global row of band row 0, negative on the top
+    # shard), and averaging those rows would bias the recentering just like
+    # the padding did.
     i = pl.program_id(1)
     rows = jax.lax.broadcasted_iota(jnp.int32, (to, wp), 0) + i * tile_h
     cols = jax.lax.broadcasted_iota(jnp.int32, (to, wp), 1)
-    mask = (rows < h) & (cols >= halo_x) & (cols < halo_x + w)
+    g_rows = rows + row0_ref[0]
+    mask = (
+        (rows < h)
+        & (g_rows >= 0)
+        & (g_rows < h_global)
+        & (cols >= halo_x)
+        & (cols < halo_x + w)
+    )
     warped, _, _ = select_core.warp_core(
         img_ref[0],
         u,
@@ -179,6 +193,13 @@ def _select_impl(
     # absolute clamp to the image (matches ops/warp.py warp_bilinear)
     u = jnp.clip(xs + u, 0.0, w - 1) - xs
     v = jnp.clip(ys + v, 0.0, h_global - 1) - ys
+    # Band rows OUTSIDE the global image (zero-filled boundary halos) would
+    # otherwise acquire pseudo-flow from the clamp (ys < 0 -> v = -ys); zero
+    # them — they are band-edge garbage by contract, and the in-kernel mask
+    # excludes them from the recentering mean.
+    inside_rows = (ys >= 0) & (ys <= h_global - 1)
+    u = jnp.where(inside_rows, u, 0.0)
+    v = jnp.where(inside_rows, v, 0.0)
     valid = (
         (xs + u_raw >= 0)
         & (xs + u_raw <= w - 1)
@@ -208,8 +229,9 @@ def _select_impl(
 
     kernel = functools.partial(
         _warp_kernel, halo_y=halo_y, d_local=d_local, c_max=c_max,
-        tile_h=tile_h, halo_x=halo_x, h=h, w=w,
+        tile_h=tile_h, halo_x=halo_x, h=h, w=w, h_global=h_global,
     )
+    row0_arr = jnp.reshape(row0, (1,))
     img_spec = pl.BlockSpec(
         (pl.Element(1), pl.Element(tile_h + 2 * halo_y), pl.Element(wp)),
         lambda bb, i: (bb, i * tile_h, 0),
@@ -220,10 +242,11 @@ def _select_impl(
         lambda bb, i: (bb, i * tile_h, 0),
         memory_space=pltpu.VMEM,
     )
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     out = pl.pallas_call(
         kernel,
         grid=(b, ht),
-        in_specs=[img_spec, uv_spec, uv_spec],
+        in_specs=[smem_spec, img_spec, uv_spec, uv_spec],
         out_specs=pl.BlockSpec(
             (None, tile_h, wp), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM
         ),
@@ -237,7 +260,7 @@ def _select_impl(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(xp, up, vp)
+    )(row0_arr, xp, up, vp)
     out = out[:, :h, halo_x : halo_x + w]
     out = jnp.where(valid, out, x)
     return out.reshape(lead + (h, w))

@@ -64,11 +64,19 @@ def initialize(
     if state is not None and getattr(state, "client", None) is not None:
         _initialized = True
         return
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        # Final fallback for the case the private global_state probe missed
+        # (e.g. jax._src.distributed moved AND another library initialized
+        # the client first): JAX raises "Distributed initialization should
+        # only be called once" / "already initialized" variants.
+        if "alread" not in str(e) and "only be called once" not in str(e):
+            raise
     _initialized = True
 
 

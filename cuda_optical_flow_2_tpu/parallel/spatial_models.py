@@ -365,9 +365,11 @@ def _fb_fused_enabled(config: FBConfig) -> bool:
 
 def _fb_fused_halo(config: FBConfig) -> int:
     """Caller-side halo for the fused band kernel: the kernel's band margin
-    (rb, sublane-rounded window+expansion reach) plus the warp budget."""
-    r_win, r_poly, _ = _fb_radii(config)
-    rb = -(-(r_win + r_poly + 1) // 4) * 4
+    (fb_step_fused.band_margin — the kernel's own rb, so the two can never
+    desync) plus the warp budget."""
+    from cuda_optical_flow_2_tpu.kernels import fb_step_fused
+
+    rb = fb_step_fused.band_margin(config)
     return rb + int(math.ceil(config.max_displacement)) + 2
 
 

@@ -26,7 +26,7 @@ __all__ = [
 ]
 
 
-def read_y4m(path: str):
+def read_y4m(path: str, resync: bool = False):
     """Yield the luma plane of each frame of a Y4M video as (H, W) uint8.
 
     Y4M (YUV4MPEG2) is the standard uncompressed video interchange format
@@ -35,6 +35,13 @@ def read_y4m(path: str):
     Cmono colorspaces.  Pure-Python twin of the native Y4M FrameStream
     source (native/framesrc.cpp); the reference's video input is an OpenCV
     webcam capture (main.cu:181-184).
+
+    With ``resync=True`` a corrupt frame yields ``None`` instead of raising
+    and the reader RESYNCS: it scans forward for the next ``FRAME`` magic
+    and continues decoding from there — one corrupt frame costs one
+    failure, not the rest of the video (the FrameStream per-frame-failure
+    contract; same recovery as the native reader).  A header error raises
+    either way.
     """
     with open(path, "rb") as f:
         header = f.readline()
@@ -70,13 +77,49 @@ def read_y4m(path: str):
             if not line:
                 return  # clean EOF at a frame boundary
             if not line.startswith(b"FRAME"):
-                raise ValueError(f"malformed Y4M frame marker: {line[:16]!r}")
+                if not resync:
+                    raise ValueError(
+                        f"malformed Y4M frame marker: {line[:16]!r}"
+                    )
+                yield None
+                if not _y4m_scan_to_frame(f):
+                    return  # EOF while scanning: nothing left to decode
+                f.readline()  # rest of the resynced marker line (params+\n)
             y = f.read(w * h)
             if len(y) != w * h:
-                raise ValueError("truncated Y4M frame")
+                if not resync:
+                    raise ValueError("truncated Y4M frame")
+                yield None
+                return  # short read == EOF: a truncated final frame
             if skip and len(f.read(skip)) != skip:
-                raise ValueError("truncated Y4M chroma planes")
+                if not resync:
+                    raise ValueError("truncated Y4M chroma planes")
+                yield None
+                return
             yield np.frombuffer(y, np.uint8).reshape(h, w).copy()
+
+
+def _y4m_scan_to_frame(f) -> bool:
+    """Consume bytes up to and including the next ``FRAME`` magic.
+
+    Frame payloads are raw bytes with no trailing newline, so the scan
+    matches the bare 5-byte magic (a pixel run spelling FRAME is a ~256^-5
+    per-position false positive; a wrong sync point just fails the next
+    marker check and rescans).  Returns False at EOF.
+    """
+    pat = b"FRAME"
+    m = 0
+    while m < len(pat):
+        ch = f.read(1)
+        if not ch:
+            return False
+        if ch == pat[m : m + 1]:
+            m += 1
+        elif ch == b"F":
+            m = 1
+        else:
+            m = 0
+    return True
 
 
 def _rgb_to_yuv444(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

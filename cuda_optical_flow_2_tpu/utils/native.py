@@ -287,19 +287,29 @@ class FrameStream:
         if lib is None:
             from cuda_optical_flow_2_tpu.utils import io as _io
 
-            it = _io.read_y4m(path)
-            try:
-                first = next(it)
-            except StopIteration:
-                raise ValueError(f"empty Y4M stream: {path}") from None
+            it = _io.read_y4m(path, resync=True)
+            # Leading corrupt frames (None under resync) are per-frame
+            # failures like anywhere else; the first REAL frame pins (h, w).
+            frames = []
+            first = None
+            for frame in it:
+                frames.append(frame)
+                if frame is not None:
+                    first = frame
+                    break
+            if first is None:
+                raise ValueError(f"empty Y4M stream: {path}")
             h, w = first.shape
-            frames = [first]
 
             def fb(t, _it=it, _frames=frames):
                 # strictly sequential access (t == frames consumed so far)
                 if t < len(_frames):
-                    return _frames[t].astype(np.float32)
-                return next(_it).astype(np.float32)  # StopIteration ends us
+                    frame = _frames[t]
+                else:
+                    frame = next(_it)  # StopIteration ends us
+                if frame is None:
+                    raise ValueError("Y4M decode failure")
+                return frame.astype(np.float32)
 
             return cls(None, h, w, None, fallback=fb)
         handle = lib.of2_stream_open_y4m(path.encode(), prefetch)

@@ -259,6 +259,7 @@ struct FrameStream {
   FILE* y4m = nullptr;          // open sequential Y4M source (worker-owned)
   Y4mChroma y4m_chroma = Y4mChroma::k420;
   std::vector<uint8_t> y4m_buf;  // worker-only Y-plane scratch
+  bool y4m_synced = false;  // a resync scan already consumed the next magic
   bool finished = false;         // worker hit end of a sequential source
 
   // Frame counters are 64-bit: an unbounded live stream (nframes < 0) must
@@ -338,17 +339,46 @@ int y4m_parse_header(FILE* f, int* h, int* w, Y4mChroma* chroma) {
 
 enum class Produce { kOk, kFail, kEnd };
 
+// Consume bytes up to and including the next "FRAME" magic (sequential
+// reads only, so FIFO/pipe sources work).  Frame payloads are raw bytes
+// with no trailing newline, so the scan matches the bare 5-byte magic; a
+// pixel run spelling FRAME is a ~256^-5 per-position false positive whose
+// wrong sync point just fails the next marker check and rescans.
+bool y4m_scan_to_frame(FILE* f) {
+  static const char pat[5] = {'F', 'R', 'A', 'M', 'E'};
+  int m = 0, c;
+  while (m < 5) {
+    if ((c = std::fgetc(f)) == EOF) return false;
+    if (c == pat[m])
+      ++m;
+    else
+      m = (c == 'F') ? 1 : 0;
+  }
+  return true;
+}
+
 // One frame: "FRAME[ params]\n" + Y plane (kept) + chroma planes (skipped by
 // reading, so FIFO/pipe sources work too).  kEnd only on clean EOF at a
-// frame boundary; a truncated/garbled frame is kFail (published as a decode
-// failure; the following read then reports kEnd).
-Produce y4m_read_frame(FILE* f, int h, int w, Y4mChroma chroma, uint8_t* y) {
-  int c = std::fgetc(f);
-  if (c == EOF) return Produce::kEnd;
-  char magic[5] = {static_cast<char>(c), 0, 0, 0, 0};
-  if (std::fread(magic + 1, 1, 4, f) != 4 ||
-      std::memcmp(magic, "FRAME", 5) != 0)
-    return Produce::kFail;
+// frame boundary.  A garbled marker is kFail AND the stream RESYNCS by
+// scanning for the next FRAME magic (*synced set: the magic is already
+// consumed for the following call) — one corrupt frame costs one failure,
+// not a failure per 5 bytes of the remaining video.  A truncated payload is
+// kFail; the following read then reports kEnd.
+Produce y4m_read_frame(FILE* f, int h, int w, Y4mChroma chroma, uint8_t* y,
+                       bool* synced) {
+  int c;
+  if (synced != nullptr && *synced) {
+    *synced = false;  // magic consumed by a resync scan; params line next
+  } else {
+    c = std::fgetc(f);
+    if (c == EOF) return Produce::kEnd;
+    char magic[5] = {static_cast<char>(c), 0, 0, 0, 0};
+    if (std::fread(magic + 1, 1, 4, f) != 4 ||
+        std::memcmp(magic, "FRAME", 5) != 0) {
+      if (synced != nullptr && y4m_scan_to_frame(f)) *synced = true;
+      return Produce::kFail;
+    }
+  }
   while ((c = std::fgetc(f)) != '\n')
     if (c == EOF) return Produce::kFail;
   size_t ybytes = static_cast<size_t>(h) * w;
@@ -379,8 +409,8 @@ Produce produce_frame(FrameStream* s, long long t, float* dst) {
     return Produce::kOk;
   }
   if (s->y4m) {
-    Produce r =
-        y4m_read_frame(s->y4m, s->h, s->w, s->y4m_chroma, s->y4m_buf.data());
+    Produce r = y4m_read_frame(s->y4m, s->h, s->w, s->y4m_chroma,
+                               s->y4m_buf.data(), &s->y4m_synced);
     if (r == Produce::kOk)
       of2_u8_to_f32(s->y4m_buf.data(), static_cast<int64_t>(s->h) * s->w, dst);
     return r;
@@ -426,6 +456,11 @@ void stream_worker(FrameStream* s) {
     bool ok = r == Produce::kOk;
     {
       std::lock_guard<std::mutex> lk(s->mu);
+      // A stop() that raced this produce already drained the ledger
+      // (consumed = produced); publishing now would set produced back to
+      // consumed + 1 and a post-stop next2 would return this stale frame
+      // instead of the promised -1.
+      if (s->stop) return;
       s->slot_idx[slot] = t;
       s->slot_ok[slot] = ok ? 1 : 0;
       s->produced += 1;

@@ -477,13 +477,42 @@ def test_y4m_truncated_frame(tmp_path, rng):
         f.write(data[:-100])  # cut into the last frame's payload
     with FrameStream.from_y4m(path) as src:
         out = [(t, f is not None) for t, f in src]
-    assert out[0] == (0, True)
-    if available():
-        # native: the cut frame is yielded as a per-frame failure, then EOS
-        assert out[1:] == [(1, False)]
-    else:
-        # python fallback: the generator ends at the decode error
-        assert out[1:] == []
+    # both native and the python fallback: the cut frame is yielded as a
+    # per-frame failure, then clean EOS
+    assert out == [(0, True), (1, False)]
+
+
+@pytest.mark.parametrize("use_native", [True, False])
+def test_y4m_garbled_marker_resyncs(tmp_path, rng, monkeypatch, use_native):
+    """A corrupt mid-stream FRAME marker costs ONE decode failure and the
+    stream RESYNCS at the next FRAME magic — not one failure per few bytes
+    of the remaining video (native) or silent stream death (fallback)."""
+    from cuda_optical_flow_2_tpu.utils import native as nat
+    from cuda_optical_flow_2_tpu.utils.native import FrameStream
+
+    if use_native and not nat.available():
+        pytest.skip("native library not built")
+    if not use_native:
+        monkeypatch.setattr(nat, "_try_load", lambda: None)
+
+    frames = [
+        rng.integers(0, 256, (16, 20), dtype=np.uint8) for _ in range(4)
+    ]
+    path = str(tmp_path / "garble.y4m")
+    _write_y4m_420(path, frames, extras=b"C420jpeg")
+    data = open(path, "rb").read()
+    frame_size = 6 + 16 * 20 + 10 * 8 * 2  # "FRAME\n" + Y + 2 chroma planes
+    off = len(b"YUV4MPEG2 W20 H16 C420jpeg\n") + 2 * frame_size
+    assert data[off : off + 5] == b"FRAME"
+    data = data[:off] + b"JUNK!" + data[off + 5 :]
+    open(path, "wb").write(data)
+    with FrameStream.from_y4m(path) as src:
+        out = [(t, f) for t, f in src]
+    assert [(t, f is not None) for t, f in out] == [
+        (0, True), (1, True), (2, False), (3, True),
+    ]
+    # the resynced frame is frame 3, decoded intact
+    np.testing.assert_array_equal(out[3][1], frames[3].astype(np.float32))
 
 
 def test_y4m_error_codes(tmp_path):

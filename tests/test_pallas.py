@@ -439,6 +439,45 @@ def test_warp_select_band_matches_full_image(rng):
         np.testing.assert_array_equal(band[lo - a : hi - a], full[lo:hi])
 
 
+def test_warp_select_band_zero_filled_boundary_halo(rng):
+    """Boundary shards exactly as production builds them: halo_exchange
+    ZERO-FILLS the out-of-image halo rows (parallel/spatial.halo_exchange
+    boundary='zero') and row0 goes negative on the top shard.  Regression
+    test: those rows must not enter the per-tile recentering mean nor gain
+    pseudo-flow from the global border clamp — a uniform in-budget flow was
+    recentered wrong on 85% of kept pixels before the fix."""
+    from cuda_optical_flow_2_tpu.kernels import warp_select
+
+    h, w = 96, 80
+    img = jnp.asarray(rng.integers(0, 256, (h, w)).astype(np.float32))
+    uniform = jnp.zeros((h, w, 2), jnp.float32).at[..., 1].set(-7.0)
+    random = jnp.asarray(rng.normal(0, 2.0, (h, w, 2)).astype(np.float32))
+    r_img = 40  # production: r_out + ceil(max_displacement) + 2
+    for flow in (uniform, random):
+        full = np.asarray(
+            warp_select.warp_bilinear_select(
+                img, flow, max_displacement=32, d_local=7, c_max=1,
+                interpret=True,
+            )
+        )
+        for lo, hi in ((0, 48), (48, 96), (24, 72)):
+            a, b = lo - r_img, hi + r_img
+            band_img = np.zeros((b - a, w), np.float32)
+            band_flow = np.zeros((b - a, w, 2), np.float32)
+            ca, cb = max(a, 0), min(b, h)
+            band_img[ca - a : cb - a] = np.asarray(img[ca:cb])
+            band_flow[ca - a : cb - a] = np.asarray(flow[ca:cb])
+            band = np.asarray(
+                warp_select.warp_bilinear_select_band(
+                    jnp.asarray(band_img), jnp.asarray(band_flow), a, h,
+                    max_displacement=32, d_local=7, c_max=1, interpret=True,
+                )
+            )
+            np.testing.assert_array_equal(
+                band[lo - a : hi - a], full[lo:hi]
+            )
+
+
 def test_hs_relax_band_matches_full_image(rng):
     """hs_relax_band on a band == hs_relax rows (global-coordinate zero-pad
     boundary), incl. global-edge bands; caller halo = sweeps + 2."""
