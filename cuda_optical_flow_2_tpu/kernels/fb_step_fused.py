@@ -178,10 +178,12 @@ def _kernel(
     # passes the shard offset so clamping/masking act on the global image).
     img_row = row_ids + i * tile_h - rb + row0_ref[0]
     img_col = col_ids - halo_x
-    inside = (
-        (img_row >= 0) & (img_row < img_h) & (img_col >= 0) & (img_col < img_w)
-    )
     zero = jnp.zeros((text, wp), jnp.float32)
+    # Budget + border clamping, recentering mask, valid mask (the shared
+    # pre-warp invariant — select_core.global_clamp).
+    u_b, v_b, u_c, v_c, inside, valid = select_core.global_clamp(
+        u_in, v_in, img_row, img_col, img_h, img_w, d_max
+    )
 
     if first:
         # First iteration: no prior flow — the "warped" band is just next.
@@ -189,23 +191,6 @@ def _kernel(
         u_b = zero
         v_b = zero
     else:
-        xf = img_col.astype(jnp.float32)
-        yf = img_row.astype(jnp.float32)
-        u_b = jnp.clip(u_in, -d_max, d_max)
-        v_b = jnp.clip(v_in, -d_max, d_max)
-        # Outside the image the border-clamp formula produces huge
-        # pseudo-flow — zero it so warp_core's recentering mean stays sane.
-        u_c = jnp.where(inside, jnp.clip(xf + u_b, 0.0, img_w - 1) - xf, zero)
-        v_c = jnp.where(inside, jnp.clip(yf + v_b, 0.0, img_h - 1) - yf, zero)
-        valid = (
-            (xf + u_b >= 0)
-            & (xf + u_b <= img_w - 1)
-            & (yf + v_b >= 0)
-            & (yf + v_b <= img_h - 1)
-        )
-        # mask: the recentering mean must skip the zeroed outside-image flow
-        # (select_core docstring — the bias silently truncates large
-        # uniform flows through the d_local clamp).
         warped, _, _ = select_core.warp_core(
             nxt, u_c, v_c, row0=halo_n - rb, d_local=d_local, c_max=c_max,
             mask=inside,

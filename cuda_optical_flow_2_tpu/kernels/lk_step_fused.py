@@ -105,30 +105,11 @@ def _kernel(
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (text, wp), 1)
     img_row = row_ids + i * tile_h - rw + row0_ref[0]
     img_col = col_ids - halo_x
-    inside = (
-        (img_row >= 0) & (img_row < img_h) & (img_col >= 0) & (img_col < img_w)
-    )
 
-    # --- Budget + border clamping, valid mask (XLA-warp semantics).
-    xf = img_col.astype(jnp.float32)
-    yf = img_row.astype(jnp.float32)
-    u_b = jnp.clip(u_in, -d_max, d_max)
-    v_b = jnp.clip(v_in, -d_max, d_max)
-    # Outside the image the border-clamp formula produces huge pseudo-flow
-    # (it pulls padding pixels to the image edge), which would poison the
-    # recentering mean inside warp_core — zero it there.
-    fzero = jnp.zeros((text, wp), jnp.float32)
-    u_c = jnp.where(inside, jnp.clip(xf + u_b, 0.0, img_w - 1) - xf, fzero)
-    v_c = jnp.where(inside, jnp.clip(yf + v_b, 0.0, img_h - 1) - yf, fzero)
-    # valid from the BUDGET-CLAMPED flow: the XLA/unfused twin clips to
-    # max_displacement before the warp, so its out-of-bounds test sees the
-    # clamped components — testing the raw flow here would keep the unwarped
-    # pixel for samples the twin actually takes in-bounds.
-    valid = (
-        (xf + u_b >= 0)
-        & (xf + u_b <= img_w - 1)
-        & (yf + v_b >= 0)
-        & (yf + v_b <= img_h - 1)
+    # --- Budget + border clamping, recentering mask, valid mask (the
+    # shared pre-warp invariant — select_core.global_clamp).
+    u_b, v_b, u_c, v_c, inside, valid = select_core.global_clamp(
+        u_in, v_in, img_row, img_col, img_h, img_w, d_max
     )
 
     # --- Warp: next sampled at x + flow over the extended band.  The

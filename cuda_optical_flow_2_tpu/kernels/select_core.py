@@ -58,6 +58,60 @@ def _roll_dyn(x: jax.Array, d: jax.Array, axis: int) -> jax.Array:
     return pltpu.roll(x, jnp.mod(-d, x.shape[axis]), axis)
 
 
+def global_clamp(
+    u_in: jax.Array,
+    v_in: jax.Array,
+    img_row: jax.Array,
+    img_col: jax.Array,
+    img_h: int,
+    img_w: int,
+    d_max: float,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Budget + border clamping of band flow in GLOBAL image coordinates.
+
+    The shared pre-warp invariant of every fused band kernel — centralized
+    because each hand-rolled copy has independently reintroduced the same
+    recentering-bias bug class (padding rows, fused-FB warp, out-of-global
+    band rows):
+
+    * ``inside`` marks cells whose global (row, col) lies in the image; it
+      is the ``mask`` warp_core's recentering mean must be given.
+    * Outside the image the border-clamp formula produces huge pseudo-flow
+      (it pulls padding cells to the image edge), so the clamped flow is
+      ZEROED there.
+    * ``valid`` is the out-of-bounds test on the BUDGET-clamped components,
+      matching the XLA twin, which clips to ``max_displacement`` before its
+      warp.
+
+    Args: ``u_in, v_in`` raw flow; ``img_row, img_col`` int32 global
+    coordinates of each cell; ``img_h, img_w`` global image shape; ``d_max``
+    the displacement budget.  Returns
+    ``(u_b, v_b, u_c, v_c, inside, valid)``: budget-clamped flow, fully
+    clamped+zeroed flow for warp_core, the real-pixel mask, and the
+    keep-unwarped-pixel mask.
+    """
+    inside = (
+        (img_row >= 0)
+        & (img_row < img_h)
+        & (img_col >= 0)
+        & (img_col < img_w)
+    )
+    xf = img_col.astype(jnp.float32)
+    yf = img_row.astype(jnp.float32)
+    u_b = jnp.clip(u_in, -d_max, d_max)
+    v_b = jnp.clip(v_in, -d_max, d_max)
+    zero = jnp.zeros(u_in.shape, jnp.float32)
+    u_c = jnp.where(inside, jnp.clip(xf + u_b, 0.0, img_w - 1) - xf, zero)
+    v_c = jnp.where(inside, jnp.clip(yf + v_b, 0.0, img_h - 1) - yf, zero)
+    valid = (
+        (xf + u_b >= 0)
+        & (xf + u_b <= img_w - 1)
+        & (yf + v_b >= 0)
+        & (yf + v_b <= img_h - 1)
+    )
+    return u_b, v_b, u_c, v_c, inside, valid
+
+
 def warp_core(
     img: jax.Array,
     u: jax.Array,
