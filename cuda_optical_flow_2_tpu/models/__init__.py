@@ -5,6 +5,7 @@
 # ``pyramidal_hs`` or ``models.horn_schunck.horn_schunck``.
 from cuda_optical_flow_2_tpu.models.farneback import FBConfig, pyramidal_farneback
 from cuda_optical_flow_2_tpu.models.horn_schunck import HSConfig, pyramidal_hs
+from cuda_optical_flow_2_tpu.config import LKConfig
 from cuda_optical_flow_2_tpu.models.lucas_kanade import (
     coarse_to_fine,
     compose_flow_pyramid,
@@ -49,7 +50,14 @@ def pyramidal_flow(prev, nxt, config):
         return pyramidal_farneback(prev, nxt, config)
     if isinstance(config, TVL1Config):
         return pyramidal_tvl1(prev, nxt, config)
-    return pyramidal_lk(prev, nxt, config)
+    if isinstance(config, LKConfig):
+        return pyramidal_lk(prev, nxt, config)
+    # Explicit rejection: a duck-typed or stale (module-reloaded) config
+    # must not silently run the wrong model or die deep inside LK.
+    raise TypeError(
+        f"config must be an LKConfig / HSConfig / FBConfig / TVL1Config "
+        f"instance; got {type(config).__module__}.{type(config).__qualname__}"
+    )
 
 
 __all__ = [

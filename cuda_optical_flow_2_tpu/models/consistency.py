@@ -35,11 +35,8 @@ def fb_consistency(
     Returns: (..., H, W) float residual magnitude; ~0 where the two fields
     are cycle-consistent, large at occlusions and mistracks.
     """
-    bw_u = warp_bilinear(flow_bw[..., 0], flow_fw)
-    bw_v = warp_bilinear(flow_bw[..., 1], flow_fw)
-    ru = flow_fw[..., 0] + bw_u
-    rv = flow_fw[..., 1] + bw_v
-    return jnp.sqrt(ru * ru + rv * rv)
+    cyc2, _ = _cycle_terms(flow_fw, flow_bw)
+    return jnp.sqrt(cyc2)
 
 
 def occlusion_mask(
@@ -54,6 +51,15 @@ def occlusion_mask(
     occluded where |cycle|^2 > alpha * (|F_fw|^2 + |F_bw(x+F_fw)|^2) + beta.
     Returns True where the flow should NOT be trusted.
     """
+    cyc2, mag2 = _cycle_terms(flow_fw, flow_bw)
+    return cyc2 > alpha * mag2 + beta
+
+
+def _cycle_terms(
+    flow_fw: jax.Array, flow_bw: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Shared core of the cycle test: backward-warp the reverse flow once,
+    return (|cycle|^2, |F_fw|^2 + |F_bw(x+F_fw)|^2)."""
     bw_u = warp_bilinear(flow_bw[..., 0], flow_fw)
     bw_v = warp_bilinear(flow_bw[..., 1], flow_fw)
     ru = flow_fw[..., 0] + bw_u
@@ -65,7 +71,7 @@ def occlusion_mask(
         + bw_u * bw_u
         + bw_v * bw_v
     )
-    return cyc2 > alpha * mag2 + beta
+    return cyc2, mag2
 
 
 def consistent_flow(

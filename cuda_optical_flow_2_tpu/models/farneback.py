@@ -185,18 +185,11 @@ def fb_level(
             w_bx, w_by, w_axx, w_ayy, w_axy = warp(planes2, fb)
             u, v = flow[..., 0], flow[..., 1]
 
-        axx = 0.5 * (axx1 + w_axx)
-        ayy = 0.5 * (ayy1 + w_ayy)
-        axy = 0.5 * (axy1 + w_axy)
-        db_x = 0.5 * (bx1 - w_bx) + axx * u + axy * v
-        db_y = 0.5 * (by1 - w_by) + axy * u + ayy * v
-
-        prods = (
-            axx * axx + axy * axy,
-            axy * (axx + ayy),
-            axy * axy + ayy * ayy,
-            axx * db_x + axy * db_y,
-            axy * db_x + ayy * db_y,
+        prods = fb_normal_eq_products(
+            (bx1, by1, axx1, ayy1, axy1),
+            (w_bx, w_by, w_axx, w_ayy, w_axy),
+            u,
+            v,
         )
         flow = _window_solve(prods, config)
     return flow
@@ -221,6 +214,33 @@ def _window_solve(prods, config: FBConfig) -> jax.Array:
             )
     sums = _window(jnp.stack(prods), config)
     return solve_normal_eqs(sums, config.det_eps)
+
+
+def fb_normal_eq_products(exp1, warped_exp, u, v):
+    """Per-pixel Farnebäck normal-equation products for one iteration.
+
+    ``exp1`` / ``warped_exp`` are the (bx, by, axx, ayy, axy) expansion
+    planes of frame 1 and of the warped frame 2; ``u, v`` the flow the warp
+    used.  Returns the 5 pre-window products (g11, g12, g22, h1, h2).
+    Shared by fb_level (coeff form), fb_level_image, and the sharded band
+    form (parallel/spatial_models.py) so the algebra cannot drift between
+    the unsharded/TP and image/coeff parity twins; the fused Pallas kernel
+    (kernels/fb_step_fused.py) carries the in-VMEM transcription.
+    """
+    bx1, by1, axx1, ayy1, axy1 = exp1
+    w_bx, w_by, w_axx, w_ayy, w_axy = warped_exp
+    axx = 0.5 * (axx1 + w_axx)
+    ayy = 0.5 * (ayy1 + w_ayy)
+    axy = 0.5 * (axy1 + w_axy)
+    db_x = 0.5 * (bx1 - w_bx) + axx * u + axy * v
+    db_y = 0.5 * (by1 - w_by) + axy * u + ayy * v
+    return (
+        axx * axx + axy * axy,
+        axy * (axx + ayy),
+        axy * axy + ayy * ayy,
+        axx * db_x + axy * db_y,
+        axy * db_x + ayy * db_y,
+    )
 
 
 def solve_normal_eqs(sums: jax.Array, det_eps: float) -> jax.Array:
@@ -282,18 +302,11 @@ def fb_level_image(
             w_bx, w_by, w_axx, w_ayy, w_axy = _expand(wimg, config)
             u, v = flow[..., 0], flow[..., 1]
 
-        axx = 0.5 * (axx1 + w_axx)
-        ayy = 0.5 * (ayy1 + w_ayy)
-        axy = 0.5 * (axy1 + w_axy)
-        db_x = 0.5 * (bx1 - w_bx) + axx * u + axy * v
-        db_y = 0.5 * (by1 - w_by) + axy * u + ayy * v
-
-        prods = (
-            axx * axx + axy * axy,
-            axy * (axx + ayy),
-            axy * axy + ayy * ayy,
-            axx * db_x + axy * db_y,
-            axy * db_x + ayy * db_y,
+        prods = fb_normal_eq_products(
+            (bx1, by1, axx1, ayy1, axy1),
+            (w_bx, w_by, w_axx, w_ayy, w_axy),
+            u,
+            v,
         )
         flow = _window_solve(prods, config)
     return flow

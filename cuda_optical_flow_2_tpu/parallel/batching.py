@@ -62,14 +62,20 @@ def sharded_flow(
         raise ValueError(f"batch {b} not divisible by mesh axis size {n}")
     prev_s = shard_batch(prev_batch, mesh, axis_name)
     next_s = shard_batch(next_batch, mesh, axis_name)
+    return _sharded_flow_jit(config, mesh, axis_name)(prev_s, next_s)
+
+
+@functools.lru_cache(maxsize=128)
+def _sharded_flow_jit(config, mesh: Mesh, axis_name: str):
+    # Cached per (config, mesh) so one-call-per-pair serving loops reuse the
+    # traced/compiled program instead of retracing a fresh partial each call.
     in_spec = NamedSharding(mesh, P(axis_name, None, None))
     out_spec = NamedSharding(mesh, P(axis_name, None, None, None))
-    fn = jax.jit(
+    return jax.jit(
         functools.partial(pyramidal_flow, config=config),
         in_shardings=(in_spec, in_spec),
         out_shardings=out_spec,
     )
-    return fn(prev_s, next_s)
 
 
 def sharded_pyramidal_lk(

@@ -132,17 +132,23 @@ def sharded_flow_from_local(
     (B_global, H, W, 2) flow, of which this process can fetch its
     ``addressable_shards``.
     """
-    from cuda_optical_flow_2_tpu.models import pyramidal_flow
-
     local_prev = np.asarray(local_prev, np.float32)
     local_nxt = np.asarray(local_nxt, np.float32)
     gshape = (local_prev.shape[0] * jax.process_count(),) + local_prev.shape[1:]
     sh = NamedSharding(mesh, P(batch_axis, None, None))
     gp = jax.make_array_from_process_local_data(sh, local_prev, gshape)
     gn = jax.make_array_from_process_local_data(sh, local_nxt, gshape)
-    fn = jax.jit(
+    return _global_flow_jit(config, mesh, batch_axis)(gp, gn)
+
+
+@functools.lru_cache(maxsize=128)
+def _global_flow_jit(config, mesh: Mesh, batch_axis: str):
+    # Cached per (config, mesh) so per-step multihost calls don't retrace.
+    from cuda_optical_flow_2_tpu.models import pyramidal_flow
+
+    sh = NamedSharding(mesh, P(batch_axis, None, None))
+    return jax.jit(
         functools.partial(pyramidal_flow, config=config),
         in_shardings=(sh, sh),
         out_shardings=NamedSharding(mesh, P(batch_axis, None, None, None)),
     )
-    return fn(gp, gn)

@@ -24,6 +24,7 @@ XLA gather warp.
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -34,7 +35,17 @@ from jax.sharding import Mesh, PartitionSpec as P
 try:  # jax.shard_map on new versions, experimental on older
     from jax import shard_map  # type: ignore[attr-defined]
 except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map  # type: ignore
+    from jax.experimental.shard_map import (  # type: ignore
+        shard_map as _legacy_shard_map,
+    )
+
+    def shard_map(f, **kwargs):
+        # The legacy API spells check_vma as check_rep; every call site here
+        # passes check_vma, so the fallback must translate or it is dead on
+        # arrival on exactly the versions that need it.
+        if "check_vma" in kwargs:
+            kwargs["check_rep"] = kwargs.pop("check_vma")
+        return _legacy_shard_map(f, **kwargs)
 
 from cuda_optical_flow_2_tpu.config import LKConfig
 from cuda_optical_flow_2_tpu.models.lucas_kanade import solve_flow
@@ -374,21 +385,28 @@ def _fused_enabled(config: LKConfig) -> bool:
     return jax.default_backend() == "tpu" or lk_fused.interpret_forced()
 
 
-def validate_prefilter_shards(h: int, n: int, config) -> None:
+def validate_prefilter_shards(h: int, n: int, config, w: int | None = None) -> None:
     """Shared check: every family's spatial validator must reject shards too
     short to supply the bilateral prefilter's halo rows (model-generic — only
-    ``config.prefilter`` is consulted)."""
+    ``config.prefilter`` is consulted).  With ``w`` given, also enforce the
+    Pallas tap kernel's width bound (bilateral_tap.supported requires
+    w >= 8; the config-only TP dispatch predicate cannot see shapes)."""
     if config.prefilter is not None and h // n < config.prefilter.window // 2:
         raise ValueError(
             f"prefilter window {config.prefilter.window} needs "
             f"{config.prefilter.window // 2} halo rows but each of {n} "
             f"shards holds only {h // n}"
         )
+    if w is not None and w < 8 and _prefilter_pallas(config):
+        raise ValueError(
+            f"spatial prefilter with use_pallas needs >= 8 columns for the "
+            f"band tap kernel; got w={w} — set use_pallas=False"
+        )
 
 
 def validate_spatial(h: int, w: int, config: LKConfig, n: int) -> None:
     """Raise with a precise message if (h, w) can't be row-sharded n ways."""
-    validate_prefilter_shards(h, n, config)
+    validate_prefilter_shards(h, n, config, w)
     if config.warp_mode == "nearest":
         raise NotImplementedError("spatial sharding supports bilinear/none warps")
     r_grad, r_img = _halo_radius(config)
@@ -457,7 +475,14 @@ def spatial_pyramidal_lk(
     h, w = prev.shape[-2:]
     n = mesh.shape[axis_name]
     validate_spatial(h, w, config, n)
+    return _spatial_lk_jit(config, mesh, axis_name, n, h)(prev, nxt)
 
+
+@functools.lru_cache(maxsize=128)
+def _spatial_lk_jit(config: LKConfig, mesh: Mesh, axis_name: str, n: int, h: int):
+    # Cached per (config, mesh, shape) so repeated calls — e.g. one per frame
+    # pair in a serving loop — reuse the traced/compiled program instead of
+    # retracing a fresh shard_map closure every time.
     def local(prev_blk, nxt_blk):
         return _local_pipeline(prev_blk, nxt_blk, config, axis_name, n, h)
 
@@ -468,7 +493,7 @@ def spatial_pyramidal_lk(
         out_specs=P(axis_name, None, None),
         check_vma=not (_fused_enabled(config) or _prefilter_pallas(config)),
     )
-    return jax.jit(fn)(prev, nxt)
+    return jax.jit(fn)
 
 
 def grid_pyramidal_lk(
@@ -497,7 +522,20 @@ def grid_pyramidal_lk(
     if b % nb != 0:
         raise ValueError(f"batch {b} not divisible by {batch_axis} size {nb}")
     validate_spatial(h, w, config, ns)
+    return _grid_lk_jit(config, mesh, batch_axis, space_axis, ns, h)(
+        prev_batch, nxt_batch
+    )
 
+
+@functools.lru_cache(maxsize=128)
+def _grid_lk_jit(
+    config: LKConfig,
+    mesh: Mesh,
+    batch_axis: str,
+    space_axis: str,
+    ns: int,
+    h: int,
+):
     def local(pb, nbk):
         f = lambda p, n_: _local_pipeline(p, n_, config, space_axis, ns, h)  # noqa: E731
         return jax.vmap(f)(pb, nbk)
@@ -509,4 +547,4 @@ def grid_pyramidal_lk(
         out_specs=P(batch_axis, space_axis, None, None),
         check_vma=not (_fused_enabled(config) or _prefilter_pallas(config)),
     )
-    return jax.jit(fn)(prev_batch, nxt_batch)
+    return jax.jit(fn)

@@ -26,6 +26,7 @@ fix in ops/warp.warp_bilinear_band).
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -34,6 +35,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from cuda_optical_flow_2_tpu.models.farneback import (
     FBConfig,
+    fb_normal_eq_products,
     solve_normal_eqs,
 )
 from cuda_optical_flow_2_tpu.models.horn_schunck import HSConfig, _avg3x3
@@ -247,7 +249,7 @@ def _hs_warp_band(nxt, flow, config, axis_name, n, row0, h_global, r_out):
 def validate_spatial_hs(
     h: int, w: int, config: HSConfig, n: int, sweep_tile: int = 8
 ) -> None:
-    validate_prefilter_shards(h, n, config)
+    validate_prefilter_shards(h, n, config, w)
     _validate_pallas_band_width(w, config, "HS")
     top = config.levels - 1
     if h % (n << top) or (top and w % (1 << top)):
@@ -283,7 +285,18 @@ def spatial_pyramidal_hs(
     h, w = prev.shape[-2:]
     n = mesh.shape[axis_name]
     validate_spatial_hs(h, w, config, n, sweep_tile)
+    return _spatial_hs_jit(config, mesh, axis_name, n, h, sweep_tile)(
+        prev, nxt
+    )
 
+
+@functools.lru_cache(maxsize=128)
+def _spatial_hs_jit(
+    config: HSConfig, mesh: Mesh, axis_name: str, n: int, h: int,
+    sweep_tile: int,
+):
+    # Cached per (config, mesh, shape) so per-frame serving calls reuse the
+    # traced/compiled program instead of retracing a fresh closure each time.
     def local(prev_blk, nxt_blk):
         from jax import lax
 
@@ -325,7 +338,7 @@ def spatial_pyramidal_hs(
             or _sweep_pallas(config)
         ),
     )
-    return jax.jit(fn)(prev, nxt)
+    return jax.jit(fn)
 
 
 # ---------------------------------------------------------------------------
@@ -472,23 +485,7 @@ def _local_fb_level(prev, nxt, flow, config, axis_name, n, row0, h_global):
             )
             w_exp = _banded_expansion(warped, config, row0 - r_e, h_global)
             u, v = flow_p[..., 0], flow_p[..., 1]
-        w_bx, w_by, w_axx, w_ayy, w_axy = w_exp
-
-        axx = 0.5 * (axx1 + w_axx)
-        ayy = 0.5 * (ayy1 + w_ayy)
-        axy = 0.5 * (axy1 + w_axy)
-        db_x = 0.5 * (bx1 - w_bx) + axx * u + axy * v
-        db_y = 0.5 * (by1 - w_by) + axy * u + ayy * v
-
-        prods = jnp.stack(
-            [
-                axx * axx + axy * axy,
-                axy * (axx + ayy),
-                axy * axy + ayy * ayy,
-                axx * db_x + axy * db_y,
-                axy * db_x + ayy * db_y,
-            ]
-        )
+        prods = jnp.stack(list(fb_normal_eq_products(exp1, w_exp, u, v)))
         # The expansion band's outer r_poly rows are contaminated by its own
         # zero padding; they sit outside the window reach of the kept rows,
         # but the window sum must not read them either — zero them, exactly
@@ -504,7 +501,7 @@ def _local_fb_level(prev, nxt, flow, config, axis_name, n, row0, h_global):
 
 
 def validate_spatial_fb(h: int, w: int, config: FBConfig, n: int) -> None:
-    validate_prefilter_shards(h, n, config)
+    validate_prefilter_shards(h, n, config, w)
     if config.gaussian_window:
         raise NotImplementedError(
             "spatial FB supports the box window (gaussian_window=False)"
@@ -555,7 +552,13 @@ def spatial_pyramidal_fb(
     h, w = prev.shape[-2:]
     n = mesh.shape[axis_name]
     validate_spatial_fb(h, w, config, n)
+    return _spatial_fb_jit(config, mesh, axis_name, n, h)(prev, nxt)
 
+
+@functools.lru_cache(maxsize=128)
+def _spatial_fb_jit(
+    config: FBConfig, mesh: Mesh, axis_name: str, n: int, h: int
+):
     def local(prev_blk, nxt_blk):
         from jax import lax
 
@@ -590,7 +593,7 @@ def spatial_pyramidal_fb(
             or _warp_pallas(config)
         ),
     )
-    return jax.jit(fn)(prev, nxt)
+    return jax.jit(fn)
 
 
 # ---------------------------------------------------------------------------
@@ -781,7 +784,7 @@ def _local_tvl1_level(prev, nxt, flow, config, axis_name, n, row0, h_global,
 def validate_spatial_tvl1(
     h: int, w: int, config, n: int, iter_tile: int = 8
 ) -> None:
-    validate_prefilter_shards(h, n, config)
+    validate_prefilter_shards(h, n, config, w)
     _validate_pallas_band_width(w, config, "TV-L1")
     top = config.levels - 1
     if h % (n << top) or (top and w % (1 << top)):
@@ -818,7 +821,15 @@ def spatial_pyramidal_tvl1(
     h, w = prev.shape[-2:]
     n = mesh.shape[axis_name]
     validate_spatial_tvl1(h, w, config, n, iter_tile)
+    return _spatial_tvl1_jit(config, mesh, axis_name, n, h, iter_tile)(
+        prev, nxt
+    )
 
+
+@functools.lru_cache(maxsize=128)
+def _spatial_tvl1_jit(
+    config, mesh: Mesh, axis_name: str, n: int, h: int, iter_tile: int
+):
     def local(prev_blk, nxt_blk):
         from jax import lax
 
@@ -852,4 +863,4 @@ def spatial_pyramidal_tvl1(
             or _sweep_pallas(config)
         ),
     )
-    return jax.jit(fn)(prev, nxt)
+    return jax.jit(fn)

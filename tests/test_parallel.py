@@ -568,3 +568,40 @@ def test_halo_exchange_counts_hoisted(monkeypatch):
             lambda a, b, c=cfg: parallel.spatial_pyramidal_fb(a, b, c, mesh)
         )
         assert got == 2 * (2 + it), (it, got)
+
+
+def test_parallel_entry_points_cache_their_jit():
+    """Every parallel entry point must reuse one traced/compiled program per
+    (config, mesh, shape) — a per-frame serving loop would otherwise retrace
+    the whole multi-level pipeline on every call (measured ~20s/call on CPU
+    for sharded_flow before the cached factories)."""
+    from cuda_optical_flow_2_tpu.models import HSConfig
+    from cuda_optical_flow_2_tpu.parallel import batching, multihost, spatial
+    from cuda_optical_flow_2_tpu.parallel import spatial_models as sm
+
+    mesh = batching.make_mesh(2)
+    smesh = batching.make_mesh(2, axis_name="space")
+    cfg = of.LKConfig(
+        levels=2, window=9, max_displacement=2.0, use_pallas=False
+    )
+    hs = HSConfig(levels=2, iterations=4, use_pallas=False, max_displacement=2)
+
+    assert batching._sharded_flow_jit(cfg, mesh, "batch") is (
+        batching._sharded_flow_jit(cfg, mesh, "batch")
+    )
+    assert multihost._global_flow_jit(cfg, mesh, "batch") is (
+        multihost._global_flow_jit(cfg, mesh, "batch")
+    )
+    assert spatial._spatial_lk_jit(cfg, smesh, "space", 2, 32) is (
+        spatial._spatial_lk_jit(cfg, smesh, "space", 2, 32)
+    )
+    assert sm._spatial_hs_jit(hs, smesh, "space", 2, 32, 4) is (
+        sm._spatial_hs_jit(hs, smesh, "space", 2, 32, 4)
+    )
+    # a different config is a different program
+    cfg2 = of.LKConfig(
+        levels=1, window=9, max_displacement=2.0, use_pallas=False
+    )
+    assert batching._sharded_flow_jit(cfg2, mesh, "batch") is not (
+        batching._sharded_flow_jit(cfg, mesh, "batch")
+    )
