@@ -53,8 +53,11 @@ def _load_frames(args) -> np.ndarray:
             frames.append(img.astype(np.float32))
         return np.stack(frames)
     h, w = (int(t) for t in args.size.split("x"))
+    # noise=0.0 matches FrameStream.synthetic (native and fallback), so
+    # --native-stream changes only the ingestion path, not the data — an
+    # A/B of the prefetching pipeline must not be confounded by the input.
     return io.synthetic_sequence(
-        args.synthetic, h, w, velocity=tuple(args.velocity)
+        args.synthetic, h, w, velocity=tuple(args.velocity), noise=0.0
     ).astype(np.float32)
 
 
@@ -147,6 +150,12 @@ def main(argv=None) -> None:
         help="write the flow-color frames as one Y4M video (play with "
         "`ffplay FLOW.y4m` — the headless twin of the reference's live "
         "imshow window); works for unbounded streams (constant memory)",
+    )
+    ap.add_argument(
+        "--viz-max-flow", type=float, default=None, metavar="PX",
+        help="fixed |flow| mapped to full color saturation in the PNG/video "
+        "renders; default normalizes per frame, which flickers across a "
+        "video when the peak motion varies",
     )
     args = ap.parse_args(argv)
 
@@ -264,7 +273,9 @@ def main(argv=None) -> None:
                 msg += f"  EPE vs ({ex}, {ey}): {epe:.3f}"
             print(msg, flush=True)
             if video is not None:
-                video.write(viz.flow_to_color(flow_np))
+                video.write(
+                    viz.flow_to_color(flow_np, max_flow=args.viz_max_flow)
+                )
             if args.out:
                 cur = frames[i] if frames is not None else recent[i]
                 prv = (
@@ -274,7 +285,7 @@ def main(argv=None) -> None:
                 )
                 viz.write_png(
                     os.path.join(args.out, f"flow{i:04d}.png"),
-                    viz.flow_to_color(flow_np),
+                    viz.flow_to_color(flow_np, max_flow=args.viz_max_flow),
                 )
                 if args.flo:
                     io.write_flo(

@@ -72,24 +72,26 @@ def main(argv=None) -> None:
 
         cfg = FBConfig(
             levels=args.levels,
-            iterations=args.iterations or 2,
+            iterations=args.iterations if args.iterations is not None else 2,
             winsize=args.window if args.window % 2 else args.window + 1,
         )
     elif args.model == "hs":
         from cuda_optical_flow_2_tpu.models.horn_schunck import HSConfig
 
-        cfg = HSConfig(levels=args.levels, iterations=args.iterations or 20)
+        it = args.iterations if args.iterations is not None else 20
+        cfg = HSConfig(levels=args.levels, iterations=it)
     elif args.model == "tvl1":
         from cuda_optical_flow_2_tpu.models.tvl1 import TVL1Config
 
-        cfg = TVL1Config(levels=args.levels, iterations=args.iterations or 15)
+        it = args.iterations if args.iterations is not None else 15
+        cfg = TVL1Config(levels=args.levels, iterations=it)
     else:
         import cuda_optical_flow_2_tpu as of
 
         cfg = of.LKConfig(
             levels=args.levels,
             window=args.window,
-            iterations=args.iterations or 2,
+            iterations=args.iterations if args.iterations is not None else 2,
         )
 
     report = stage_report(

@@ -16,8 +16,10 @@ from cuda_optical_flow_2_tpu.ops.solve import solve_2x2, solve_2x2_unguarded
 from cuda_optical_flow_2_tpu.ops.warp import warp_bilinear, warp_nearest
 from cuda_optical_flow_2_tpu.ops.resize import upsample_flow, upscale_nn
 from cuda_optical_flow_2_tpu.ops.bilateral import bilateral_filter
+from cuda_optical_flow_2_tpu.ops.median import median_filter
 
 __all__ = [
+    "median_filter",
     "grayscale",
     "grayscale_u8",
     "conv2d",

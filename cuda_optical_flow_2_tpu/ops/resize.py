@@ -55,6 +55,17 @@ def upsample_flow(flow: jax.Array, shape: tuple[int, int]) -> jax.Array:
     the pyramid produces — runs the dedicated stencil upsampler (odd target
     dims get one edge-replicated row/column); other scales fall back to
     jax.image.resize.
+
+    Grid convention, deliberately half-pixel: pyr_down centers coarse pixel
+    k at fine 2k while this upsampler places it at fine 2k+0.5, so the
+    coarse-to-fine seed carries a half-fine-pixel offset on spatially
+    varying fields (uniform flow is unaffected).  Measured end to end
+    (256x320 rotation field, levels=3): a 2k-aligned upsampler is NOT
+    better — LK EPE 0.070 vs 0.063 for this form, FB identical at 0.014 —
+    because the reference's own accumulation convention (flow[k] sampled at
+    i >> s, main.cu:138-147) puts coarse k's footprint at fine [2k, 2k+1],
+    whose center IS 2k+0.5; the per-level solve absorbs the residual either
+    way.  Kept half-pixel; do not "fix" without re-measuring.
     """
     th, tw = shape
     h, w = flow.shape[-3:-1]
@@ -77,7 +88,10 @@ def upsample_flow(flow: jax.Array, shape: tuple[int, int]) -> jax.Array:
 def downsample_flow(flow: jax.Array, shape: tuple[int, int]) -> jax.Array:
     """Resize (..., H, W, 2) flow DOWN to a coarser pyramid level's (h, w).
 
-    Inverse of :func:`upsample_flow` for the pyramid's floor-halving grids:
+    The pyramid-step counterpart of :func:`upsample_flow` (not a strict
+    inverse: the two use offset grid conventions — see upsample_flow — so a
+    round trip shifts a spatially varying field by a quarter coarse pixel,
+    immaterial for the warm-start seeding it serves):
     binomial blur + 2x decimation per octave (values halved per octave),
     per component through :func:`ops.pyramid.pyr_down` — the MXU decimation
     matmul / Pallas tile path the image pyramid itself uses.  ``shape`` must

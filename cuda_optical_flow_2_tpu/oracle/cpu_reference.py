@@ -365,7 +365,19 @@ def bilateral_filter_3ch(
     math.  The spatial mask comes from generate_gaussian_kernel(sigma_s, ww)
     (square, ``ww`` is used for both dims, as in the reference); the range
     weight is an unnormalized Gaussian on channel-0 gray intensity.
+
+    Rectangular windows are rejected: the reference generates only a ww x ww
+    spatial kernel into a ww*wh buffer (OptFlowCPU.cpp:403-404), so wh > ww
+    reads UNINITIALIZED memory (undefined behavior with no reproducible
+    semantics) and wh < ww silently misweights taps; it is only ever called
+    square (main.cu:240: ww = wh = 9).
     """
+    if ww != wh:
+        raise ValueError(
+            f"rectangular bilateral windows ({ww}x{wh}) are undefined "
+            f"behavior in the reference (uninitialized spatial-kernel rows, "
+            f"OptFlowCPU.cpp:403-404); use ww == wh"
+        )
     h, w = src.shape[:2]
     spatial = generate_gaussian_kernel(sigma_s, ww)
     hwh, hww = wh >> 1, ww >> 1

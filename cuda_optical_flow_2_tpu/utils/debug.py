@@ -556,12 +556,19 @@ def _canonical_levels(prev, nxt, config):
 def _diff(a, b) -> tuple[float, float]:
     at = a if isinstance(a, tuple) else (a,)
     bt = b if isinstance(b, tuple) else (b,)
-    mx = mean = 0.0
+    if len(at) != len(bt):
+        raise ValueError(
+            f"backend returned {len(bt)} outputs, baseline {len(at)} — "
+            f"refusing to silently compare a subset"
+        )
+    mx = total = 0.0
+    count = 0
     for x, y in zip(at, bt):
         d = np.abs(np.asarray(x, np.float64) - np.asarray(y, np.float64))
         mx = max(mx, float(d.max()))
-        mean = max(mean, float(d.mean()))
-    return mx, mean
+        total += float(d.sum())
+        count += d.size
+    return mx, total / max(count, 1)
 
 
 def stage_report(

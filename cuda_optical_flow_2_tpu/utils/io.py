@@ -214,7 +214,13 @@ def read_ppm(path: str) -> np.ndarray:
     magic, w, h, maxval = tokens[0], int(tokens[1]), int(tokens[2]), int(tokens[3])
     if maxval != 255:
         raise ValueError(f"only maxval 255 supported, got {maxval}")
-    payload = data[i + 1 :]
+    # Exactly ONE whitespace byte separates maxval from the raster (PNM
+    # spec) — but tolerate a CRLF written by text-mode tools, which would
+    # otherwise shift every pixel by one byte.
+    i += 1
+    if data[i - 1 : i] == b"\r" and data[i : i + 1] == b"\n":
+        i += 1
+    payload = data[i:]
     if magic == b"P6":
         return np.frombuffer(payload[: w * h * 3], np.uint8).reshape(h, w, 3).copy()
     if magic == b"P5":

@@ -222,7 +222,13 @@ int of2_ppm_read(const char* path, uint8_t* dst, int64_t n) {
     std::fclose(f);
     return rc;
   }
-  std::fgetc(f);  // the single whitespace byte separating header and payload
+  // The single whitespace byte separating header and payload — tolerating a
+  // CRLF written by text-mode tools (matches utils/io.read_ppm).
+  int sep = std::fgetc(f);
+  if (sep == '\r') {
+    int c = std::fgetc(f);
+    if (c != '\n' && c != EOF) std::ungetc(c, f);
+  }
   size_t got = std::fread(dst, 1, static_cast<size_t>(n), f);
   std::fclose(f);
   return got == static_cast<size_t>(n) ? 0 : -5;

@@ -579,3 +579,33 @@ def test_y4m_process_sequence(tmp_path):
     inner = np.asarray(out[-1][1])[12:-12, 12:-12]
     np.testing.assert_allclose(np.median(inner[..., 0]), 2.0, atol=0.2)
     np.testing.assert_allclose(np.median(inner[..., 1]), 1.0, atol=0.2)
+
+
+def test_ppm_crlf_header(tmp_path, rng):
+    """A P6/P5 header terminated with CRLF (text-mode Windows writers) must
+    not shift the raster by one byte — python and native parsers agree."""
+    from cuda_optical_flow_2_tpu.utils import io, native
+
+    img = rng.integers(0, 256, (6, 7, 3), dtype=np.uint8)
+    path = str(tmp_path / "crlf.ppm")
+    with open(path, "wb") as f:
+        f.write(b"P6\r\n7 6\r\n255\r\n")
+        f.write(img.tobytes())
+    np.testing.assert_array_equal(io.read_ppm(path), img)
+    lib = native._try_load()
+    if lib is not None:
+        import ctypes
+
+        h = ctypes.c_int()
+        w = ctypes.c_int()
+        ch = ctypes.c_int()
+        assert lib.of2_ppm_probe(
+            path.encode(), ctypes.byref(h), ctypes.byref(w), ctypes.byref(ch)
+        ) == 0
+        buf = np.empty(6 * 7 * 3, np.uint8)
+        assert lib.of2_ppm_read(
+            path.encode(),
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            buf.size,
+        ) == 0
+        np.testing.assert_array_equal(buf.reshape(6, 7, 3), img)

@@ -237,3 +237,16 @@ def test_inverse_matrix_int_twin(rng):
         np.ones(shape, np.int32),
     )
     assert not np.isfinite(zero).all()
+
+
+def test_bilateral_rectangular_window_rejected(rng):
+    """ww != wh is undefined behavior in the reference (it generates only a
+    ww x ww spatial kernel into a ww*wh buffer, OptFlowCPU.cpp:403-404) —
+    the oracle rejects it with a precise error instead of crashing or
+    silently misweighting taps."""
+    import pytest
+
+    src = rng.integers(0, 256, (8, 9, 3), dtype=np.uint8)
+    gray = cpu.grayscale_avg(src)
+    with pytest.raises(ValueError, match="rectangular"):
+        cpu.bilateral_filter_3ch(src, gray, 5, 9, 2.0, 10.0)
