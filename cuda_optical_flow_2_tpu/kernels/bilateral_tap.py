@@ -112,13 +112,14 @@ def _kernel(
     out_ref[:] = out[halo_y : halo_y + tile_h, :]
 
 
-def _pick_tile_h(wp: int, halo_y: int) -> int:
+def _pick_tile_h(wp: int, halo_y: int, h: int) -> int:
     budget = 10 * 1024 * 1024
+    cap = max(8, ((h + 7) // 8) * 8)  # never exceed the image height
     for th in (512, 256, 128, 64, 32, 16, 8):
         g = th + 2 * halo_y
         est = 7 * g * wp * 4
         if est <= budget:
-            return th
+            return min(th, cap)
     return 8
 
 
@@ -153,7 +154,7 @@ def _impl(
     halo_x = r + 1
     halo_y = _round_up(r + 1, _SUBLANE)
     wp = _round_up(w + 2 * halo_x, _LANE)
-    tile_h = _pick_tile_h(wp, halo_y)
+    tile_h = _pick_tile_h(wp, halo_y, h)
     ht = pl.cdiv(h, tile_h)
     hp = ht * tile_h + 2 * halo_y
 

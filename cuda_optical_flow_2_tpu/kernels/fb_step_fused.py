@@ -42,6 +42,7 @@ from cuda_optical_flow_2_tpu.kernels import select_core
 from cuda_optical_flow_2_tpu.kernels.lk_fused import (
     _box_sum,
     _roll,
+    _round_up,
     interpret_forced,
 )
 from cuda_optical_flow_2_tpu.ops.poly_exp import gaussian_1d, mixing_matrix
@@ -67,9 +68,6 @@ def band_margin(config) -> int:
     r_poly = config.poly_n // 2
     return _round_up(r_win + r_poly + 1, 4)
 
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def supported(img: jax.Array, config) -> bool:
@@ -154,6 +152,7 @@ def _kernel(
     halo_x: int,
     img_h: int,
     img_w: int,
+    band_h: int,
     r_win: int,
     g0: np.ndarray,
     g1: np.ndarray,
@@ -176,7 +175,8 @@ def _kernel(
     # GLOBAL image row of each band cell: row0_ref holds the global row of
     # input row 0 (zero for the whole-image entry; the spatial-TP band entry
     # passes the shard offset so clamping/masking act on the global image).
-    img_row = row_ids + i * tile_h - rb + row0_ref[0]
+    lrow = row_ids + i * tile_h - rb  # band-LOCAL row; pad rows fall outside
+    img_row = lrow + row0_ref[0]
     img_col = col_ids - halo_x
     zero = jnp.zeros((text, wp), jnp.float32)
     # Budget + border clamping, recentering mask, valid mask (the shared
@@ -184,6 +184,10 @@ def _kernel(
     u_b, v_b, u_c, v_c, inside, valid = select_core.global_clamp(
         u_in, v_in, img_row, img_col, img_h, img_w, d_max
     )
+    # Recentering mask: exclude the band's own zero-flow jnp.pad rows,
+    # whose global rows are inside the image on interior shards — same
+    # bias class as lk_step_fused (band_h == img_h for the whole image).
+    real = inside & (lrow >= 0) & (lrow < band_h)
 
     if first:
         # First iteration: no prior flow — the "warped" band is just next.
@@ -193,7 +197,7 @@ def _kernel(
     else:
         warped, _, _ = select_core.warp_core(
             nxt, u_c, v_c, row0=halo_n - rb, d_local=d_local, c_max=c_max,
-            mask=inside,
+            mask=real,
         )
         nxt_center = nxt[halo_n - rb : halo_n - rb + text, :]
         warped = jnp.where(valid, warped, nxt_center)
@@ -360,6 +364,7 @@ def _step_impl(
         halo_x=halo_x,
         img_h=h_global,
         img_w=w,
+        band_h=h,
         r_win=r_win,
         g0=g.astype(np.float32),
         g1=(g * o).astype(np.float32),

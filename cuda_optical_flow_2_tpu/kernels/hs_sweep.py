@@ -139,13 +139,14 @@ def _hs_kernel(
     vo_ref[:] = v[halo_y : halo_y + tile_h]
 
 
-def _pick_tile_h(wp: int, halo_y: int) -> int:
+def _pick_tile_h(wp: int, halo_y: int, h: int) -> int:
     """Largest row band whose ~12 live (G, WP) f32 tiles fit in ~20 MB VMEM."""
     budget = 20 * 1024 * 1024
+    cap = max(8, ((h + 7) // 8) * 8)  # never exceed the image height
     for th in (256, 128, 64, 32, 16, 8):
         g = th + 2 * halo_y
         if 12 * g * wp * 4 <= budget:
-            return th
+            return min(th, cap)
     return 8
 
 
@@ -235,6 +236,12 @@ def _relax_impl(
 ) -> jax.Array:
     lead = prev.shape[:-2]
     h, w = prev.shape[-2:]
+    if iterations <= 0:
+        # zero sweeps: the relaxation is the identity on the initial flow
+        # (divmod(0, k) below would divide by k = 0)
+        if flow_init is not None:
+            return jnp.asarray(flow_init, jnp.float32)
+        return jnp.zeros(lead + (h, w, 2), jnp.float32)
     x = prev.reshape((-1, h, w)).astype(jnp.float32)
     y = nxt.reshape((-1, h, w)).astype(jnp.float32)
     b = x.shape[0]
@@ -243,7 +250,7 @@ def _relax_impl(
     halo_y = _round_up(k, _SUBLANE)
     halo_x = 1
     wp = _round_up(w + 2 * halo_x, _LANE)
-    tile_h = _pick_tile_h(wp, halo_y)
+    tile_h = _pick_tile_h(wp, halo_y, h)
     ht = pl.cdiv(h, tile_h)
     hp = ht * tile_h + 2 * halo_y
 

@@ -221,14 +221,17 @@ def _solve2x2(sum_ix2, sum_iy2, sum_ixiy, sum_ixit, sum_iyit, det_eps: float):
 
 
 def _pick_tile_h(h: int, wp: int, halo_y: int) -> int:
-    """Largest row band whose working set fits comfortably in VMEM (~10 MB)."""
+    """Largest row band whose working set fits comfortably in VMEM (~10 MB),
+    capped at the image height (a 135-row level must not pay for a padded
+    256-row band)."""
     budget = 10 * 1024 * 1024
+    cap = max(8, ((h + 7) // 8) * 8)  # never exceed the image height
     for th in (256, 128, 64, 32, 16, 8):
         g = th + 2 * halo_y
         # ~7 live (G, WP) tiles (p, n, ix, iy, it, transients) + ~6 (TH, WP)
         est = (7 * g + 6 * th) * wp * 4
         if est <= budget:
-            return th
+            return min(th, cap)
     return 8
 
 

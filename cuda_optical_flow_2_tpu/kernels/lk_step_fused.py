@@ -39,6 +39,7 @@ from cuda_optical_flow_2_tpu.constants import MASKS
 from cuda_optical_flow_2_tpu.kernels import select_core
 from cuda_optical_flow_2_tpu.kernels.lk_fused import (
     _box_sum,
+    _round_up,
     _solve2x2,
     _stencil3,
     supported as _lk_supported,
@@ -50,9 +51,6 @@ __all__ = ["supported", "lk_level_step", "lk_band_step"]
 _LANE = 128
 _SUBLANE = 8
 
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def supported(prev: jax.Array, config: LKConfig) -> bool:
@@ -79,6 +77,7 @@ def _kernel(
     halo_x: int,
     img_h: int,
     img_w: int,
+    band_h: int,
     r: int,
     d_max: int,
     d_local: int,
@@ -103,7 +102,8 @@ def _kernel(
     # clamping and outside-image masking act on the global image).
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (text, wp), 0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (text, wp), 1)
-    img_row = row_ids + i * tile_h - rw + row0_ref[0]
+    lrow = row_ids + i * tile_h - rw  # band-LOCAL row; pad rows fall outside
+    img_row = lrow + row0_ref[0]
     img_col = col_ids - halo_x
 
     # --- Budget + border clamping, recentering mask, valid mask (the
@@ -111,10 +111,17 @@ def _kernel(
     u_b, v_b, u_c, v_c, inside, valid = select_core.global_clamp(
         u_in, v_in, img_row, img_col, img_h, img_w, d_max
     )
+    # On a BAND a tile can straddle kept rows and the band's own zero-flow
+    # jnp.pad rows whose GLOBAL rows are inside the image (interior shards)
+    # — `inside` alone keeps those in the recentering mean and the bias
+    # truncates large flows through the d_local clamp (measured 0.8 px
+    # kept-row divergence at |v| = 32).  For the whole-image entry
+    # band_h == img_h and `real` reduces to `inside`.
+    real = inside & (lrow >= 0) & (lrow < band_h)
 
     # --- Warp: next sampled at x + flow over the extended band.  The
-    # recentering mean runs over real image pixels only (`inside`) — the
-    # zeroed outside-image flow would bias it toward zero and the d_local
+    # recentering mean runs over real band pixels only (`real`) — zeroed
+    # pad/outside-image flow would bias it toward zero and the d_local
     # clamp would truncate large uniform flows.
     warped, au, av = select_core.warp_core(
         nxt,
@@ -123,7 +130,7 @@ def _kernel(
         row0=halo_n - rw,
         d_local=d_local,
         c_max=c_max,
-        mask=inside,
+        mask=real,
     )
     # Out-of-bounds samples keep the unwarped pixel; outside the image the
     # warped band must read as ZERO so the temporal stencil keeps the XLA
@@ -301,6 +308,7 @@ def _step_impl(
         halo_x=halo_x,
         img_h=h_global,
         img_w=w,
+        band_h=h,
         r=r,
         d_max=d,
         d_local=d_local,

@@ -24,7 +24,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cuda_optical_flow_2_tpu.kernels.fb_step_fused import band_expansion
-from cuda_optical_flow_2_tpu.kernels.lk_fused import interpret_forced
+from cuda_optical_flow_2_tpu.kernels.lk_fused import _round_up, interpret_forced
 from cuda_optical_flow_2_tpu.ops.poly_exp import gaussian_1d, mixing_matrix
 
 __all__ = ["supported", "poly_expansion_kernel"]
@@ -32,9 +32,6 @@ __all__ = ["supported", "poly_expansion_kernel"]
 _LANE = 128
 _SUBLANE = 8
 
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def supported(img: jax.Array, n: int) -> bool:

@@ -23,6 +23,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cuda_optical_flow_2_tpu.constants import GAUS_KERNEL_3X3
+from cuda_optical_flow_2_tpu.kernels.lk_fused import _roll, _round_up
 
 __all__ = ["pyr_down_pallas", "supported"]
 
@@ -30,9 +31,6 @@ _LANE = 128
 _SUBLANE = 8
 _HALO = 4  # rows/cols of margin around the 2x-scale tile (stencil radius 1)
 
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def supported(x: jax.Array) -> bool:
@@ -43,10 +41,6 @@ def supported(x: jax.Array) -> bool:
     # full 5-level 1080p pyramid) serves the TPU path.
     return False
 
-
-def _roll(x: jax.Array, d: int, axis: int) -> jax.Array:
-    s = (-d) % x.shape[axis]
-    return pltpu.roll(x, s, axis) if s else x
 
 
 def _kernel(src_ref, out_ref, *, to: int, mask: np.ndarray):

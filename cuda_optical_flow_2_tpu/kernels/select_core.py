@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental.pallas import tpu as pltpu
 
+from cuda_optical_flow_2_tpu.kernels.lk_fused import _roll
+
 __all__ = ["warp_core", "halo_y", "halo_x", "DEFAULT_D_LOCAL"]
 
 DEFAULT_D_LOCAL = 15
@@ -47,11 +49,6 @@ def halo_x(d_max: int, d_local: int) -> int:
     """
     return d_max + d_local + _CHUNK
 
-
-def _roll(x: jax.Array, d: int, axis: int) -> jax.Array:
-    size = x.shape[axis]
-    s = (-d) % size
-    return pltpu.roll(x, s, axis) if s else x
 
 
 def _roll_dyn(x: jax.Array, d: jax.Array, axis: int) -> jax.Array:
@@ -154,15 +151,22 @@ def warp_core(
     ncands = 2 * c_max + 2
     img = img.astype(compute_dtype)
 
-    # Per-tile integer recentering (mean over REAL pixels only).
-    if mask is None:
-        u_mean = jnp.mean(u)
-        v_mean = jnp.mean(v)
-    else:
-        cnt = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
-        fz = jnp.zeros((), jnp.float32)
-        u_mean = jnp.sum(jnp.where(mask, u, fz)) / cnt
-        v_mean = jnp.sum(jnp.where(mask, v, fz)) / cnt
+    # Per-tile integer recentering (mean over REAL, FINITE pixels only).
+    # A single NaN flow value (legal under the det_eps=0.0 reference-parity
+    # configs, where a flat region's 0/0 solve passes NaN through) would
+    # otherwise make the mean NaN and int32(round(NaN)) corrupt the ENTIRE
+    # tile's warp — the XLA gather twin localizes it to the offending pixel
+    # (its valid test fails, keeping the unwarped value), so must we: the
+    # non-finite entries are zeroed for the select passes and their outputs
+    # are already overridden by the caller's valid mask.
+    finite = jnp.isfinite(u) & jnp.isfinite(v)
+    fz = jnp.zeros((), jnp.float32)
+    u = jnp.where(finite, u, fz)
+    v = jnp.where(finite, v, fz)
+    m = finite if mask is None else (mask & finite)
+    cnt = jnp.maximum(jnp.sum(m.astype(jnp.float32)), 1.0)
+    u_mean = jnp.sum(jnp.where(m, u, fz)) / cnt
+    v_mean = jnp.sum(jnp.where(m, v, fz)) / cnt
     u0 = jnp.round(u_mean).astype(jnp.int32)
     v0 = jnp.round(v_mean).astype(jnp.int32)
     ul = jnp.clip(u - u0.astype(jnp.float32), -d_local, d_local)

@@ -183,13 +183,14 @@ def _kernel(
     q2y_ref[:] = p2y[sl]
 
 
-def _pick_tile_h(wp: int, halo_y: int) -> int:
+def _pick_tile_h(wp: int, halo_y: int, h: int) -> int:
     """Largest band whose ~26 live (G, WP) f32 tiles fit in ~22 MB VMEM."""
     budget = 22 * 1024 * 1024
+    cap = max(8, ((h + 7) // 8) * 8)  # never exceed the image height
     for th in (256, 128, 64, 32, 16, 8):
         g = th + 2 * halo_y
         if 26 * g * wp * 4 <= budget:
-            return th
+            return min(th, cap)
     return 8
 
 
@@ -302,6 +303,12 @@ def _relax_impl(
 ) -> tuple[jax.Array, ...]:
     """Shared impl: returns the six state planes as (B*, H, W) float32."""
     h, w = prev.shape[-2:]
+    if iterations <= 0:
+        # zero iterations: identity on the carried state (divmod(0, k)
+        # below would divide by k = 0)
+        return tuple(
+            jnp.asarray(s, jnp.float32).reshape((-1, h, w)) for s in state
+        )
     x = prev.reshape((-1, h, w)).astype(jnp.float32)
     y = warped.reshape((-1, h, w)).astype(jnp.float32)
     f0 = u0.reshape((-1, h, w, 2)).astype(jnp.float32)
@@ -311,7 +318,7 @@ def _relax_impl(
     halo_y = _round_up(k + 2, _SUBLANE)
     halo_x = 1
     wp = _round_up(w + 2 * halo_x, _LANE)
-    tile_h = _pick_tile_h(wp, halo_y)
+    tile_h = _pick_tile_h(wp, halo_y, h)
     ht = pl.cdiv(h, tile_h)
     hp = ht * tile_h + 2 * halo_y
 

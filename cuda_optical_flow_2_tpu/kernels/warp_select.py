@@ -37,15 +37,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cuda_optical_flow_2_tpu.kernels import select_core
+from cuda_optical_flow_2_tpu.kernels.lk_fused import _round_up
 
 __all__ = ["warp_bilinear_select", "warp_bilinear_select_band", "supported"]
 
 _LANE = 128
 _SUBLANE = 8
 
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def supported(img: jax.Array, max_displacement: int) -> bool:
@@ -186,13 +184,22 @@ def _select_impl(
         jnp.float32
     )
     xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-    u_raw = f[..., 0]
-    v_raw = f[..., 1]
-    u = jnp.clip(u_raw, -d, d)
-    v = jnp.clip(v_raw, -d, d)
+    u_b = jnp.clip(f[..., 0], -d, d)
+    v_b = jnp.clip(f[..., 1], -d, d)
+    # valid from the BUDGET-clamped components: the declared twin is
+    # warp_bilinear(img, clip(flow, +-d)), whose out-of-bounds test sees the
+    # clamped flow (same semantics select_core.global_clamp codifies for
+    # the fused kernels; raw-flow valid diverged when an unclamped
+    # component crossed the border only after clamping).
+    valid = (
+        (xs + u_b >= 0)
+        & (xs + u_b <= w - 1)
+        & (ys + v_b >= 0)
+        & (ys + v_b <= h_global - 1)
+    )
     # absolute clamp to the image (matches ops/warp.py warp_bilinear)
-    u = jnp.clip(xs + u, 0.0, w - 1) - xs
-    v = jnp.clip(ys + v, 0.0, h_global - 1) - ys
+    u = jnp.clip(xs + u_b, 0.0, w - 1) - xs
+    v = jnp.clip(ys + v_b, 0.0, h_global - 1) - ys
     # Band rows OUTSIDE the global image (zero-filled boundary halos) would
     # otherwise acquire pseudo-flow from the clamp (ys < 0 -> v = -ys); zero
     # them — they are band-edge garbage by contract, and the in-kernel mask
@@ -200,12 +207,6 @@ def _select_impl(
     inside_rows = (ys >= 0) & (ys <= h_global - 1)
     u = jnp.where(inside_rows, u, 0.0)
     v = jnp.where(inside_rows, v, 0.0)
-    valid = (
-        (xs + u_raw >= 0)
-        & (xs + u_raw <= w - 1)
-        & (ys + v_raw >= 0)
-        & (ys + v_raw <= h_global - 1)
-    )
 
     halo_y = _round_up(select_core.halo_y(d, d_local, c_max), _SUBLANE)
     halo_x = select_core.halo_x(d, d_local)

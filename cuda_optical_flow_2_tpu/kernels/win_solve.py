@@ -67,13 +67,14 @@ def _kernel(
     v_ref[:] = jnp.where(safe, (g11 * h2 - g12 * h1) * inv_det, zero)
 
 
-def _pick_tile_h(wp: int, halo_y: int) -> int:
+def _pick_tile_h(wp: int, halo_y: int, h: int) -> int:
     """Largest band whose ~8 live (G, WP) f32 tiles fit in ~20 MB VMEM."""
     budget = 20 * 1024 * 1024
+    cap = max(8, ((h + 7) // 8) * 8)  # never exceed the image height
     for th in (256, 128, 64, 32, 16, 8):
         g = th + 2 * halo_y
         if 8 * g * wp * 4 <= budget:
-            return th
+            return min(th, cap)
     return 8
 
 
@@ -104,7 +105,7 @@ def window_solve(
     halo_x = r + 1
     halo_y = _round_up(r + 1, _SUBLANE)
     wp = _round_up(w + 2 * halo_x, _LANE)
-    tile_h = _pick_tile_h(wp, halo_y)
+    tile_h = _pick_tile_h(wp, halo_y, h)
     ht = pl.cdiv(h, tile_h)
     hp = ht * tile_h + 2 * halo_y
 

@@ -82,7 +82,7 @@ def test_pallas_relax_multiband(monkeypatch):
     """Force small row bands so the K-row halo / trapezoid logic is exercised."""
     from cuda_optical_flow_2_tpu.kernels import hs_sweep
 
-    monkeypatch.setattr(hs_sweep, "_pick_tile_h", lambda wp, halo_y: 16)
+    monkeypatch.setattr(hs_sweep, "_pick_tile_h", lambda wp, halo_y, h: 16)
     p, n = _pair(90, 70, 1.2, 0.6)
     cfg = hs.HSConfig(alpha=8.0, iterations=40, levels=1)
     want = np.asarray(_hs_xla(p, n, None, cfg))

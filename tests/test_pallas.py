@@ -521,3 +521,115 @@ def test_tvl1_relax_band_matches_full_image(rng):
         )
         band = np.stack([np.asarray(out[0]), np.asarray(out[1])], -1)
         np.testing.assert_array_equal(band[lo - a : hi - a], full[lo:hi])
+
+
+def test_lk_band_step_interior_pad_rows_excluded_from_recentering(rng):
+    """Interior-shard band whose LAST tile straddles kept rows and the
+    band's own zero-flow jnp.pad rows (their GLOBAL rows are inside the
+    image, so the global `inside` mask alone keeps them): the recentering
+    mean must exclude them or a large uniform flow is truncated through the
+    d_local clamp on kept rows (measured 0.83 px divergence pre-fix).
+    w forces a VMEM-budget tile_h that makes the last tile mostly pad."""
+    from cuda_optical_flow_2_tpu.kernels import lk_step_fused
+
+    w, h_global, a, hb = 1280, 300, 50, 219
+    halo = 8 + 32 + 2  # rw + d + 2 (caller provisioning)
+    prev = jnp.asarray(rng.integers(0, 256, (h_global, w)).astype(np.float32))
+    nxt = jnp.asarray(rng.integers(0, 256, (h_global, w)).astype(np.float32))
+    flow = jnp.zeros((h_global, w, 2), jnp.float32).at[..., 1].set(-32.0)
+    cfg = of.LKConfig(
+        levels=1, window=9, max_displacement=32, d_local=7, c_max=1
+    )
+    full = np.asarray(
+        lk_step_fused.lk_level_step(prev, nxt, flow, cfg, interpret=True)
+    )
+    band = np.asarray(
+        lk_step_fused.lk_band_step(
+            prev[a : a + hb], nxt[a : a + hb], flow[a : a + hb], a, cfg,
+            h_global, interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(
+        band[halo : hb - halo], full[a + halo : a + hb - halo]
+    )
+
+
+def test_fb_band_step_interior_pad_rows_excluded_from_recentering(rng):
+    """Same recentering-bias class for the fused FB band kernel (measured
+    1.16 px kept-row divergence pre-fix at this geometry)."""
+    from cuda_optical_flow_2_tpu.kernels import fb_step_fused
+    from cuda_optical_flow_2_tpu.models.farneback import FBConfig
+    from cuda_optical_flow_2_tpu.ops.poly_exp import poly_expansion
+
+    w, h_global, a, hb = 1280, 250, 50, 171
+    halo = 8 + 32 + 2  # rb + d + 2
+    prev = jnp.asarray(rng.integers(0, 256, (h_global, w)).astype(np.float32))
+    nxt = jnp.asarray(rng.integers(0, 256, (h_global, w)).astype(np.float32))
+    flow = jnp.zeros((h_global, w, 2), jnp.float32).at[..., 1].set(-32.0)
+    cfg = FBConfig(
+        levels=1, iterations=1, winsize=9, poly_n=5, max_displacement=32,
+        d_local=7, c_max=1,
+    )
+    exp1 = poly_expansion(prev, cfg.poly_n, cfg.poly_sigma)
+    full = np.asarray(
+        fb_step_fused.fb_level_step(nxt, exp1, flow, cfg, interpret=True)
+    )
+    band = np.asarray(
+        fb_step_fused.fb_band_step(
+            nxt[a : a + hb], tuple(x[a : a + hb] for x in exp1),
+            flow[a : a + hb], a, cfg, h_global, interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(
+        band[halo : hb - halo], full[a + halo : a + hb - halo]
+    )
+
+
+def test_select_warp_localizes_nonfinite_flow(rng):
+    """One NaN flow pixel (legal under det_eps=0.0 reference-parity configs)
+    must not corrupt the whole tile: the recentering mean skips non-finite
+    entries, and the NaN pixel itself keeps the unwarped value — exactly the
+    XLA gather twin's behavior (its valid test fails there)."""
+    from cuda_optical_flow_2_tpu.kernels.warp_select import warp_bilinear_select
+    from cuda_optical_flow_2_tpu.ops.warp import warp_bilinear
+
+    img = jnp.asarray(rng.normal(0, 50, (96, 144)).astype(np.float32) + 128)
+    flow = jnp.asarray(_smooth_flow(96, 144))
+    flow = flow.at[10, 12, 1].set(np.nan).at[40, 90, 0].set(np.inf)
+    want = np.asarray(warp_bilinear(img, flow))
+    got = np.asarray(warp_bilinear_select(img, flow, 16, interpret=True))
+    assert np.isfinite(got).all()
+    # Damage is LOCALIZED (pre-fix the whole 13824-px tile mis-warped):
+    # the inf pixel itself may differ (budget-clamp warps it, the gather
+    # twin's raw-flow valid test keeps it unwarped), and same-row pixels
+    # within the horizontal select reach of the NaN pixel may pick their
+    # row through its zeroed vi — everything else is exact.
+    mask = np.ones((96, 144), bool)
+    mask[10, :30] = False   # NaN pixel's row within select reach
+    mask[40, 90] = False    # the inf pixel
+    np.testing.assert_allclose(got[mask], want[mask], atol=1e-3)
+    assert np.abs(got - want)[~mask].max() < 255  # bounded, not garbage
+
+
+def test_relax_kernels_zero_iterations_are_identity(rng):
+    """iterations=0 is the identity on the initial flow, not a
+    ZeroDivisionError at trace time (divmod by the chunk size)."""
+    from cuda_optical_flow_2_tpu.kernels import hs_sweep, tvl1_sweep
+
+    prev, nxt = _pair(rng, 32, 40)
+    init = jnp.asarray(rng.normal(0, 1, (32, 40, 2)).astype(np.float32))
+    out = np.asarray(hs_sweep.hs_relax(
+        prev, nxt, init, iterations=0, alpha=8.0,
+        temporal_kernel="gauss3", interpret=True,
+    ))
+    np.testing.assert_array_equal(out, np.asarray(init))
+    out0 = np.asarray(hs_sweep.hs_relax(
+        prev, nxt, None, iterations=0, alpha=8.0,
+        temporal_kernel="gauss3", interpret=True,
+    ))
+    assert out0.shape == (32, 40, 2) and (out0 == 0).all()
+    tv = np.asarray(tvl1_sweep.tvl1_relax(
+        prev, nxt, init, init, iterations=0, lambda_=0.15, theta=0.3,
+        tau=0.25, eps=1e-6, interpret=True,
+    ))
+    np.testing.assert_array_equal(tv, np.asarray(init))
