@@ -11,6 +11,7 @@ EXAMPLES = [
     "spatial_tp",
     "flow_quality",
     "gradient_alignment",
+    "frame_interpolation",
 ]
 
 
