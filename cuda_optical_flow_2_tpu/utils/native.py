@@ -238,6 +238,11 @@ class FrameStream:
             h, w, float(vx), float(vy), period,
             -1 if nframes is None else nframes, prefetch,
         )
+        if not handle:
+            raise ValueError(
+                f"cannot open synthetic stream: bad dimensions {h}x{w} "
+                "or ring allocation failed"
+            )
         return cls(handle, h, w, nframes)
 
     @classmethod
@@ -318,6 +323,9 @@ class FrameStream:
             w = ctypes.c_int()
             rc = lib.of2_y4m_probe(path.encode(), ctypes.byref(h), ctypes.byref(w))
             reason = {
+                # rc 0: header parses fine, so the open failed at the ring —
+                # dimensions beyond the 134 MP stream cap or allocation.
+                0: "frame dimensions too large or ring allocation failed",
                 -1: "cannot open",
                 -2: "malformed header",
                 -3: "not a YUV4MPEG2 stream",

@@ -21,6 +21,7 @@
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <mutex>
 #include <string>
@@ -311,8 +312,18 @@ int y4m_parse_header(FILE* f, int* h, int* w, Y4mChroma* chroma) {
     }
     if (tok.empty()) continue;
     switch (tok[0]) {
-      case 'W': *w = std::atoi(tok.c_str() + 1); break;
-      case 'H': *h = std::atoi(tok.c_str() + 1); break;
+      // strtol, not atoi: atoi is UB on overflow, strtol clamps to LONG_MAX
+      // and the <=0 / >1e6 range check below rejects the clamp.
+      case 'W': {
+        long v = std::strtol(tok.c_str() + 1, nullptr, 10);
+        *w = v > 2000000L ? 2000000 : static_cast<int>(v);
+        break;
+      }
+      case 'H': {
+        long v = std::strtol(tok.c_str() + 1, nullptr, 10);
+        *h = v > 2000000L ? 2000000 : static_cast<int>(v);
+        break;
+      }
       case 'C': {
         // Only 8-bit colorspaces: bit-depth variants (C420p10, C422p12,
         // C444p16, Cmono12, ...) have 2-byte samples — accepting them would
@@ -484,11 +495,32 @@ void stream_worker(FrameStream* s) {
   s->cv_empty.notify_all();
 }
 
+// Validate dimensions and allocate the ring.  Returns null (stream freed,
+// any open source closed) on absurd dimensions or allocation failure: the
+// headers cap W and H individually (1e6 for Y4M, 1e9 for PPM) but their
+// PRODUCT can still request terabytes, and a bad_alloc escaping the C ABI
+// into a ctypes caller aborts the whole process instead of failing the open.
+constexpr int64_t kMaxStreamPixels = int64_t(1) << 27;  // 134 MP (8K is 33 MP)
+
 FrameStream* stream_start(FrameStream* s, int prefetch) {
-  s->capacity = prefetch < 1 ? 1 : prefetch;
-  s->ring.resize(static_cast<size_t>(s->capacity) * s->h * s->w);
-  s->slot_idx.assign(s->capacity, -1);
-  s->slot_ok.assign(s->capacity, 0);
+  s->capacity = prefetch < 1 ? 1 : (prefetch > 4096 ? 4096 : prefetch);
+  const int64_t px = static_cast<int64_t>(s->h) * s->w;
+  bool ok = s->h > 0 && s->w > 0 && px <= kMaxStreamPixels;
+  if (ok) {
+    try {
+      s->ring.resize(static_cast<size_t>(s->capacity) * px);
+      s->slot_idx.assign(s->capacity, -1);
+      s->slot_ok.assign(s->capacity, 0);
+      if (s->y4m) s->y4m_buf.resize(static_cast<size_t>(px));
+    } catch (const std::bad_alloc&) {
+      ok = false;
+    }
+  }
+  if (!ok) {
+    if (s->y4m) std::fclose(s->y4m);
+    delete s;
+    return nullptr;
+  }
   s->worker = std::thread(stream_worker, s);
   return s;
 }
@@ -500,6 +532,7 @@ extern "C" {
 // Synthetic translating-texture stream of ``nframes`` (h, w) frames.
 // nframes < 0 opens an UNBOUNDED stream (live-capture twin): frames are
 // produced until of2_stream_close; memory is bounded by the prefetch ring.
+// Returns null on non-positive/oversized dimensions or allocation failure.
 void* of2_stream_open_synthetic(int h, int w, double vx, double vy, int period,
                                 int nframes, int prefetch) {
   auto* s = new FrameStream();
@@ -563,8 +596,7 @@ void* of2_stream_open_y4m(const char* path, int prefetch) {
     delete s;
     return nullptr;
   }
-  s->y4m = f;
-  s->y4m_buf.resize(static_cast<size_t>(s->h) * s->w);
+  s->y4m = f;  // owned by the stream from here; stream_start closes on failure
   s->nframes = -1;
   return stream_start(s, prefetch);
 }

@@ -609,3 +609,53 @@ def test_ppm_crlf_header(tmp_path, rng):
             buf.size,
         ) == 0
         np.testing.assert_array_equal(buf.reshape(6, 7, 3), img)
+
+
+@needs_native
+def test_stream_open_rejects_absurd_dimensions(tmp_path):
+    """Oversized frame dimensions fail the open cleanly (null handle ->
+    ValueError) instead of a bad_alloc aborting the process: the Y4M/PPM
+    headers cap W and H individually, but their product can request
+    terabytes for the prefetch ring (framesrc.cpp stream_start guard)."""
+    from cuda_optical_flow_2_tpu.utils.native import FrameStream
+
+    # Synthetic: dimensions are caller-supplied.
+    with pytest.raises(ValueError, match="synthetic"):
+        FrameStream.synthetic(2, 40000, 40000, vx=1.0, vy=0.0)
+    with pytest.raises(ValueError, match="synthetic"):
+        FrameStream.synthetic(2, 0, 32, vx=1.0, vy=0.0)
+
+    # Y4M: a well-formed header promising a 1e6 x 1e6 luma plane. The probe
+    # itself succeeds (the header IS well-formed), the stream open must not.
+    path = tmp_path / "huge.y4m"
+    path.write_bytes(b"YUV4MPEG2 W1000000 H1000000 F25:1 C420\nFRAME\n")
+    lib = native._try_load()
+    import ctypes
+
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    assert (
+        lib.of2_y4m_probe(str(path).encode(), ctypes.byref(h), ctypes.byref(w))
+        == 0
+    )
+    with pytest.raises(ValueError, match="too large|allocation"):
+        FrameStream.from_y4m(str(path))
+
+
+@needs_native
+def test_y4m_header_dimension_overflow(tmp_path):
+    """W/H tokens that overflow long must be rejected (strtol clamps, the
+    range check fires), never parsed into a garbage positive size."""
+    import ctypes
+
+    lib = native._try_load()
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    path = tmp_path / "overflow.y4m"
+    path.write_bytes(
+        b"YUV4MPEG2 W99999999999999999999 H480 F25:1 C420\nFRAME\n"
+    )
+    assert (
+        lib.of2_y4m_probe(str(path).encode(), ctypes.byref(h), ctypes.byref(w))
+        == -2
+    )
