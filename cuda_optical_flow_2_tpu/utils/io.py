@@ -73,18 +73,23 @@ def read_y4m(path: str, resync: bool = False):
         else:
             raise ValueError(f"unsupported Y4M colorspace C{chroma}")
         while True:
-            line = f.readline()
-            if not line:
+            # Read exactly the 5 magic bytes (mirrors the native reader,
+            # framesrc.cpp y4m_read_frame): a readline here would consume
+            # through the next '\n' in the stream, which on a corrupt
+            # marker can swallow the NEXT frame's real "FRAME\n" and lose
+            # a good frame that the native twin recovers.
+            magic = f.read(5)
+            if not magic:
                 return  # clean EOF at a frame boundary
-            if not line.startswith(b"FRAME"):
+            if magic != b"FRAME":
                 if not resync:
                     raise ValueError(
-                        f"malformed Y4M frame marker: {line[:16]!r}"
+                        f"malformed Y4M frame marker: {magic!r}"
                     )
                 yield None
                 if not _y4m_scan_to_frame(f):
                     return  # EOF while scanning: nothing left to decode
-                f.readline()  # rest of the resynced marker line (params+\n)
+            f.readline()  # rest of the marker line (params + '\n')
             y = f.read(w * h)
             if len(y) != w * h:
                 if not resync:
@@ -108,18 +113,20 @@ def _y4m_scan_to_frame(f) -> bool:
     marker check and rescans).  Returns False at EOF.
     """
     pat = b"FRAME"
-    m = 0
-    while m < len(pat):
-        ch = f.read(1)
-        if not ch:
+    carry = b""
+    while True:
+        chunk = f.read(1 << 16)
+        if not chunk:
             return False
-        if ch == pat[m : m + 1]:
-            m += 1
-        elif ch == b"F":
-            m = 1
-        else:
-            m = 0
-    return True
+        buf = carry + chunk
+        i = buf.find(pat)
+        if i >= 0:
+            # Rewind to just past the magic (buffered search reads ahead;
+            # byte-at-a-time was a multi-second stall per corrupt 1080p
+            # frame in the pure-Python fallback).
+            f.seek(i + len(pat) - len(buf), 1)
+            return True
+        carry = buf[-(len(pat) - 1):]
 
 
 def _rgb_to_yuv444(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -69,6 +69,10 @@ def flow_to_color(flow: np.ndarray, max_flow: float | None = None) -> np.ndarray
     mag = np.hypot(u, v)
     if max_flow is None:
         max_flow = max(float(mag.max()), 1e-6)
+    elif not np.isfinite(max_flow) or max_flow <= 0:
+        raise ValueError(
+            f"max_flow must be a positive finite scale, got {max_flow}"
+        )
     u, v = u / max_flow, v / max_flow
     mag = np.minimum(mag / max_flow, 1.0)
     ncols = _WHEEL.shape[0]

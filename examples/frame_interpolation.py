@@ -24,18 +24,23 @@ def interpolate_midpoint(prev, nxt, config):
     """Synthesize the frame halfway between ``prev`` and ``nxt``.
 
     Backward-warp semantics (out(x) = src(x + flow)): the midpoint pixel x
-    came from prev at x + 0.5*F_fw(x) and from nxt at x + 0.5*F_bw(x) (the
+    came from prev at x + 0.5*F_bw(x) and from nxt at x + 0.5*F_fw(x) (the
     flows are sampled at x — the standard splat-free approximation, fine at
     half-step for smooth motion).  Cycle-inconsistent pixels take the side
-    whose flow is locally trustworthy instead of a ghosted blend.
+    whose flow is locally trustworthy — the one with the smaller cycle
+    residual — instead of a ghosted blend.
     """
     flow_fw = of.pyramidal_flow(prev, nxt, config)  # prev -> nxt
     flow_bw = of.pyramidal_flow(nxt, prev, config)  # nxt -> prev
     from_prev = warp_bilinear(prev, 0.5 * flow_bw)
     from_next = warp_bilinear(nxt, 0.5 * flow_fw)
-    residual = fb_consistency(flow_fw, flow_bw)
-    consistent = residual < 1.0
-    mid = jnp.where(consistent, 0.5 * (from_prev + from_next), from_prev)
+    # Cycle residual of each field: res_fw gates from_next (built on F_fw),
+    # res_bw gates from_prev (built on F_bw).
+    res_fw = fb_consistency(flow_fw, flow_bw)
+    res_bw = fb_consistency(flow_bw, flow_fw)
+    consistent = jnp.maximum(res_fw, res_bw) < 1.0
+    fallback = jnp.where(res_bw <= res_fw, from_prev, from_next)
+    mid = jnp.where(consistent, 0.5 * (from_prev + from_next), fallback)
     return mid, flow_fw
 
 

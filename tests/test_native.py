@@ -515,6 +515,44 @@ def test_y4m_garbled_marker_resyncs(tmp_path, rng, monkeypatch, use_native):
     np.testing.assert_array_equal(out[3][1], frames[3].astype(np.float32))
 
 
+@pytest.mark.parametrize("use_native", [True, False])
+def test_y4m_newline_free_junk_recovers_next_frame(
+    tmp_path, rng, monkeypatch, use_native
+):
+    """Junk bytes with NO newline before an intact frame cost one decode
+    failure and the intact frame is still recovered.  Regression: the Python
+    fallback read the marker with readline(), so newline-free junk swallowed
+    the next frame's real "FRAME\\n" and lost a good frame the native reader
+    (which reads exactly 5 magic bytes, then scans) recovers."""
+    from cuda_optical_flow_2_tpu.utils import native as nat
+    from cuda_optical_flow_2_tpu.utils.native import FrameStream
+
+    if use_native and not nat.available():
+        pytest.skip("native library not built")
+    if not use_native:
+        monkeypatch.setattr(nat, "_try_load", lambda: None)
+
+    frames = [
+        rng.integers(0, 256, (16, 20), dtype=np.uint8) for _ in range(4)
+    ]
+    path = str(tmp_path / "junkblob.y4m")
+    _write_y4m_420(path, frames, extras=b"C420jpeg")
+    data = open(path, "rb").read()
+    frame_size = 6 + 16 * 20 + 10 * 8 * 2  # "FRAME\n" + Y + 2 chroma planes
+    off = len(b"YUV4MPEG2 W20 H16 C420jpeg\n") + 2 * frame_size
+    assert data[off : off + 5] == b"FRAME"
+    data = data[:off] + b"\xde\xad\xbe\xef junk without newline" + data[off:]
+    open(path, "wb").write(data)
+    with FrameStream.from_y4m(path) as src:
+        out = [(t, f) for t, f in src]
+    assert [(t, f is not None) for t, f in out] == [
+        (0, True), (1, True), (2, False), (3, True), (4, True),
+    ]
+    # BOTH post-junk frames decode intact — nothing was swallowed
+    np.testing.assert_array_equal(out[3][1], frames[2].astype(np.float32))
+    np.testing.assert_array_equal(out[4][1], frames[3].astype(np.float32))
+
+
 def test_y4m_error_codes(tmp_path):
     from cuda_optical_flow_2_tpu.utils.native import FrameStream
 
