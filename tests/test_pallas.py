@@ -633,3 +633,121 @@ def test_relax_kernels_zero_iterations_are_identity(rng):
         tau=0.25, eps=1e-6, interpret=True,
     ))
     np.testing.assert_array_equal(tv, np.asarray(init))
+
+
+def test_band_geometry_fuzz():
+    """Randomized band geometries for the warp-bearing band kernels.
+
+    The recentering-bias class recurred with every NEW band geometry (lane
+    padding, boundary halos, interior pad rows); the fixed tests above pin
+    the known trigger shapes, this seeded sweep is insurance for unknown
+    ones: random image sizes (odd widths force lane padding, heights force
+    partial tiles), random interior/boundary/global-edge bands built exactly
+    as production halo_exchange does (zero-filled out-of-global rows), and
+    near-budget uniform flows with sub-pixel jitter (the silent-truncation
+    trigger).  Kept rows must match the unsharded kernel.
+    """
+    from cuda_optical_flow_2_tpu.kernels import lk_step_fused, warp_select
+    from cuda_optical_flow_2_tpu.parallel.spatial import _halo_radius
+
+    rng_ = np.random.default_rng(11)
+
+    def zero_filled(arr, a, b):
+        h = arr.shape[0]
+        out = np.zeros((b - a,) + arr.shape[1:], np.float32)
+        ca, cb = max(a, 0), min(b, h)
+        out[ca - a : cb - a] = np.asarray(arr[ca:cb])
+        return jnp.asarray(out)
+
+    for case in range(4):
+        h = int(rng_.integers(80, 200))
+        w = int(rng_.choice([96, 160, 200, 333]))
+        window = int(rng_.choice([5, 9, 15]))
+        d = int(rng_.choice([8, 32]))
+        d_local = int(rng_.choice([5, 7]))
+        v = float(rng_.uniform(0.5, 0.95) * d * rng_.choice([-1, 1]))
+        prev = jnp.asarray(rng_.integers(0, 256, (h, w)).astype(np.float32))
+        nxt = jnp.asarray(rng_.integers(0, 256, (h, w)).astype(np.float32))
+        fl = np.zeros((h, w, 2), np.float32)
+        fl[..., 1] = v
+        fl[..., 0] = rng_.uniform(-0.3, 0.3, (h, w))
+        flow = jnp.asarray(fl)
+        cfg = of.LKConfig(levels=1, window=window, max_displacement=d,
+                          d_local=d_local, c_max=1)
+        lo = int(rng_.integers(0, h - 48))
+        hi = lo + int(rng_.integers(32, min(97, h - lo + 1)))
+        label = (case, h, w, window, d, d_local, v, lo, hi)
+
+        full = np.asarray(
+            lk_step_fused.lk_level_step(prev, nxt, flow, cfg, interpret=True)
+        )
+        _, r_img = _halo_radius(cfg)
+        a, b = lo - r_img, hi + r_img
+        band = np.asarray(lk_step_fused.lk_band_step(
+            zero_filled(prev, a, b), zero_filled(nxt, a, b),
+            zero_filled(flow, a, b), a, cfg, h, interpret=True,
+        ))
+        np.testing.assert_allclose(
+            band[lo - a : hi - a], full[lo:hi], atol=1e-5, err_msg=str(label)
+        )
+
+        wfull = np.asarray(warp_select.warp_bilinear_select(
+            nxt, flow, max_displacement=d, d_local=d_local, c_max=1,
+            interpret=True,
+        ))
+        a, b = lo - (d + 4), hi + (d + 4)
+        wband = np.asarray(warp_select.warp_bilinear_select_band(
+            zero_filled(nxt, a, b), zero_filled(flow, a, b), a, h,
+            max_displacement=d, d_local=d_local, c_max=1, interpret=True,
+        ))
+        np.testing.assert_allclose(
+            wband[lo - a : hi - a], wfull[lo:hi], atol=1e-5,
+            err_msg=str(label),
+        )
+
+
+def test_fb_band_geometry_fuzz():
+    """Same randomized-band insurance for the fused FB kernel (its in-kernel
+    warp was a separate instance of the recentering-bias class)."""
+    from cuda_optical_flow_2_tpu.kernels import fb_step_fused
+    from cuda_optical_flow_2_tpu.models.farneback import FBConfig
+    from cuda_optical_flow_2_tpu.ops.poly_exp import poly_expansion
+
+    rng_ = np.random.default_rng(13)
+    for case in range(2):
+        h = int(rng_.integers(80, 160))
+        w = int(rng_.choice([96, 200, 333]))
+        winsize = int(rng_.choice([9, 15]))
+        d = int(rng_.choice([4, 16]))
+        v = float(rng_.uniform(0.5, 0.95) * d * rng_.choice([-1, 1]))
+        prev = jnp.asarray(rng_.integers(0, 256, (h, w)).astype(np.float32))
+        nxt = jnp.asarray(rng_.integers(0, 256, (h, w)).astype(np.float32))
+        fl = np.zeros((h, w, 2), np.float32)
+        fl[..., 1] = v
+        fl[..., 0] = rng_.uniform(-0.3, 0.3, (h, w))
+        flow = jnp.asarray(fl)
+        cfg = FBConfig(levels=1, iterations=1, winsize=winsize, poly_n=5,
+                       max_displacement=d)
+        exp1 = poly_expansion(prev, cfg.poly_n, cfg.poly_sigma)
+        full = np.asarray(
+            fb_step_fused.fb_level_step(nxt, exp1, flow, cfg, interpret=True)
+        )
+        lo = int(rng_.integers(0, h - 48))
+        hi = lo + int(rng_.integers(32, min(97, h - lo + 1)))
+        r_img = fb_step_fused.band_margin(cfg) + d + 2
+        a, b = lo - r_img, hi + r_img
+
+        def zf(arr):
+            out = np.zeros((b - a,) + arr.shape[1:], np.float32)
+            ca, cb = max(a, 0), min(b, h)
+            out[ca - a : cb - a] = np.asarray(arr[ca:cb])
+            return jnp.asarray(out)
+
+        band = np.asarray(fb_step_fused.fb_band_step(
+            zf(nxt), tuple(zf(x) for x in exp1), zf(flow), a, cfg, h,
+            interpret=True,
+        ))
+        np.testing.assert_allclose(
+            band[lo - a : hi - a], full[lo:hi], atol=1e-5,
+            err_msg=str((case, h, w, winsize, d, v, lo, hi)),
+        )
