@@ -34,6 +34,12 @@ from cuda_optical_flow_2_tpu.models.streaming import (
     process_sequence,
     step,
 )
+from cuda_optical_flow_2_tpu.models.tracking import (
+    advect_points,
+    sample_flow,
+    track_points,
+    track_sequence,
+)
 
 
 def pyramidal_flow(prev, nxt, config):
@@ -77,6 +83,10 @@ __all__ = [
     "init_state",
     "step",
     "process_sequence",
+    "sample_flow",
+    "advect_points",
+    "track_points",
+    "track_sequence",
     "HSConfig",
     "pyramidal_hs",
     "FBConfig",
