@@ -32,7 +32,9 @@ def main(argv=None) -> None:
     ap.add_argument("--window", type=int, default=9)
     ap.add_argument(
         "--backends", nargs="+", default=("pallas", "banded"),
-        help="backends to diff against the baseline (pallas banded oracle)",
+        help="backends to diff against the baseline (pallas banded oracle; "
+        "the end-to-end flow stage also accepts 'sharded' for a real-mesh "
+        "shard_map comparison)",
     )
     ap.add_argument("--baseline", default="xla")
     ap.add_argument("--n-bands", type=int, default=4)
@@ -70,10 +72,15 @@ def main(argv=None) -> None:
     if args.model == "fb":
         from cuda_optical_flow_2_tpu.models.farneback import FBConfig
 
+        if args.window % 2 == 0:
+            # Same contract as the LK path (LKConfig raises): silently
+            # bumping to window+1 would report diffs for a configuration
+            # the user didn't ask for.
+            ap.error(f"--window must be odd, got {args.window}")
         cfg = FBConfig(
             levels=args.levels,
             iterations=args.iterations if args.iterations is not None else 2,
-            winsize=args.window if args.window % 2 else args.window + 1,
+            winsize=args.window,
         )
     elif args.model == "hs":
         from cuda_optical_flow_2_tpu.models.horn_schunck import HSConfig

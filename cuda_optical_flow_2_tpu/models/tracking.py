@@ -100,6 +100,11 @@ def advect_points(
     return out, alive & inside
 
 
+# Module-level jit so one tracked stream's trace serves every later stream
+# with the same shapes (a per-call jax.jit wrapper would retrace per clip).
+_advect_jit = jax.jit(advect_points)
+
+
 @functools.partial(jax.jit, static_argnames=("config", "warm_start"))
 def track_sequence(
     frames: jax.Array,
@@ -161,7 +166,6 @@ def track_points(frames, points, config, warm_start: bool = True):
     if pts.ndim != 2 or pts.shape[-1] != 2:
         raise ValueError(f"points must be (N, 2) (x, y); got {pts.shape}")
     alive = jnp.ones(pts.shape[:-1], bool)
-    step = jax.jit(advect_points)
     for i, flow in process_sequence(frames, config, warm_start=warm_start):
-        pts, alive = step(flow, pts, alive)
+        pts, alive = _advect_jit(flow, pts, alive)
         yield i, pts, alive

@@ -29,6 +29,14 @@ def make_mesh(n_devices: int | None = None, axis_name: str = "batch") -> Mesh:
     """A 1-D mesh over the first ``n_devices`` devices (default: all)."""
     devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            # Silent truncation would run at a fraction of the intended
+            # parallelism with the batch-divisibility check validating
+            # against the wrong mesh size.
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} devices are available"
+            )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis_name,))
 
@@ -62,13 +70,23 @@ def sharded_flow(
         raise ValueError(f"batch {b} not divisible by mesh axis size {n}")
     prev_s = shard_batch(prev_batch, mesh, axis_name)
     next_s = shard_batch(next_batch, mesh, axis_name)
-    return _sharded_flow_jit(config, mesh, axis_name)(prev_s, next_s)
+    return _sharded_flow_jit(config, mesh, axis_name, _interp_key())(
+        prev_s, next_s
+    )
+
+
+def _interp_key() -> bool:
+    """Interpret-mode cache-key component (see spatial._interp_key)."""
+    from cuda_optical_flow_2_tpu.kernels.lk_fused import interpret_forced
+
+    return interpret_forced()
 
 
 @functools.lru_cache(maxsize=128)
-def _sharded_flow_jit(config, mesh: Mesh, axis_name: str):
-    # Cached per (config, mesh) so one-call-per-pair serving loops reuse the
-    # traced/compiled program instead of retracing a fresh partial each call.
+def _sharded_flow_jit(config, mesh: Mesh, axis_name: str, interp: bool):
+    # Cached per (config, mesh, interpret-mode) so one-call-per-pair serving
+    # loops reuse the traced/compiled program instead of retracing a fresh
+    # partial each call.
     in_spec = NamedSharding(mesh, P(axis_name, None, None))
     out_spec = NamedSharding(mesh, P(axis_name, None, None, None))
     return jax.jit(
@@ -112,7 +130,17 @@ def chunked_flow(
     lead = prev_batch.shape[1:]
     pc = prev_batch.reshape((b // chunk, chunk) + lead)
     nc = next_batch.reshape((b // chunk, chunk) + lead)
-    out = jax.lax.map(
-        lambda pn: pyramidal_flow(pn[0], pn[1], config), (pc, nc)
-    )
+    out = _chunked_flow_jit(config, _interp_key())(pc, nc)
     return out.reshape((b,) + lead + (2,))
+
+
+@functools.lru_cache(maxsize=128)
+def _chunked_flow_jit(config, interp: bool):
+    # One cached jit wrapper per (config, interpret-mode); jit's own cache
+    # handles shape variation.  Without this every serving-loop call paid a
+    # full eager lax.map retrace of the whole pipeline.
+    return jax.jit(
+        lambda pc, nc: jax.lax.map(
+            lambda pn: pyramidal_flow(pn[0], pn[1], config), (pc, nc)
+        )
+    )

@@ -138,12 +138,15 @@ def sharded_flow_from_local(
     sh = NamedSharding(mesh, P(batch_axis, None, None))
     gp = jax.make_array_from_process_local_data(sh, local_prev, gshape)
     gn = jax.make_array_from_process_local_data(sh, local_nxt, gshape)
-    return _global_flow_jit(config, mesh, batch_axis)(gp, gn)
+    from cuda_optical_flow_2_tpu.parallel.spatial import _interp_key
+
+    return _global_flow_jit(config, mesh, batch_axis, _interp_key())(gp, gn)
 
 
 @functools.lru_cache(maxsize=128)
-def _global_flow_jit(config, mesh: Mesh, batch_axis: str):
-    # Cached per (config, mesh) so per-step multihost calls don't retrace.
+def _global_flow_jit(config, mesh: Mesh, batch_axis: str, interp: bool):
+    # Cached per (config, mesh, interpret-mode) so per-step multihost calls
+    # don't retrace (interp: see spatial._interp_key).
     from cuda_optical_flow_2_tpu.models import pyramidal_flow
 
     sh = NamedSharding(mesh, P(batch_axis, None, None))

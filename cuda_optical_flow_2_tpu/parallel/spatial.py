@@ -475,14 +475,33 @@ def spatial_pyramidal_lk(
     h, w = prev.shape[-2:]
     n = mesh.shape[axis_name]
     validate_spatial(h, w, config, n)
-    return _spatial_lk_jit(config, mesh, axis_name, n, h)(prev, nxt)
+    return _spatial_lk_jit(config, mesh, axis_name, n, h, _interp_key())(
+        prev, nxt
+    )
+
+
+def _interp_key() -> bool:
+    """Cache-key component for every lru-cached jit entry point.
+
+    OF2_PALLAS_INTERPRET is read at TRACE time inside the kernels, so an
+    executable traced while utils/debug.stage_report forces the flag would
+    otherwise stay in (orders-of-magnitude slower) interpret mode for the
+    rest of the process — and vice versa, a pre-report cache entry would
+    silently serve the report a non-interpret program.
+    """
+    from cuda_optical_flow_2_tpu.kernels.lk_fused import interpret_forced
+
+    return interpret_forced()
 
 
 @functools.lru_cache(maxsize=128)
-def _spatial_lk_jit(config: LKConfig, mesh: Mesh, axis_name: str, n: int, h: int):
-    # Cached per (config, mesh, shape) so repeated calls — e.g. one per frame
-    # pair in a serving loop — reuse the traced/compiled program instead of
-    # retracing a fresh shard_map closure every time.
+def _spatial_lk_jit(
+    config: LKConfig, mesh: Mesh, axis_name: str, n: int, h: int,
+    interp: bool,
+):
+    # Cached per (config, mesh, shape, interpret-mode) so repeated calls —
+    # e.g. one per frame pair in a serving loop — reuse the traced/compiled
+    # program instead of retracing a fresh shard_map closure every time.
     def local(prev_blk, nxt_blk):
         return _local_pipeline(prev_blk, nxt_blk, config, axis_name, n, h)
 
@@ -522,9 +541,9 @@ def grid_pyramidal_lk(
     if b % nb != 0:
         raise ValueError(f"batch {b} not divisible by {batch_axis} size {nb}")
     validate_spatial(h, w, config, ns)
-    return _grid_lk_jit(config, mesh, batch_axis, space_axis, ns, h)(
-        prev_batch, nxt_batch
-    )
+    return _grid_lk_jit(
+        config, mesh, batch_axis, space_axis, ns, h, _interp_key()
+    )(prev_batch, nxt_batch)
 
 
 @functools.lru_cache(maxsize=128)
@@ -535,6 +554,7 @@ def _grid_lk_jit(
     space_axis: str,
     ns: int,
     h: int,
+    interp: bool,
 ):
     def local(pb, nbk):
         f = lambda p, n_: _local_pipeline(p, n_, config, space_axis, ns, h)  # noqa: E731

@@ -48,6 +48,7 @@ from cuda_optical_flow_2_tpu.ops.warp import warp_bilinear_band
 from cuda_optical_flow_2_tpu.ops.window import window_sum
 from cuda_optical_flow_2_tpu.parallel.spatial import (
     _crop_rows,
+    _interp_key,
     _local_prefilter,
     _local_pyr_down,
     _local_upsample2x_flow,
@@ -285,18 +286,19 @@ def spatial_pyramidal_hs(
     h, w = prev.shape[-2:]
     n = mesh.shape[axis_name]
     validate_spatial_hs(h, w, config, n, sweep_tile)
-    return _spatial_hs_jit(config, mesh, axis_name, n, h, sweep_tile)(
-        prev, nxt
-    )
+    return _spatial_hs_jit(
+        config, mesh, axis_name, n, h, sweep_tile, _interp_key()
+    )(prev, nxt)
 
 
 @functools.lru_cache(maxsize=128)
 def _spatial_hs_jit(
     config: HSConfig, mesh: Mesh, axis_name: str, n: int, h: int,
-    sweep_tile: int,
+    sweep_tile: int, interp: bool,
 ):
-    # Cached per (config, mesh, shape) so per-frame serving calls reuse the
-    # traced/compiled program instead of retracing a fresh closure each time.
+    # Cached per (config, mesh, shape, interpret-mode) so per-frame serving
+    # calls reuse the traced/compiled program instead of retracing a fresh
+    # closure each time (interp: see spatial._interp_key).
     def local(prev_blk, nxt_blk):
         from jax import lax
 
@@ -552,12 +554,15 @@ def spatial_pyramidal_fb(
     h, w = prev.shape[-2:]
     n = mesh.shape[axis_name]
     validate_spatial_fb(h, w, config, n)
-    return _spatial_fb_jit(config, mesh, axis_name, n, h)(prev, nxt)
+    return _spatial_fb_jit(config, mesh, axis_name, n, h, _interp_key())(
+        prev, nxt
+    )
 
 
 @functools.lru_cache(maxsize=128)
 def _spatial_fb_jit(
-    config: FBConfig, mesh: Mesh, axis_name: str, n: int, h: int
+    config: FBConfig, mesh: Mesh, axis_name: str, n: int, h: int,
+    interp: bool,
 ):
     def local(prev_blk, nxt_blk):
         from jax import lax
@@ -821,14 +826,15 @@ def spatial_pyramidal_tvl1(
     h, w = prev.shape[-2:]
     n = mesh.shape[axis_name]
     validate_spatial_tvl1(h, w, config, n, iter_tile)
-    return _spatial_tvl1_jit(config, mesh, axis_name, n, h, iter_tile)(
-        prev, nxt
-    )
+    return _spatial_tvl1_jit(
+        config, mesh, axis_name, n, h, iter_tile, _interp_key()
+    )(prev, nxt)
 
 
 @functools.lru_cache(maxsize=128)
 def _spatial_tvl1_jit(
-    config, mesh: Mesh, axis_name: str, n: int, h: int, iter_tile: int
+    config, mesh: Mesh, axis_name: str, n: int, h: int, iter_tile: int,
+    interp: bool,
 ):
     def local(prev_blk, nxt_blk):
         from jax import lax

@@ -71,24 +71,19 @@ class StageDiff:
 # ---------------------------------------------------------------------------
 
 
-def _extend_band(x, lo: int, hi: int, halo: int, row_axis: int = -2,
-                 boundary: str = "zero"):
-    """Rows [lo-halo, hi+halo) of ``x``, filling beyond the image like
-    parallel.spatial.halo_exchange does at the mesh boundary (zeros for the
-    convolution stages, edge replication for clamped sampling)."""
+def _extend_band(x, lo: int, hi: int, halo: int, row_axis: int = -2):
+    """Rows [lo-halo, hi+halo) of ``x``, zero-filling beyond the image like
+    parallel.spatial.halo_exchange does at the mesh boundary (the banded
+    warp's clamped-sampling semantics come from warp_bilinear_band's
+    global-valid logic, not from the fill)."""
     h = x.shape[row_axis]
     a, b = max(lo - halo, 0), min(hi + halo, h)
     band = jax.lax.slice_in_dim(x, a, b, axis=row_axis)
     pad_top, pad_bot = a - (lo - halo), (hi + halo) - b
     if pad_top or pad_bot:
-        if boundary == "edge":
-            tops = [jax.lax.slice_in_dim(x, 0, 1, axis=row_axis)] * pad_top
-            bots = [jax.lax.slice_in_dim(x, h - 1, h, axis=row_axis)] * pad_bot
-            band = jnp.concatenate(tops + [band] + bots, axis=row_axis)
-        else:
-            pads = [(0, 0)] * x.ndim
-            pads[row_axis % x.ndim] = (pad_top, pad_bot)
-            band = jnp.pad(band, pads)
+        pads = [(0, 0)] * x.ndim
+        pads[row_axis % x.ndim] = (pad_top, pad_bot)
+        band = jnp.pad(band, pads)
     return band
 
 
@@ -100,7 +95,7 @@ def _band_bounds(h: int, n_bands: int) -> list[tuple[int, int]]:
 
 
 def banded(fn: Callable, halo: int, n_bands: int, row_axis: int = -2,
-           boundary: str = "zero", out_row_axis: int | None = None):
+           out_row_axis: int | None = None):
     """Lift ``fn(*arrays) -> array|tuple`` to run band-by-band with halos.
 
     ``fn`` must be a stencil of radius <= ``halo`` rows: each output row
@@ -116,7 +111,7 @@ def banded(fn: Callable, halo: int, n_bands: int, row_axis: int = -2,
         outs = None
         for lo, hi in _band_bounds(h, n_bands):
             bands = [
-                _extend_band(a, lo, hi, halo, row_axis, boundary)
+                _extend_band(a, lo, hi, halo, row_axis)
                 for a in arrays
             ]
             res = fn(*bands)
@@ -164,6 +159,14 @@ def _make_warp_stage(nxt_l, clamped, config, n_bands):
         if backend == "pallas":
             from cuda_optical_flow_2_tpu.kernels import warp_select
 
+            # Same gate as the production dispatcher (_pick_warp): an
+            # unsupported shape/config must SKIP the row, not abort the
+            # whole report with a Pallas launch failure on TPU.
+            if not (
+                warp_select.supported(nxt_l, config.max_displacement)
+                or _interpret()
+            ):
+                return None
             return warp_select.warp_bilinear_select(
                 nxt_l, clamped, max_displacement=config.max_displacement,
                 d_local=config.d_local, c_max=config.c_max,
@@ -295,6 +298,10 @@ def _lk_stages(prev_l, nxt_l, flow_in, config, n_bands):
         if backend == "pallas":
             from cuda_optical_flow_2_tpu.kernels import lk_fused
 
+            # supported() already passes under forced interpret; the same
+            # skip-not-crash contract as the warp/expand/window_solve rows.
+            if not lk_fused.supported(prev_l, config):
+                return None
             return lk_fused.lk_residual(
                 prev_l, nxt_w, config, interpret=_interpret()
             )
@@ -636,6 +643,10 @@ def stage_report(
         if stages is None or "flow" in stages:
             run = _flow_runner(prev, nxt, config)
             base = run(baseline)
+            if base is None:
+                # Same skip contract as the per-stage loop: e.g. the
+                # "oracle" baseline has no end-to-end flow runner.
+                return out
             base_np = np.asarray(base)
             for backend in backends:
                 got = run(backend)
@@ -658,11 +669,13 @@ def stage_report(
             # executable cached while it was forced would silently stay in
             # interpret mode.  No such executable can outlive this scope:
             # every kernel jit keys on an explicit `interpret` static arg,
-            # and the parallel/* entry points jit fresh per-call closures
-            # (re-traced each call).  The persistent jit wrappers
-            # (pyramidal_*_jit, streaming.step) are never called here — but
-            # the override IS process-global, so don't trace those from
-            # OTHER threads while a stage_report is in flight off-TPU.
+            # and the lru-cached parallel/* entry points key on
+            # interpret_forced() (spatial._interp_key) so entries traced
+            # inside this window never serve non-forced callers (and vice
+            # versa).  The persistent jit wrappers (pyramidal_*_jit,
+            # streaming.step) are never called here — but the override IS
+            # process-global, so don't trace those from OTHER threads while
+            # a stage_report is in flight off-TPU.
     return out
 
 

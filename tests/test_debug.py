@@ -113,3 +113,16 @@ def test_flow_stage_with_real_mesh():
     assert len(rep) == 1 and rep[0].stage == "flow" and rep[0].level == -1
     assert rep[0].max_abs < 1e-3, rep[0]
     assert "E2E" in str(rep[0])
+
+
+def test_flow_stage_oracle_baseline_skips_not_crashes():
+    """A baseline the flow runner can't produce (the LK 'oracle' stages have
+    no end-to-end runner) skips the flow row instead of raising on
+    np.asarray(None)."""
+    prev, nxt = _pair(64, 48)
+    cfg = of.LKConfig(levels=2, window=9, iterations=1, max_displacement=4.0)
+    rep = stage_report(
+        prev, nxt, cfg, backends=("pallas",), baseline="oracle",
+        stages=("flow",),
+    )
+    assert rep == []

@@ -586,22 +586,72 @@ def test_parallel_entry_points_cache_their_jit():
     )
     hs = HSConfig(levels=2, iterations=4, use_pallas=False, max_displacement=2)
 
-    assert batching._sharded_flow_jit(cfg, mesh, "batch") is (
-        batching._sharded_flow_jit(cfg, mesh, "batch")
+    assert batching._sharded_flow_jit(cfg, mesh, "batch", False) is (
+        batching._sharded_flow_jit(cfg, mesh, "batch", False)
     )
-    assert multihost._global_flow_jit(cfg, mesh, "batch") is (
-        multihost._global_flow_jit(cfg, mesh, "batch")
+    assert multihost._global_flow_jit(cfg, mesh, "batch", False) is (
+        multihost._global_flow_jit(cfg, mesh, "batch", False)
     )
-    assert spatial._spatial_lk_jit(cfg, smesh, "space", 2, 32) is (
-        spatial._spatial_lk_jit(cfg, smesh, "space", 2, 32)
+    assert spatial._spatial_lk_jit(cfg, smesh, "space", 2, 32, False) is (
+        spatial._spatial_lk_jit(cfg, smesh, "space", 2, 32, False)
     )
-    assert sm._spatial_hs_jit(hs, smesh, "space", 2, 32, 4) is (
-        sm._spatial_hs_jit(hs, smesh, "space", 2, 32, 4)
+    assert sm._spatial_hs_jit(hs, smesh, "space", 2, 32, 4, False) is (
+        sm._spatial_hs_jit(hs, smesh, "space", 2, 32, 4, False)
     )
     # a different config is a different program
     cfg2 = of.LKConfig(
         levels=1, window=9, max_displacement=2.0, use_pallas=False
     )
-    assert batching._sharded_flow_jit(cfg2, mesh, "batch") is not (
-        batching._sharded_flow_jit(cfg, mesh, "batch")
+    assert batching._sharded_flow_jit(cfg2, mesh, "batch", False) is not (
+        batching._sharded_flow_jit(cfg, mesh, "batch", False)
     )
+
+
+def test_make_mesh_rejects_overrequest():
+    """Requesting more devices than exist must error, not silently truncate
+    (the batch-divisibility check would validate against the wrong n)."""
+    with pytest.raises(ValueError, match="devices"):
+        parallel.make_mesh(n_devices=len(jax.devices()) + 1)
+
+
+def test_interpret_mode_is_part_of_cached_jit_keys(monkeypatch):
+    """The lru-cached parallel entry points key on OF2_PALLAS_INTERPRET:
+    an executable traced inside utils/debug.stage_report's forced-interpret
+    window must not serve later non-forced callers (nor vice versa)."""
+    from cuda_optical_flow_2_tpu.parallel import spatial
+
+    p, n = _smooth_pair(256, 48, dx=2, dy=1)
+    mesh = parallel.make_mesh(axis_name="space")
+    cfg = of.LKConfig(levels=2, window=9, iterations=1,
+                      max_displacement=4.0, use_pallas=True)
+    monkeypatch.setenv("OF2_PALLAS_INTERPRET", "1")
+    flow_i = parallel.spatial_pyramidal_lk(p, n, cfg, mesh)
+    key_i = spatial._spatial_lk_jit.cache_info().currsize
+    # flipping the env var for identical (config, mesh, shape) must MISS
+    monkeypatch.delenv("OF2_PALLAS_INTERPRET")
+    before = spatial._spatial_lk_jit.cache_info()
+    _ = spatial._spatial_lk_jit(cfg, mesh, "space", 8, 256, False)
+    after = spatial._spatial_lk_jit.cache_info()
+    assert after.currsize == before.currsize + 1
+    assert key_i >= 1
+    # and re-forcing hits the original interpret-mode entry
+    monkeypatch.setenv("OF2_PALLAS_INTERPRET", "1")
+    flow_i2 = parallel.spatial_pyramidal_lk(p, n, cfg, mesh)
+    np.testing.assert_array_equal(np.asarray(flow_i), np.asarray(flow_i2))
+
+
+def test_chunked_flow_reuses_jit(monkeypatch):
+    """chunked_flow caches its jitted program per (config, interpret-mode)
+    instead of paying a full eager lax.map retrace every call."""
+    from cuda_optical_flow_2_tpu.parallel import batching
+
+    prev, nxt = _smooth_pair(64, 48, dx=2, dy=1)
+    pb = jnp.stack([prev, prev])
+    nb = jnp.stack([nxt, nxt])
+    cfg = of.LKConfig(levels=2, window=9, use_pallas=False)
+    batching._chunked_flow_jit.cache_clear()
+    parallel.chunked_flow(pb, nb, cfg, chunk=1)
+    info1 = batching._chunked_flow_jit.cache_info()
+    parallel.chunked_flow(pb, nb, cfg, chunk=1)
+    info2 = batching._chunked_flow_jit.cache_info()
+    assert info2.hits == info1.hits + 1 and info2.currsize == info1.currsize
