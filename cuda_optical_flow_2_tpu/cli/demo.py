@@ -152,6 +152,12 @@ def main(argv=None) -> None:
         "imshow window); works for unbounded streams (constant memory)",
     )
     ap.add_argument(
+        "--track", type=int, default=0, metavar="N",
+        help="track an NxN grid of points through the stream (sparse "
+        "pyramidal-LK tracker role) and write tracks####.png trajectory "
+        "overlays to --out",
+    )
+    ap.add_argument(
         "--viz-max-flow", type=float, default=None, metavar="PX",
         help="fixed |flow| mapped to full color saturation in the PNG/video "
         "renders; default normalizes per frame, which flickers across a "
@@ -251,6 +257,13 @@ def main(argv=None) -> None:
 
         backward_flow = jax.jit(functools.partial(pyramidal_flow, config=cfg))
 
+    track_pts = track_alive = None
+    track_hist: "deque[np.ndarray]" = None
+    if args.track:
+        from collections import deque
+
+        track_hist = deque(maxlen=24)  # bounded trail on unbounded streams
+
     vx, vy = args.velocity
     t0 = time.perf_counter()
     count = 0
@@ -309,6 +322,34 @@ def main(argv=None) -> None:
                     )
                 if args.debug_gradients:
                     _dump_gradients(cur, prv, min(args.levels, 3), args.out, i)
+            if args.track:
+                from cuda_optical_flow_2_tpu.models import tracking
+
+                if track_pts is None:
+                    h_, w_ = flow_np.shape[:2]
+                    gy, gx = np.mgrid[1 : args.track + 1, 1 : args.track + 1]
+                    track_pts = jnp.asarray(
+                        np.stack(
+                            [
+                                gx.ravel() * w_ / (args.track + 1),
+                                gy.ravel() * h_ / (args.track + 1),
+                            ],
+                            -1,
+                        ).astype(np.float32)
+                    )
+                track_pts, track_alive = tracking._advect_jit(
+                    flow, track_pts, track_alive
+                )
+                track_hist.append(np.asarray(track_pts))
+                if args.out:
+                    cur = frames[i] if frames is not None else recent[i]
+                    viz.write_png(
+                        os.path.join(args.out, f"tracks{i:04d}.png"),
+                        viz.draw_tracks(
+                            cur.astype(np.uint8), track_hist,
+                            np.asarray(track_alive),
+                        ),
+                    )
     finally:
         if video is not None:
             video.close()

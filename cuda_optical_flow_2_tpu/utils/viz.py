@@ -161,6 +161,51 @@ def draw_flow_arrows(
     return canvas
 
 
+def draw_tracks(
+    image: np.ndarray,
+    history,
+    alive: np.ndarray | None = None,
+    color=(0, 255, 0),
+    dot=(255, 255, 0),
+) -> np.ndarray:
+    """Trajectory overlay: polylines through each point's position history.
+
+    ``history`` is a sequence of (N, 2) ``(x, y)`` arrays, oldest first (the
+    successive outputs of ``models.advect_points`` / ``track_sequence``);
+    ``alive`` masks out dead points (the sparse tracker's status).  The
+    newest position gets a 3x3 dot — the temporal counterpart of the
+    reference's per-frame arrow overlay (visualizeFlowField, main.cu:114-174).
+    """
+    if image.ndim == 2:
+        canvas = np.repeat(image[..., None], 3, axis=-1).astype(np.uint8).copy()
+    else:
+        canvas = image.astype(np.uint8).copy()
+    hist = [np.asarray(p) for p in history]
+    if not hist:
+        return canvas
+    h, w = canvas.shape[:2]
+    n = hist[-1].shape[0]
+    live = (
+        np.ones(n, bool) if alive is None else np.asarray(alive).astype(bool)
+    )
+    for k in range(n):
+        if not live[k]:
+            continue
+        for a, b in zip(hist[:-1], hist[1:]):
+            x0, y0 = a[k]
+            x1, y1 = b[k]
+            if not np.all(np.isfinite([x0, y0, x1, y1])):
+                continue
+            _draw_line(
+                canvas, int(round(y0)), int(round(x0)),
+                int(round(y1)), int(round(x1)), color,
+            )
+        x, y = hist[-1][k]
+        yi, xi = int(round(y)), int(round(x))
+        canvas[max(yi - 1, 0) : yi + 2, max(xi - 1, 0) : xi + 2] = dot
+    return canvas
+
+
 def write_png(path: str, img: np.ndarray) -> None:
     """Write (H, W) gray or (H, W, 3) RGB uint8 to a PNG file (no deps)."""
     img = np.asarray(img)

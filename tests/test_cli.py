@@ -169,3 +169,22 @@ def test_demo_tvl1_model(capsys):
     epes = [float(l.rsplit(":", 1)[1]) for l in text.splitlines() if "EPE" in l]
     assert len(epes) == 2
     assert all(e < 0.8 for e in epes), epes
+
+
+def test_demo_track_overlays(tmp_path, capsys):
+    """--track N seeds an NxN grid and writes trajectory overlays whose
+    tracked points actually moved by the synthetic velocity."""
+    from cuda_optical_flow_2_tpu.cli import demo
+    from cuda_optical_flow_2_tpu.utils.io import read_image
+
+    out = str(tmp_path / "trk")
+    demo.main([
+        "--synthetic", "4", "--size", "64x80", "--levels", "2", "--window", "9",
+        "--no-pallas", "--out", out, "--track", "3",
+    ])
+    files = sorted(f for f in os.listdir(out) if f.startswith("tracks"))
+    assert files == ["tracks0001.png", "tracks0002.png", "tracks0003.png"]
+    img = read_image(os.path.join(out, files[-1]))
+    assert img.shape == (64, 80, 3)
+    # the overlay drew something non-grayscale (trail + dots)
+    assert (img[..., 1].astype(int) != img[..., 0].astype(int)).any()

@@ -110,3 +110,25 @@ def test_track_points_validates_shape():
     with pytest.raises(ValueError, match="points"):
         list(track_points([np.zeros((32, 32))] * 2,
                           np.zeros((3,), np.float32), CFG))
+
+
+def test_draw_tracks_overlay():
+    """draw_tracks renders trails/dots in-bounds and skips dead points."""
+    from cuda_optical_flow_2_tpu.utils.viz import draw_tracks
+
+    img = np.full((32, 40), 128, np.uint8)
+    hist = [
+        np.asarray([[5.0, 5.0], [30.0, 20.0]], np.float32),
+        np.asarray([[10.0, 10.0], [35.0, 25.0]], np.float32),
+    ]
+    out = draw_tracks(img, hist, alive=np.asarray([True, False]))
+    assert out.shape == (32, 40, 3)
+    # live point: green trail pixel somewhere on the segment + yellow dot
+    assert tuple(out[7, 7]) == (0, 255, 0)
+    assert tuple(out[10, 10]) == (255, 255, 0)
+    # dead point: untouched along its would-be trail
+    assert tuple(out[22, 32]) == (128, 128, 128)
+    # empty history is the identity canvas
+    np.testing.assert_array_equal(
+        draw_tracks(img, [])[..., 0], img
+    )
