@@ -12,6 +12,7 @@ EXAMPLES = [
     "flow_quality",
     "gradient_alignment",
     "frame_interpolation",
+    "learned_refinement",
 ]
 
 
