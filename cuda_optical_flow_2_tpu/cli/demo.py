@@ -264,6 +264,15 @@ def main(argv=None) -> None:
 
         track_hist = deque(maxlen=24)  # bounded trail on unbounded streams
 
+    # Flow-color rendering runs ON DEVICE (viz.flow_to_color_device): the
+    # NumPy pass costs seconds per 1080p frame on a weak host CPU and would
+    # cap the live view; the kernel is ~0.4 ms and the host fetches 3 B/px
+    # of uint8 RGB instead of running the colorize in the frame loop.
+    import jax as _jax
+
+    _render = _jax.jit(viz.flow_to_color_device, static_argnums=(1,))
+    render = lambda fl: np.asarray(_render(fl, args.viz_max_flow))  # noqa: E731
+
     vx, vy = args.velocity
     t0 = time.perf_counter()
     count = 0
@@ -286,9 +295,7 @@ def main(argv=None) -> None:
                 msg += f"  EPE vs ({ex}, {ey}): {epe:.3f}"
             print(msg, flush=True)
             if video is not None:
-                video.write(
-                    viz.flow_to_color(flow_np, max_flow=args.viz_max_flow)
-                )
+                video.write(render(flow))
             if args.out:
                 cur = frames[i] if frames is not None else recent[i]
                 prv = (
@@ -297,8 +304,7 @@ def main(argv=None) -> None:
                     else recent[max(k for k in recent if k < i)]
                 )
                 viz.write_png(
-                    os.path.join(args.out, f"flow{i:04d}.png"),
-                    viz.flow_to_color(flow_np, max_flow=args.viz_max_flow),
+                    os.path.join(args.out, f"flow{i:04d}.png"), render(flow)
                 )
                 if args.flo:
                     io.write_flo(

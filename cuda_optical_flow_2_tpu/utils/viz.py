@@ -21,7 +21,9 @@ import numpy as np
 
 __all__ = [
     "flow_to_color",
+    "flow_to_color_device",
     "draw_flow_arrows",
+    "draw_tracks",
     "cleanup_outliers",
     "write_png",
 ]
@@ -90,6 +92,75 @@ def flow_to_color(flow: np.ndarray, max_flow: float | None = None) -> np.ndarray
         col[bad] = 0.0
         out[..., c] = np.floor(255.0 * col).astype(np.uint8)
     return out
+
+
+def flow_to_color_device(flow, max_flow: float | None = None):
+    """Device-side twin of :func:`flow_to_color`: (H, W, 2) jax flow ->
+    (H, W, 3) uint8 jax RGB, jittable.
+
+    The live-view serving path renders on device and fetches 3 bytes/px of
+    RGB instead of 8 bytes/px of float32 flow plus a host-side NumPy pass —
+    the colorize leaves the Python loop entirely.  A 55-entry wheel LOOKUP
+    would be a per-pixel gather (docs/PERF.md finding 1: ~8.5 ns/element,
+    ~35 ms/1080p for the two taps), so the wheel is computed arithmetically:
+    each RGB channel is a floor-quantized piecewise-linear function of the
+    wheel index, exactly the construction in ``_make_color_wheel`` — pure
+    VPU selects and floors.  Output matches the NumPy reference within +-1
+    intensity level (float32 vs float64 rounding at floor boundaries).
+    """
+    import jax.numpy as jnp
+
+    flow = jnp.asarray(flow)
+    u, v = flow[..., 0], flow[..., 1]
+    bad = ~(jnp.isfinite(u) & jnp.isfinite(v))
+    u = jnp.where(bad, 0.0, u).astype(jnp.float32)
+    v = jnp.where(bad, 0.0, v).astype(jnp.float32)
+    mag = jnp.hypot(u, v)
+    if max_flow is None:
+        mf = jnp.maximum(mag.max(), 1e-6)
+    elif not np.isfinite(max_flow) or max_flow <= 0:
+        raise ValueError(
+            f"max_flow must be a positive finite scale, got {max_flow}"
+        )
+    else:
+        mf = jnp.float32(max_flow)
+    u, v = u / mf, v / mf
+    mag = jnp.minimum(mag / mf, 1.0)
+    ncols = _WHEEL.shape[0]
+    angle = jnp.arctan2(-v, -u) / np.pi
+    fk = (angle + 1.0) / 2.0 * (ncols - 1)
+    k0 = jnp.floor(fk)
+    f = fk - k0
+    k0 = k0 % ncols
+    k1 = (k0 + 1) % ncols
+
+    # _make_color_wheel arithmetically: segment lengths RY/YG/GC/CB/BM/MR =
+    # 15/6/4/11/13/6, channel = floor(255 * ramp)/255 per segment.
+    def wheel(k):
+        def ramp_up(k0_, n):
+            return jnp.floor(255.0 * (k - k0_) / n)
+
+        r = jnp.select(
+            [k < 15, k < 21, k < 25, k < 36, k < 49],
+            [255.0, 255.0 - ramp_up(15, 6), 0.0, 0.0, ramp_up(36, 13)],
+            255.0,
+        )
+        g = jnp.select(
+            [k < 15, k < 21, k < 25, k < 36],
+            [ramp_up(0, 15), 255.0, 255.0, 255.0 - ramp_up(25, 11)],
+            0.0,
+        )
+        b = jnp.select(
+            [k < 21, k < 25, k < 36, k < 49],
+            [0.0, ramp_up(21, 4), 255.0, 255.0],
+            255.0 - ramp_up(49, 6),
+        )
+        return jnp.stack([r, g, b], -1) / 255.0
+
+    col = (1.0 - f)[..., None] * wheel(k0) + f[..., None] * wheel(k1)
+    col = 1.0 - mag[..., None] * (1.0 - col)
+    col = jnp.where(bad[..., None], 0.0, col)
+    return jnp.floor(255.0 * col).astype(jnp.uint8)
 
 
 def cleanup_outliers(src: np.ndarray) -> np.ndarray:

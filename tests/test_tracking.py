@@ -132,3 +132,24 @@ def test_draw_tracks_overlay():
     np.testing.assert_array_equal(
         draw_tracks(img, [])[..., 0], img
     )
+
+
+def test_flow_to_color_device_matches_numpy():
+    """The device colorizer (arithmetic wheel, no gather) matches the NumPy
+    reference within one intensity level, incl. non-finite handling and both
+    normalization modes."""
+    from cuda_optical_flow_2_tpu.utils.viz import (
+        flow_to_color,
+        flow_to_color_device,
+    )
+
+    rng = np.random.default_rng(0)
+    flow = rng.normal(0, 3, (48, 64, 2)).astype(np.float32)
+    flow[5, 5] = (np.nan, 1.0)
+    flow[10, 10] = (np.inf, -2.0)
+    for mf in (None, 4.0):
+        a = flow_to_color(flow, max_flow=mf).astype(int)
+        b = np.asarray(flow_to_color_device(flow, max_flow=mf)).astype(int)
+        assert np.abs(a - b).max() <= 1
+    with pytest.raises(ValueError, match="max_flow"):
+        flow_to_color_device(flow, max_flow=-1.0)
