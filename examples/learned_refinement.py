@@ -74,9 +74,9 @@ def features(prev, nxt, coarse):
 def main():
     rng = np.random.default_rng(3)
     # Data is free (synthesized with exact truth), so generalization comes
-    # from set size, not regularization tricks: 64 pairs is plenty for a
-    # 3-conv head.
-    train = [make_pair(rng) for _ in range(64)]
+    # from set size, not regularization tricks: 32 pairs is plenty for a
+    # 3-conv head (8 overfits).
+    train = [make_pair(rng) for _ in range(32)]
     test = [make_pair(rng) for _ in range(4)]
 
     coarse_jit = jax.jit(functools.partial(of.pyramidal_lk, config=CFG))
@@ -112,7 +112,7 @@ def main():
         return optax.apply_updates(params, updates), opt_state, loss
 
     base_te = float(epe(te_coarse, te_truth))
-    for step in range(400):
+    for step in range(250):
         params, opt_state, loss = train_step(params, opt_state)
         if step % 100 == 0:
             print(f"step {step:4d}  train EPE {float(loss):.4f}")
