@@ -624,6 +624,9 @@ def test_interpret_mode_is_part_of_cached_jit_keys(monkeypatch):
     mesh = parallel.make_mesh(axis_name="space")
     cfg = of.LKConfig(levels=2, window=9, iterations=1,
                       max_displacement=4.0, use_pallas=True)
+    # other tests share this (config, mesh, shape); isolate the cache so the
+    # hit/miss assertions below are deterministic under the full suite
+    spatial._spatial_lk_jit.cache_clear()
     monkeypatch.setenv("OF2_PALLAS_INTERPRET", "1")
     flow_i = parallel.spatial_pyramidal_lk(p, n, cfg, mesh)
     key_i = spatial._spatial_lk_jit.cache_info().currsize
