@@ -16,6 +16,7 @@ from cuda_optical_flow_2_tpu.models.lucas_kanade import (
 )
 from cuda_optical_flow_2_tpu.models.confidence import (
     confidence_mask,
+    good_features,
     min_eigenvalue,
 )
 from cuda_optical_flow_2_tpu.models.consistency import (
@@ -72,6 +73,7 @@ __all__ = [
     "fb_consistency",
     "occlusion_mask",
     "confidence_mask",
+    "good_features",
     "min_eigenvalue",
     "lk_level",
     "pyramidal_lk",
