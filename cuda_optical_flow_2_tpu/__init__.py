@@ -24,11 +24,14 @@ from cuda_optical_flow_2_tpu.config import (
     REFERENCE_GPU,
 )
 from cuda_optical_flow_2_tpu.models import (
+    DIS_REALTIME,
+    DISConfig,
     FBConfig,
     HSConfig,
     TVL1_REALTIME,
     TVL1Config,
     process_sequence,
+    pyramidal_dis,
     pyramidal_farneback,
     pyramidal_flow,
     pyramidal_hs,
@@ -51,6 +54,8 @@ __all__ = [
     "FBConfig",
     "TVL1Config",
     "TVL1_REALTIME",
+    "DISConfig",
+    "DIS_REALTIME",
     "REFERENCE_CPU",
     "REFERENCE_GPU",
     "PAPER_1080P",
@@ -61,6 +66,7 @@ __all__ = [
     "pyramidal_hs",
     "pyramidal_farneback",
     "pyramidal_tvl1",
+    "pyramidal_dis",
     "process_sequence",
     "lk_level",
     "compose_flow_pyramid",

@@ -114,6 +114,14 @@ def _model_cfg(model: str, lk_cfg, no_pallas: bool):
             winsize=lk_cfg.window if lk_cfg.window % 2 else lk_cfg.window + 1,
             use_pallas=use_pallas,
         )
+    if model == "dis":
+        from cuda_optical_flow_2_tpu.models.dis import DISConfig
+
+        return DISConfig(
+            levels=lk_cfg.levels,
+            window=lk_cfg.window if lk_cfg.window % 2 else lk_cfg.window + 1,
+            use_pallas=use_pallas,
+        )
     return of.LKConfig(**{**lk_cfg.__dict__, "use_pallas": use_pallas})
 
 
@@ -123,7 +131,7 @@ def main(argv=None) -> None:
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--no-pallas", action="store_true")
     ap.add_argument(
-        "--model", default="lk", choices=("lk", "hs", "fb", "tvl1"),
+        "--model", default="lk", choices=("lk", "hs", "fb", "tvl1", "dis"),
         help="model family to run the configs with (pyramid depth and window "
         "carry over; HS uses its default 100 sweeps)",
     )

@@ -97,10 +97,11 @@ def main(argv=None) -> None:
         help="synthetic ground-truth velocity (vx vy) px/frame",
     )
     ap.add_argument(
-        "--model", default="lk", choices=("lk", "hs", "fb", "tvl1"),
+        "--model", default="lk", choices=("lk", "hs", "fb", "tvl1", "dis"),
         help="flow model: pyramidal Lucas-Kanade (reference pipeline), "
         "Horn-Schunck (global variational), Farneback (polynomial "
-        "expansion) or TV-L1 (robust primal-dual) — extensions beyond lk",
+        "expansion), TV-L1 (robust primal-dual) or DIS (mean-normalized "
+        "inverse search + variational refinement) — extensions beyond lk",
     )
     ap.add_argument("--levels", type=int, default=4)
     ap.add_argument("--window", type=int, default=19)
@@ -208,6 +209,16 @@ def main(argv=None) -> None:
             levels=args.levels,
             iterations=args.iterations if args.iterations is not None else 30,
             median_filtering=args.median,
+            prefilter=prefilter,
+            use_pallas=not args.no_pallas,
+        )
+    elif args.model == "dis":
+        from cuda_optical_flow_2_tpu.models.dis import DISConfig
+
+        cfg = DISConfig(
+            levels=args.levels,
+            window=args.window if args.window % 2 else args.window + 1,
+            iterations=args.iterations if args.iterations is not None else 2,
             prefilter=prefilter,
             use_pallas=not args.no_pallas,
         )

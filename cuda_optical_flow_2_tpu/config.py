@@ -32,8 +32,9 @@ class LKConfig:
       levels: pyramid depth (level k is the base image floor-halved k times).
       window: odd integration-window side for the structure-tensor sums.
       iterations: refinement iterations per level (the reference runs 1).
-      temporal_kernel: "dt3" (GPU path, unnormalized Dt_3x3) or "gauss3"
-        (CPU path, binomial smoothing of both frames).
+      temporal_kernel: "dt3" (GPU path, unnormalized Dt_3x3), "gauss3"
+        (CPU path, binomial smoothing of both frames), or "delta" (direct
+        frame difference, no smoothing — the DIS family's default).
       warp_mode: "bilinear" | "nearest" | "none" — coarse-to-fine backward warp.
         The reference's warp intent is nearest (OptFlowCPU.cpp:241-282);
         production default is bilinear (BASELINE config 3).
@@ -99,7 +100,7 @@ class LKConfig:
             raise ValueError(f"unknown warp_mode {self.warp_mode!r}")
         if self.d_local < 1:
             raise ValueError(f"d_local must be >= 1, got {self.d_local}")
-        if self.temporal_kernel not in ("dt3", "gauss3"):
+        if self.temporal_kernel not in ("dt3", "gauss3", "delta"):
             raise ValueError(f"unknown temporal_kernel {self.temporal_kernel!r}")
         if self.window_method not in ("sep_conv", "cumsum", "reduce_window"):
             raise ValueError(f"unknown window_method {self.window_method!r}")

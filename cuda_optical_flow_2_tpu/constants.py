@@ -21,6 +21,7 @@ __all__ = [
     "DY_3X3",
     "DT_3X3",
     "DT_3X3_N",
+    "DELTA_3X3",
     "DX_2X2",
     "DY_2X2",
     "DZ_2X2",
@@ -58,6 +59,15 @@ DY_3X3 = np.array(
 
 # Temporal smoothing mask, unnormalized (sum = 15) (reference: kernels.cpp:20-24).
 DT_3X3 = np.array([[1.0, 2.0, 1.0], [2.0, 3.0, 2.0], [1.0, 2.0, 1.0]], dtype=_f32)
+
+# Identity "temporal smoothing": It is the direct frame difference (no
+# neighborhood blur).  Not in the reference's mask set (kernels.cpp applies
+# Dt_3x3 or the Gaussian); used by the DIS-style family, whose
+# mean-normalized data term does its own per-window centering and wants the
+# raw residual (Kroeger et al. 2016 use the direct patch difference).
+DELTA_3X3 = np.array(
+    [[0.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 0.0]], dtype=_f32
+)
 
 # Normalized temporal mask used by the debug visualizer (reference: kernels.cpp:25-28).
 DT_3X3_N = np.array(
@@ -126,6 +136,7 @@ MASKS = {
     "sobel_y": DY_3X3,
     "dt3": DT_3X3,
     "dt3_n": DT_3X3_N,
+    "delta": DELTA_3X3,
     "gauss3": GAUS_KERNEL_3X3,
     "gauss5": GAUS_KERNEL_5X5,
     "dx5": DX_5X5,

@@ -81,11 +81,7 @@ def _hs_kernel(
     row0_ref,
     p_ref,
     n_ref,
-    u_ref,
-    v_ref,
-    uo_ref,
-    vo_ref,
-    *,
+    *refs,
     tile_h: int,
     halo_y: int,
     halo_x: int,
@@ -94,7 +90,12 @@ def _hs_kernel(
     k: int,
     alpha2: float,
     temporal_mask,
+    with_offset: bool = False,
 ):
+    if with_offset:
+        off_ref, u_ref, v_ref, uo_ref, vo_ref = refs
+    else:
+        u_ref, v_ref, uo_ref, vo_ref = refs
     p = p_ref[0]
     n = n_ref[0]
     u = u_ref[0]
@@ -104,6 +105,12 @@ def _hs_kernel(
     ix = _stencil3(p, MASKS["sobel_x"] * (1.0 / SOBEL_GAIN))
     iy = _stencil3(p, MASKS["sobel_y"] * (1.0 / SOBEL_GAIN))
     it = _stencil3(n - p, temporal_mask)
+    if with_offset:
+        # Linearization offset (models/dis._refine): relaxing the TOTAL flow
+        # w around a warp at w0 needs the data residual
+        # ix*u + iy*v + (it_warped - ix*u0 - iy*v0); the caller passes the
+        # -(ix*u0 + iy*v0) plane here.
+        it = it + off_ref[0]
     inv_denom = 1.0 / (jnp.float32(alpha2) + ix * ix + iy * iy)
 
     i = pl.program_id(1)
@@ -160,18 +167,24 @@ def hs_relax(
     alpha: float,
     temporal_kernel: str,
     interpret: bool = False,
+    it_offset: jax.Array | None = None,
 ) -> jax.Array:
     """``iterations`` Jacobi sweeps of Horn-Schunck on (..., H, W) frames.
 
     Drop-in replacement for the scan in models/horn_schunck.hs_level (same
     gradients, same neighbor average, same zero-pad boundary); returns
     (..., H, W, 2) float32.
+
+    ``it_offset`` (optional, (..., H, W)) is added to the temporal gradient
+    before relaxing — the linearization term for refining a TOTAL flow
+    around a warp point (models/dis._refine passes -(ix*u0 + iy*v0), with
+    ``flow_init`` the total flow and ``nxt`` the warped frame).
     """
     h = prev.shape[-2]
     return _relax_impl(
         prev, nxt, flow_init, jnp.zeros((1,), jnp.int32), h,
         iterations=iterations, alpha=alpha, temporal_kernel=temporal_kernel,
-        interpret=interpret,
+        interpret=interpret, it_offset=it_offset,
     )
 
 
@@ -187,6 +200,7 @@ def hs_relax_band(
     temporal_kernel: str,
     interpret: bool = False,
     vma: tuple[str, ...] = (),
+    it_offset: jax.Array | None = None,
 ) -> jax.Array:
     """ONE chunk of ``sweeps`` Jacobi sweeps on a row BAND of an
     ``h_global``-row image.
@@ -210,7 +224,7 @@ def hs_relax_band(
     return _relax_impl(
         prev, nxt, flow_init, row0_arr, h_global,
         iterations=sweeps, alpha=alpha, temporal_kernel=temporal_kernel,
-        interpret=interpret, vma=vma,
+        interpret=interpret, vma=vma, it_offset=it_offset,
     )
 
 
@@ -233,6 +247,7 @@ def _relax_impl(
     temporal_kernel: str,
     interpret: bool,
     vma: tuple[str, ...] = (),
+    it_offset: jax.Array | None = None,
 ) -> jax.Array:
     lead = prev.shape[:-2]
     h, w = prev.shape[-2:]
@@ -257,6 +272,11 @@ def _relax_impl(
     pad = ((0, 0), (halo_y, hp - h - halo_y), (halo_x, wp - w - halo_x))
     xp = jnp.pad(x, pad)
     yp = jnp.pad(y, pad)
+    offp = None
+    if it_offset is not None:
+        offp = jnp.pad(
+            it_offset.reshape((-1, h, w)).astype(jnp.float32), pad
+        )
     if flow_init is None:
         u = jnp.zeros((b, hp, wp), jnp.float32)
         v = u
@@ -291,21 +311,23 @@ def _relax_impl(
             k=sweeps,
             alpha2=alpha * alpha,
             temporal_mask=tmask,
+            with_offset=offp is not None,
         )
         shape = jax.ShapeDtypeStruct(
             (b, ht * tile_h, wp), jnp.float32, vma=frozenset(vma)
         )
+        extra = [] if offp is None else [offp]
         uo, vo = pl.pallas_call(
             kernel,
             grid=(b, ht),
-            in_specs=[smem_spec, in_spec, in_spec, in_spec, in_spec],
+            in_specs=[smem_spec] + [in_spec] * (4 + len(extra)),
             out_specs=(out_spec, out_spec),
             out_shape=(shape, shape),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024
             ),
             interpret=interpret,
-        )(row0_arr, xp, yp, u, v)
+        )(row0_arr, xp, yp, *extra, u, v)
         # The kernel zeroes everything outside the image, so re-padding the
         # halo rows with zeros reproduces the carried boundary exactly.
         return jnp.pad(uo, row_repad), jnp.pad(vo, row_repad)

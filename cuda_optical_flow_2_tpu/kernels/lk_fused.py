@@ -145,6 +145,7 @@ def _lk_kernel(
     sobel_scale: float,
     temporal_mask: np.ndarray,
     det_eps: float,
+    centered: bool,
 ):
     # Input blocks are (1, G, WP) — Mosaic requires every dim of an
     # Element-indexed BlockSpec to be an Element, so the batch dim is a
@@ -192,11 +193,45 @@ def _lk_kernel(
     sum_ixit = win(ix * it)
     sum_iyit = win(iy * it)
 
+    if centered:
+        # Mean-normalized (DIS-style) normal equations: replace every raw
+        # product sum with the centered one, S_ab - S_a S_b / n, n = the
+        # window's in-image pixel count (ops/window.
+        # centered_structure_tensor_sums is the XLA twin).
+        sum_ix2, sum_iy2, sum_ixiy, sum_ixit, sum_iyit = _center_sums(
+            win, inside, ix, iy, it,
+            sum_ix2, sum_iy2, sum_ixiy, sum_ixit, sum_iyit,
+        )
+
     u, v = _solve2x2(
         sum_ix2, sum_iy2, sum_ixiy, sum_ixit, sum_iyit, det_eps
     )
     u_ref[:] = u
     v_ref[:] = v
+
+
+def _center_sums(
+    win, inside, ix, iy, it,
+    sum_ix2, sum_iy2, sum_ixiy, sum_ixit, sum_iyit,
+):
+    """Center the five window sums in VMEM (shared with lk_step_fused).
+
+    Four extra box sums (S_ix, S_iy, S_it and the in-image count) turn the
+    raw product sums into per-window covariances — the Gauss-Newton normal
+    equations of the mean-subtracted residual.
+    """
+    ones = jnp.where(inside, jnp.ones_like(ix), jnp.zeros_like(ix))
+    s_ix = win(ix)
+    s_iy = win(iy)
+    s_it = win(it)
+    inv_n = 1.0 / jnp.maximum(win(ones), 1.0)
+    return (
+        sum_ix2 - s_ix * s_ix * inv_n,
+        sum_iy2 - s_iy * s_iy * inv_n,
+        sum_ixiy - s_ix * s_iy * inv_n,
+        sum_ixit - s_ix * s_it * inv_n,
+        sum_iyit - s_iy * s_it * inv_n,
+    )
 
 
 def _solve2x2(sum_ix2, sum_iy2, sum_ixiy, sum_ixit, sum_iyit, det_eps: float):
@@ -235,17 +270,22 @@ def _pick_tile_h(h: int, wp: int, halo_y: int) -> int:
     return 8
 
 
-@functools.partial(jax.jit, static_argnames=("config", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("config", "interpret", "centered")
+)
 def lk_residual(
     prev: jax.Array,
     nxt: jax.Array,
     config: LKConfig,
     interpret: bool = False,
+    centered: bool = False,
 ) -> jax.Array:
     """Residual flow between prev and (already warped) next — fused TPU path.
 
     Drop-in replacement for the XLA composition in
     models/lucas_kanade._lk_residual_xla; returns (..., H, W, 2) float32.
+    ``centered=True`` mean-normalizes the window sums (the DIS-style,
+    illumination-offset-invariant data term — models/dis.py).
     """
     lead = prev.shape[:-2]
     h, w = prev.shape[-2:]
@@ -284,6 +324,7 @@ def lk_residual(
         sobel_scale=sobel_scale,
         temporal_mask=tmask,
         det_eps=config.det_eps,
+        centered=centered,
     )
     in_spec = pl.BlockSpec(
         (pl.Element(1), pl.Element(g), pl.Element(wp)),

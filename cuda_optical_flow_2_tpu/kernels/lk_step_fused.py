@@ -39,6 +39,7 @@ from cuda_optical_flow_2_tpu.constants import MASKS
 from cuda_optical_flow_2_tpu.kernels import select_core
 from cuda_optical_flow_2_tpu.kernels.lk_fused import (
     _box_sum,
+    _center_sums,
     _round_up,
     _solve2x2,
     _stencil3,
@@ -85,6 +86,7 @@ def _kernel(
     sobel_scale: float,
     temporal_mask: np.ndarray,
     det_eps: float,
+    centered: bool,
 ):
     # prev tile: (tile_h + 2*halo_p, wp); next tile: (tile_h + 2*halo_n, wp);
     # flow tiles: (tile_h + 2*rw, wp) — the warped band needs rw extra rows
@@ -160,6 +162,15 @@ def _kernel(
     sum_ixit = win(ix * it)
     sum_iyit = win(iy * it)
 
+    if centered:
+        # DIS-style mean normalization (see lk_fused._center_sums): the
+        # window count uses `inside` (in-GLOBAL-image pixels) — matching the
+        # XLA twin, whose gradients are zero only outside the image.
+        sum_ix2, sum_iy2, sum_ixiy, sum_ixit, sum_iyit = _center_sums(
+            win, inside, ix, iy, it,
+            sum_ix2, sum_iy2, sum_ixiy, sum_ixit, sum_iyit,
+        )
+
     res_u, res_v = _solve2x2(
         sum_ix2, sum_iy2, sum_ixiy, sum_ixit, sum_iyit, det_eps
     )
@@ -174,27 +185,34 @@ def _kernel(
     vo_ref[:, :] = v_b[rw : rw + tile_h, :] + res_v
 
 
-@functools.partial(jax.jit, static_argnames=("config", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("config", "interpret", "centered")
+)
 def lk_level_step(
     prev: jax.Array,
     nxt: jax.Array,
     flow: jax.Array,
     config: LKConfig,
     interpret: bool = False,
+    centered: bool = False,
 ) -> jax.Array:
     """One warp + solve + update iteration of an LK level, fully fused.
 
     Args: prev/nxt (..., H, W) float32, flow (..., H, W, 2).
+    ``centered=True`` mean-normalizes the window sums in-kernel (the
+    DIS-style data term, models/dis.py).
     Returns the updated flow (..., H, W, 2).
     """
     h = prev.shape[-2]
     return _step_impl(
-        prev, nxt, flow, jnp.zeros((1,), jnp.int32), h, config, interpret
+        prev, nxt, flow, jnp.zeros((1,), jnp.int32), h, config, interpret,
+        centered=centered,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("config", "h_global", "interpret", "vma")
+    jax.jit,
+    static_argnames=("config", "h_global", "interpret", "vma", "centered"),
 )
 def lk_band_step(
     prev: jax.Array,
@@ -205,6 +223,7 @@ def lk_band_step(
     h_global: int,
     interpret: bool = False,
     vma: tuple[str, ...] = (),
+    centered: bool = False,
 ) -> jax.Array:
     """Fused LK iteration on a row BAND of a larger (h_global-row) image.
 
@@ -224,7 +243,8 @@ def lk_band_step(
     """
     row0_arr = jnp.reshape(jnp.asarray(row0, jnp.int32), (1,))
     return _step_impl(
-        prev, nxt, flow, row0_arr, h_global, config, interpret, vma
+        prev, nxt, flow, row0_arr, h_global, config, interpret, vma,
+        centered=centered,
     )
 
 
@@ -237,6 +257,7 @@ def _step_impl(
     config: LKConfig,
     interpret: bool,
     vma: tuple[str, ...] = (),
+    centered: bool = False,
 ) -> jax.Array:
     lead = prev.shape[:-2]
     h, w = prev.shape[-2:]
@@ -316,6 +337,7 @@ def _step_impl(
         sobel_scale=sobel_scale,
         temporal_mask=tmask,
         det_eps=config.det_eps,
+        centered=centered,
     )
 
     def espec(gy):

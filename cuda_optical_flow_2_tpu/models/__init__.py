@@ -29,6 +29,11 @@ from cuda_optical_flow_2_tpu.models.tvl1 import (
     TVL1Config,
     pyramidal_tvl1,
 )
+from cuda_optical_flow_2_tpu.models.dis import (
+    DIS_REALTIME,
+    DISConfig,
+    pyramidal_dis,
+)
 from cuda_optical_flow_2_tpu.models.streaming import (
     FlowState,
     init_state,
@@ -48,8 +53,8 @@ def pyramidal_flow(prev, nxt, config):
 
     ``LKConfig`` -> :func:`pyramidal_lk`, ``HSConfig`` -> :func:`pyramidal_hs`,
     ``FBConfig`` -> :func:`pyramidal_farneback`, ``TVL1Config`` ->
-    :func:`pyramidal_tvl1`.  The model-generic entry the streaming and
-    parallel layers build on.
+    :func:`pyramidal_tvl1`, ``DISConfig`` -> :func:`pyramidal_dis`.  The
+    model-generic entry the streaming and parallel layers build on.
     """
     if isinstance(config, HSConfig):
         return pyramidal_hs(prev, nxt, config)
@@ -57,13 +62,16 @@ def pyramidal_flow(prev, nxt, config):
         return pyramidal_farneback(prev, nxt, config)
     if isinstance(config, TVL1Config):
         return pyramidal_tvl1(prev, nxt, config)
+    if isinstance(config, DISConfig):
+        return pyramidal_dis(prev, nxt, config)
     if isinstance(config, LKConfig):
         return pyramidal_lk(prev, nxt, config)
     # Explicit rejection: a duck-typed or stale (module-reloaded) config
     # must not silently run the wrong model or die deep inside LK.
     raise TypeError(
-        f"config must be an LKConfig / HSConfig / FBConfig / TVL1Config "
-        f"instance; got {type(config).__module__}.{type(config).__qualname__}"
+        f"config must be an LKConfig / HSConfig / FBConfig / TVL1Config / "
+        f"DISConfig instance; got "
+        f"{type(config).__module__}.{type(config).__qualname__}"
     )
 
 
@@ -96,4 +104,7 @@ __all__ = [
     "TVL1_REALTIME",
     "TVL1Config",
     "pyramidal_tvl1",
+    "DIS_REALTIME",
+    "DISConfig",
+    "pyramidal_dis",
 ]

@@ -40,6 +40,11 @@ from cuda_optical_flow_2_tpu.models.tvl1 import (
     tvl1_coarse_to_fine,
     tvl1_preprocess,
 )
+from cuda_optical_flow_2_tpu.models.dis import (
+    DISConfig,
+    dis_coarse_to_fine,
+    dis_preprocess,
+)
 from cuda_optical_flow_2_tpu.ops.resize import downsample_flow
 
 __all__ = ["FlowState", "init_state", "step", "process_sequence"]
@@ -47,13 +52,15 @@ __all__ = ["FlowState", "init_state", "step", "process_sequence"]
 
 def _preprocess(frame: jax.Array, config) -> list[jax.Array]:
     """Model-generic preprocess: dispatches on the config type
-    (LK/HS/FB/TVL1)."""
+    (LK/HS/FB/TVL1/DIS)."""
     if isinstance(config, HSConfig):
         return hs_preprocess(frame, config)
     if isinstance(config, FBConfig):
         return fb_preprocess(frame, config)
     if isinstance(config, TVL1Config):
         return tvl1_preprocess(frame, config)
+    if isinstance(config, DISConfig):
+        return dis_preprocess(frame, config)
     return preprocess(frame, config)
 
 
@@ -69,6 +76,8 @@ def _flow(
         return fb_coarse_to_fine(prev_pyr, next_pyr, config, init_flow)
     if isinstance(config, TVL1Config):
         return tvl1_coarse_to_fine(prev_pyr, next_pyr, config, init_flow)
+    if isinstance(config, DISConfig):
+        return dis_coarse_to_fine(prev_pyr, next_pyr, config, init_flow)
     return coarse_to_fine(prev_pyr, next_pyr, config, init_flow)[0]
 
 
@@ -127,7 +136,7 @@ def process_sequence(frames, config, warm_start: bool = False):
             for i, flow in process_sequence((f for _, f in src), cfg):
                 ...
     ``config`` selects the model family (LKConfig / HSConfig / FBConfig /
-    TVL1Config).  Host->device transfer happens once per frame at this
+    TVL1Config / DISConfig).  Host->device transfer happens once per frame at this
     boundary — the reference crosses PCIe ~24 times per level per frame
     (SURVEY.md section 3.1) — and in the frame's NATIVE dtype: a uint8
     source (PNG/Y4M/native stream) ships 1 byte/px over the host link and

@@ -25,7 +25,11 @@ from jax import lax
 
 from cuda_optical_flow_2_tpu.ops.conv import sep_conv2d
 
-__all__ = ["window_sum", "structure_tensor_sums"]
+__all__ = [
+    "window_sum",
+    "structure_tensor_sums",
+    "centered_structure_tensor_sums",
+]
 
 
 def _window_sum_cumsum(x: jax.Array, window: int) -> jax.Array:
@@ -94,3 +98,43 @@ def structure_tensor_sums(
     prods = jnp.stack([ix * ix, iy * iy, ix * iy, ix * it, iy * it])
     sums = window_sum(prods, window, method)
     return sums[0], sums[1], sums[2], sums[3], sums[4]
+
+
+def centered_structure_tensor_sums(
+    ix: jax.Array,
+    iy: jax.Array,
+    it: jax.Array,
+    window: int,
+    method: str = "sep_conv",
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Mean-normalized ("centered") LK normal-equation sums.
+
+    The DIS-style data term (Kroeger et al. 2016, §3 "mean-normalized sum of
+    squared differences") subtracts each window's intensity mean from both
+    the template and the warped patch, which cancels additive illumination
+    changes between frames.  The Gauss-Newton normal equations of that
+    residual replace every raw product sum with the centered one:
+
+        Σ_W (a - ā)(b - b̄)  =  S_ab - S_a · S_b / n
+
+    where ``n`` is the number of in-image pixels in the window (windows are
+    zero-padded outside the image like :func:`window_sum`, so border windows
+    center over their real pixels only).  The centered Hessian is a
+    covariance matrix — positive semi-definite, so the usual ``det`` guard
+    semantics carry over.
+
+    Returns (sum_ix2, sum_iy2, sum_ixiy, sum_ixit, sum_iyit), centered —
+    drop-in for :func:`structure_tensor_sums` ahead of the 2x2 solve.
+    """
+    ones = jnp.ones_like(ix)
+    planes = jnp.stack(
+        [ix * ix, iy * iy, ix * iy, ix * it, iy * it, ix, iy, it, ones]
+    )
+    s = window_sum(planes, window, method)
+    inv_n = 1.0 / jnp.maximum(s[8], 1.0)
+    g11 = s[0] - s[5] * s[5] * inv_n
+    g22 = s[1] - s[6] * s[6] * inv_n
+    g12 = s[2] - s[5] * s[6] * inv_n
+    b1 = s[3] - s[5] * s[7] * inv_n
+    b2 = s[4] - s[6] * s[7] * inv_n
+    return g11, g22, g12, b1, b2

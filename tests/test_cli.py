@@ -171,6 +171,19 @@ def test_demo_tvl1_model(capsys):
     assert all(e < 0.8 for e in epes), epes
 
 
+def test_demo_dis_model(capsys):
+    from cuda_optical_flow_2_tpu.cli import demo
+
+    demo.main([
+        "--synthetic", "3", "--size", "64x80", "--levels", "2",
+        "--model", "dis", "--window", "9", "--no-pallas",
+    ])
+    text = capsys.readouterr().out
+    epes = [float(l.rsplit(":", 1)[1]) for l in text.splitlines() if "EPE" in l]
+    assert len(epes) == 2
+    assert all(e < 0.8 for e in epes), epes
+
+
 def test_demo_track_overlays(tmp_path, capsys):
     """--track N seeds an NxN grid and writes trajectory overlays whose
     tracked points actually moved by the synthetic velocity."""

@@ -174,9 +174,13 @@ def test_sharded_flow_model_generic():
     n = jnp.asarray(nxt[..., 0].astype(np.float32))
     pb, nb = jnp.stack([p] * 8), jnp.stack([n] * 8)
     mesh = parallel.make_mesh()
+    from cuda_optical_flow_2_tpu.models import dis
+
     for cfg in (
         hs.HSConfig(levels=2, iterations=20, use_pallas=False),
         fb.FBConfig(levels=2, iterations=2, use_pallas=False),
+        dis.DISConfig(levels=2, iterations=1, refine_iterations=2,
+                      use_pallas=False),
     ):
         flow = parallel.sharded_flow(pb, nb, cfg, mesh)
         assert flow.shape == (8, 64, 64, 2)
