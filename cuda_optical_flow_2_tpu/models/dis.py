@@ -52,13 +52,16 @@ import jax.numpy as jnp
 from jax import lax
 
 from cuda_optical_flow_2_tpu.config import BilateralConfig, LKConfig
+from cuda_optical_flow_2_tpu.constants import MASKS
 from cuda_optical_flow_2_tpu.models.horn_schunck import _avg3x3
 from cuda_optical_flow_2_tpu.models.lucas_kanade import (
     _interpret_forced,
     _pick_warp,
     _validate,
 )
+from cuda_optical_flow_2_tpu.ops.conv import stencil2d
 from cuda_optical_flow_2_tpu.ops.gradients import (
+    SOBEL_GAIN,
     spatial_gradients,
     temporal_gradient,
 )
@@ -244,15 +247,21 @@ def _refine(
     warp, _ = _pick_warp(nxt, lk_like)
     warped = warp(nxt, flow)
 
-    ix, iy = spatial_gradients(prev, normalize=True)
+    # Everything feeding the Pallas relaxation uses layout-safe forms:
+    # shift-form stencils instead of lax.conv and the cumsum window backend
+    # instead of sep_conv.  A conv whose output layout is pinned by the
+    # downstream Pallas call switches XLA to a ~13x slower emitter plus a
+    # relayout (docs/PERF.md finding 2) — measured 174 ms -> ~2 ms for this
+    # function at 1080p.
+    sscale = 1.0 / SOBEL_GAIN
+    ix = stencil2d(prev, MASKS["sobel_x"] * sscale)
+    iy = stencil2d(prev, MASKS["sobel_y"] * sscale)
     off = -(ix * flow[..., 0] + iy * flow[..., 1])
     if config.mean_normalize:
-        it_w = temporal_gradient(
-            prev, warped, config.temporal_kernel, normalize=True
-        )
-        counts = window_sum(jnp.ones_like(it_w), config.window,
-                            config.window_method)
-        off = off - window_sum(it_w, config.window, config.window_method) / (
+        tmask = MASKS[config.temporal_kernel]
+        it_w = stencil2d(warped - prev, tmask / tmask.sum())
+        counts = window_sum(jnp.ones_like(it_w), config.window, "cumsum")
+        off = off - window_sum(it_w, config.window, "cumsum") / (
             jnp.maximum(counts, 1.0)
         )
 
@@ -271,10 +280,8 @@ def _refine(
                 it_offset=off,
             )
 
-    it = (
-        temporal_gradient(prev, warped, config.temporal_kernel, normalize=True)
-        + off
-    )
+    tmask = MASKS[config.temporal_kernel]
+    it = stencil2d(warped - prev, tmask / tmask.sum()) + off
     denom = config.refine_alpha**2 + ix * ix + iy * iy
 
     def sweep(uv, _):

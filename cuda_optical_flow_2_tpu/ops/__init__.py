@@ -8,7 +8,7 @@ reference's per-op host<->device round trips exist.  The Pallas kernels in
 """
 
 from cuda_optical_flow_2_tpu.ops.color import grayscale, grayscale_u8
-from cuda_optical_flow_2_tpu.ops.conv import conv2d, sep_conv2d
+from cuda_optical_flow_2_tpu.ops.conv import conv2d, sep_conv2d, stencil2d
 from cuda_optical_flow_2_tpu.ops.pyramid import build_pyramid, pyr_down
 from cuda_optical_flow_2_tpu.ops.gradients import spatial_gradients, temporal_gradient
 from cuda_optical_flow_2_tpu.ops.window import structure_tensor_sums, window_sum
@@ -24,6 +24,7 @@ __all__ = [
     "grayscale_u8",
     "conv2d",
     "sep_conv2d",
+    "stencil2d",
     "build_pyramid",
     "pyr_down",
     "spatial_gradients",

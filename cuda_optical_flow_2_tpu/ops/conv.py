@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["conv2d", "sep_conv2d"]
+__all__ = ["conv2d", "sep_conv2d", "stencil2d"]
 
 
 def _as_batched(x: jax.Array) -> tuple[jax.Array, tuple[int, ...]]:
@@ -89,3 +89,42 @@ def sep_conv2d(x: jax.Array, col, row, *, dtype=None) -> jax.Array:
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
     )
     return out[:, 0].reshape(lead + x.shape[-2:])
+
+
+def stencil2d(x: jax.Array, mask, *, dtype=None) -> jax.Array:
+    """Shift-form zero-padded 2-D correlation (layout-safe conv2d twin).
+
+    Same semantics as :func:`conv2d` (correlation, zero pad, same shape)
+    computed as a sum of statically shifted copies — pad + slice + FMA per
+    nonzero tap — instead of ``lax.conv_general_dilated``.
+
+    Why it exists (docs/PERF.md finding 2): a TPU convolution whose output
+    layout is pinned by a downstream custom call (a Pallas kernel) silently
+    switches XLA to an emitter ~13x slower, and the relayout alone costs tens
+    of milliseconds at 1080p.  Shifted slices fuse into plain elementwise VPU
+    code with no layout constraints: measured 31.1 ms (conv2d feeding the
+    Pallas relaxation) vs 0.20 ms (this form) for a 3x3 Sobel at 1080p.
+    Use this for small masks on paths whose output feeds a Pallas kernel;
+    ``conv2d`` remains the general XLA path.
+    """
+    mask = np.asarray(mask)
+    if mask.ndim != 2:
+        raise ValueError(f"mask must be 2-D, got shape {mask.shape}")
+    if dtype is None:
+        dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+    kh, kw = mask.shape
+    ph_t, ph_b = kh // 2, (kh - 1) // 2
+    pw_l, pw_r = kw // 2, (kw - 1) // 2
+    x = x.astype(dtype)
+    h, w = x.shape[-2:]
+    pad = [(0, 0)] * (x.ndim - 2) + [(ph_t, ph_b), (pw_l, pw_r)]
+    xp = jnp.pad(x, pad)
+    out = jnp.zeros_like(x)
+    for i in range(kh):
+        for j in range(kw):
+            tap = float(mask[i, j])
+            if tap == 0.0:
+                continue
+            sl = xp[..., i : i + h, j : j + w]
+            out = out + tap * sl
+    return out

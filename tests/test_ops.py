@@ -37,6 +37,19 @@ def test_conv2d_matches_naive(img):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_stencil2d_matches_conv2d(img, rng):
+    """Shift-form correlation (layout-safe twin, PERF finding 2) == conv2d,
+    including even mask sides (asymmetric pad) and batched inputs."""
+    for mask in (DX_3X3, GAUS_KERNEL_3X3, rng.normal(0, 1, (2, 4)).astype(np.float32)):
+        got = np.asarray(ops.stencil2d(jnp.asarray(img), mask))
+        want = np.asarray(ops.conv2d(jnp.asarray(img), mask))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    batch = np.stack([img, img * -3.0])
+    got = np.asarray(ops.stencil2d(jnp.asarray(batch), DX_3X3))
+    want = np.asarray(ops.conv2d(jnp.asarray(batch), DX_3X3))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def test_conv2d_batched(img):
     batch = np.stack([img, img * 2.0])
     got = np.asarray(ops.conv2d(jnp.asarray(batch), GAUS_KERNEL_3X3))
