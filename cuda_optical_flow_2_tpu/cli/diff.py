@@ -20,7 +20,9 @@ import numpy as np
 
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
-    ap.add_argument("--model", choices=("lk", "hs", "fb", "tvl1"), default="lk")
+    ap.add_argument(
+        "--model", choices=("lk", "hs", "fb", "tvl1", "dis"), default="lk"
+    )
     ap.add_argument("--size", default="256x64", help="HxW for synthetic input")
     ap.add_argument("--velocity", type=float, nargs=2, default=(2.0, 1.0))
     ap.add_argument(
@@ -92,6 +94,16 @@ def main(argv=None) -> None:
 
         it = args.iterations if args.iterations is not None else 15
         cfg = TVL1Config(levels=args.levels, iterations=it)
+    elif args.model == "dis":
+        from cuda_optical_flow_2_tpu.models.dis import DISConfig
+
+        if args.window % 2 == 0:
+            ap.error(f"--window must be odd, got {args.window}")
+        cfg = DISConfig(
+            levels=args.levels,
+            window=args.window,
+            iterations=args.iterations if args.iterations is not None else 2,
+        )
     else:
         import cuda_optical_flow_2_tpu as of
 

@@ -106,6 +106,7 @@ def centered_structure_tensor_sums(
     it: jax.Array,
     window: int,
     method: str = "sep_conv",
+    valid: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Mean-normalized ("centered") LK normal-equation sums.
 
@@ -123,10 +124,16 @@ def centered_structure_tensor_sums(
     covariance matrix — positive semi-definite, so the usual ``det`` guard
     semantics carry over.
 
+    ``valid`` (optional, same shape) marks the pixels the count plane may
+    include — the spatial-TP band path passes the in-GLOBAL-image mask so a
+    shard's zero halo rows (whose gradients are zeroed but which lie inside
+    the band) don't inflate ``n`` (the fused kernels' ``inside`` mask is the
+    same correction in VMEM).
+
     Returns (sum_ix2, sum_iy2, sum_ixiy, sum_ixit, sum_iyit), centered —
     drop-in for :func:`structure_tensor_sums` ahead of the 2x2 solve.
     """
-    ones = jnp.ones_like(ix)
+    ones = jnp.ones_like(ix) if valid is None else valid.astype(ix.dtype)
     planes = jnp.stack(
         [ix * ix, iy * iy, ix * iy, ix * it, iy * it, ix, iy, it, ones]
     )

@@ -28,6 +28,7 @@ from cuda_optical_flow_2_tpu.parallel.multihost import (
     make_global_mesh,
 )
 from cuda_optical_flow_2_tpu.parallel.spatial_models import (
+    spatial_pyramidal_dis,
     spatial_pyramidal_fb,
     spatial_pyramidal_hs,
     spatial_pyramidal_tvl1,
@@ -44,6 +45,7 @@ __all__ = [
     "spatial_pyramidal_lk",
     "spatial_pyramidal_hs",
     "spatial_pyramidal_fb",
+    "spatial_pyramidal_dis",
     "spatial_pyramidal_tvl1",
     "validate_spatial",
     "make_global_mesh",

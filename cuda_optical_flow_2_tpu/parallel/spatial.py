@@ -53,7 +53,10 @@ from cuda_optical_flow_2_tpu.ops.gradients import spatial_gradients, temporal_gr
 from cuda_optical_flow_2_tpu.ops.pyramid import pyr_down
 from cuda_optical_flow_2_tpu.ops.resize import _up2x_axis
 from cuda_optical_flow_2_tpu.ops.warp import warp_bilinear_band
-from cuda_optical_flow_2_tpu.ops.window import structure_tensor_sums
+from cuda_optical_flow_2_tpu.ops.window import (
+    centered_structure_tensor_sums,
+    structure_tensor_sums,
+)
 
 __all__ = [
     "halo_exchange",
@@ -213,6 +216,7 @@ def _banded_residual(
     row0_pad,
     h_global: int,
     config: LKConfig,
+    centered: bool = False,
 ) -> jax.Array:
     """LK residual on a padded row band, exact vs the global computation.
 
@@ -230,7 +234,17 @@ def _banded_residual(
     ix = _zero_outside_global(ix, row0_pad, h_global)
     iy = _zero_outside_global(iy, row0_pad, h_global)
     it = _zero_outside_global(it, row0_pad, h_global)
-    sums = structure_tensor_sums(ix, iy, it, config.window, config.window_method)
+    if centered:
+        # DIS mean normalization: the count plane must cover in-GLOBAL-image
+        # pixels only, exactly like the fused kernels' `inside` mask.
+        valid = _zero_outside_global(jnp.ones_like(ix), row0_pad, h_global)
+        sums = centered_structure_tensor_sums(
+            ix, iy, it, config.window, config.window_method, valid=valid
+        )
+    else:
+        sums = structure_tensor_sums(
+            ix, iy, it, config.window, config.window_method
+        )
     return solve_flow(sums, config)
 
 
@@ -248,6 +262,7 @@ def _local_lk_level(
     axis_name: str,
     n: int,
     h_global: int,
+    centered: bool = False,
 ):
     """One pyramid level on a row shard, with per-iteration halo exchange.
 
@@ -282,7 +297,7 @@ def _local_lk_level(
         if lk_step_fused.supported(prev, config):
             return _local_lk_level_fused(
                 prev, nxt, flow, config, axis_name, n, h_global,
-                row0, r_grad, r_img, interp,
+                row0, r_grad, r_img, interp, centered,
             )
 
     prev_p = halo_exchange(prev, r_grad, r_grad, axis_name, n)
@@ -291,7 +306,9 @@ def _local_lk_level(
     def residual_nowarp():
         nxt_p = halo_exchange(nxt, r_grad, r_grad, axis_name, n)
         return _crop_rows(
-            _banded_residual(prev_p, nxt_p, row0 - r_grad, h_global, config),
+            _banded_residual(
+                prev_p, nxt_p, row0 - r_grad, h_global, config, centered
+            ),
             r_grad,
             -3,
         )
@@ -312,7 +329,9 @@ def _local_lk_level(
         warped = warp_bilinear_band(
             nxt_p, flow_p, row0 - r_img, row0 - r_grad, h_global
         )
-        res = _banded_residual(prev_p, warped, row0 - r_grad, h_global, config)
+        res = _banded_residual(
+            prev_p, warped, row0 - r_grad, h_global, config, centered
+        )
         flow = flow + _crop_rows(res, r_grad, -3)
     return flow
 
@@ -329,6 +348,7 @@ def _local_lk_level_fused(
     r_grad: int,
     r_img: int,
     interpret: bool,
+    centered: bool = False,
 ):
     """Fused-Pallas shard-local LK level: halo-exchange, then ONE kernel
     per iteration on the extended band (kernels/lk_step_fused.lk_band_step).
@@ -355,7 +375,7 @@ def _local_lk_level_fused(
         flow_p = halo_exchange(flow_b, halo, halo, axis_name, n, row_axis=-3)
         out = lk_step_fused.lk_band_step(
             prev_p, nxt_p, flow_p, row0 - halo, config, h_global,
-            interpret=interpret, vma=(axis_name,),
+            interpret=interpret, vma=(axis_name,), centered=centered,
         )
         return _crop_rows(out, halo, -3)
 

@@ -1,7 +1,7 @@
-"""Spatial (tensor-parallel) sharding for the HS and FB model families.
+"""Spatial (tensor-parallel) sharding for the HS/FB/TV-L1/DIS families.
 
 Extends parallel/spatial.py's row-sharded machinery (ppermute halo exchange
-under shard_map) from Lucas-Kanade to the other two families, so any model
+under shard_map) from Lucas-Kanade to the other families, so any model
 in the framework can run one frame pair across a mesh:
 
 * **Horn-Schunck**: gradients on an exchanged band, then time-tiled Jacobi
@@ -26,6 +26,7 @@ fix in ops/warp.warp_bilinear_band).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import math
 
@@ -33,13 +34,19 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
+from cuda_optical_flow_2_tpu.constants import MASKS
+from cuda_optical_flow_2_tpu.models.dis import DISConfig
+from cuda_optical_flow_2_tpu.models.dis import _lk_like as dis_lk_like
 from cuda_optical_flow_2_tpu.models.farneback import (
     FBConfig,
     fb_normal_eq_products,
     solve_normal_eqs,
 )
+from cuda_optical_flow_2_tpu.config import LKConfig
 from cuda_optical_flow_2_tpu.models.horn_schunck import HSConfig, _avg3x3
+from cuda_optical_flow_2_tpu.ops.conv import stencil2d
 from cuda_optical_flow_2_tpu.ops.gradients import (
+    SOBEL_GAIN,
     spatial_gradients,
     temporal_gradient,
 )
@@ -48,6 +55,8 @@ from cuda_optical_flow_2_tpu.ops.warp import warp_bilinear_band
 from cuda_optical_flow_2_tpu.ops.window import window_sum
 from cuda_optical_flow_2_tpu.parallel.spatial import (
     _crop_rows,
+    _fused_enabled,
+    _local_lk_level,
     _interp_key,
     _local_prefilter,
     _local_pyr_down,
@@ -63,9 +72,11 @@ __all__ = [
     "spatial_pyramidal_hs",
     "spatial_pyramidal_fb",
     "spatial_pyramidal_tvl1",
+    "spatial_pyramidal_dis",
     "validate_spatial_hs",
     "validate_spatial_fb",
     "validate_spatial_tvl1",
+    "validate_spatial_dis",
 ]
 
 
@@ -867,6 +878,246 @@ def _spatial_tvl1_jit(
             _prefilter_pallas(config)
             or _warp_pallas(config)
             or _sweep_pallas(config)
+        ),
+    )
+    return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
+# DIS (mean-normalized inverse search + variational refinement)
+# ---------------------------------------------------------------------------
+
+
+def _dis_lk_like(config: DISConfig) -> "LKConfig":
+    """LKConfig view of a DISConfig with the search iteration count folded
+    in, so spatial._local_lk_level runs the whole per-level search loop."""
+    return dataclasses.replace(
+        dis_lk_like(config), iterations=config.iterations
+    )
+
+
+def _local_dis_refine(
+    prev: jax.Array,
+    nxt: jax.Array,
+    flow: jax.Array,
+    config: DISConfig,
+    axis_name: str,
+    n: int,
+    row0,
+    h_global: int,
+    sweep_tile: int,
+) -> jax.Array:
+    """Variational refinement on a row shard (models/dis._refine's TP twin).
+
+    The linearization offset ``-(ix*u0 + iy*v0) - win_mean(it_warped)`` is
+    computed once on an ``rp``-extended band (``rp = rg + window//2 + 1``
+    rows: the relax halo ``rg = k + 2`` plus the mean-normalization window
+    and temporal-stencil margins), with gradients zeroed outside the GLOBAL
+    image and the count plane restricted to in-global rows — exactly the
+    unsharded centering.  Then ``k``-sweep chunks relax the total flow per
+    halo exchange: time-tiled Pallas band kernel (hs_relax_band +
+    ``it_offset``) when enabled, the XLA Jacobi loop as its twin.
+    Layout rule (docs/PERF.md DIS section): every plane feeding the Pallas
+    kernel comes from shift-form stencils / cumsum window sums, never
+    lax.conv.
+    """
+    if config.refine_iterations <= 0:
+        return flow
+    lk_like = _dis_lk_like(config)
+    pallas_sweep = _sweep_pallas(config)
+    if pallas_sweep:
+        from cuda_optical_flow_2_tpu.kernels import hs_sweep
+
+        k = min(sweep_tile, config.refine_iterations, hs_sweep.MAX_SWEEPS)
+    else:
+        k = min(sweep_tile, config.refine_iterations)
+    rg = k + 2
+    m = (config.window // 2 + 1) if config.mean_normalize else 1
+    rp = rg + m
+
+    flow_c = jnp.clip(flow, -config.max_displacement, config.max_displacement)
+    warped_p = _band_warp(
+        nxt, flow_c, lk_like, axis_name, n, row0, h_global, rp
+    )
+    prev_p = halo_exchange(prev, rp, rp, axis_name, n)
+    flow_p = halo_exchange(flow_c, rp, rp, axis_name, n, row_axis=-3)
+
+    sscale = 1.0 / SOBEL_GAIN
+    ix = stencil2d(prev_p, MASKS["sobel_x"] * sscale)
+    iy = stencil2d(prev_p, MASKS["sobel_y"] * sscale)
+    ix = _zero_outside_global(ix, row0 - rp, h_global)
+    iy = _zero_outside_global(iy, row0 - rp, h_global)
+    off = -(ix * flow_p[..., 0] + iy * flow_p[..., 1])
+    tmask = MASKS[config.temporal_kernel]
+    it_w = stencil2d(warped_p - prev_p, tmask / tmask.sum())
+    it_w = _zero_outside_global(it_w, row0 - rp, h_global)
+    if config.mean_normalize:
+        valid = _zero_outside_global(
+            jnp.ones_like(it_w), row0 - rp, h_global
+        )
+        counts = window_sum(valid, config.window, "cumsum")
+        off = off - window_sum(it_w, config.window, "cumsum") / jnp.maximum(
+            counts, 1.0
+        )
+    off = _zero_outside_global(off, row0 - rp, h_global)
+
+    uv = flow_c
+    n_chunks = -(-config.refine_iterations // k)
+    sweeps_left = config.refine_iterations
+
+    if pallas_sweep:
+        from cuda_optical_flow_2_tpu.kernels import hs_sweep, lk_fused
+
+        c = rp - rg
+        prev_b = _crop_rows(prev_p, c)
+        warped_b = _crop_rows(warped_p, c)
+        off_b = _crop_rows(off, c)
+        for _ in range(n_chunks):
+            s = min(k, sweeps_left)
+            sweeps_left -= s
+            uv_p = halo_exchange(uv, rg, rg, axis_name, n, row_axis=-3)
+            uv_p = hs_sweep.hs_relax_band(
+                prev_b, warped_b, uv_p, row0 - rg, h_global,
+                sweeps=s, alpha=config.refine_alpha,
+                temporal_kernel=config.temporal_kernel,
+                interpret=lk_fused.interpret_forced(), vma=(axis_name,),
+                it_offset=off_b,
+            )
+            uv = _crop_rows(uv_p, rg, -3)
+        return uv
+
+    # XLA twin: k-halo gradient bands, data term constant across sweeps.
+    ck = rp - k
+    ixk = _crop_rows(ix, ck)
+    iyk = _crop_rows(iy, ck)
+    itk = _crop_rows(it_w, ck) + _crop_rows(off, ck)
+    denom = config.refine_alpha**2 + ixk * ixk + iyk * iyk
+    for _ in range(n_chunks):
+        s = min(k, sweeps_left)
+        sweeps_left -= s
+        uv_p = halo_exchange(uv, k, k, axis_name, n, row_axis=-3)
+        for _ in range(s):
+            u_bar = _avg3x3(uv_p[..., 0])
+            v_bar = _avg3x3(uv_p[..., 1])
+            rate = (ixk * u_bar + iyk * v_bar + itk) / denom
+            uv_p = jnp.stack(
+                [u_bar - ixk * rate, v_bar - iyk * rate], axis=-1
+            )
+            uv_p = _zero_outside_global(uv_p, row0 - k, h_global, row_axis=-3)
+        uv = _crop_rows(uv_p, k, -3)
+    return uv
+
+
+def _local_dis_level(
+    prev, nxt, flow, config: DISConfig, axis_name, n, row0, h_global,
+    sweep_tile,
+):
+    """One DIS pyramid level on a row shard: centered inverse-search steps
+    (spatial._local_lk_level with ``centered=mean_normalize`` — the fused
+    band kernel's centered mode / the centered banded residual) followed by
+    the banded variational refinement."""
+    flow = _local_lk_level(
+        prev, nxt, flow, _dis_lk_like(config), axis_name, n, h_global,
+        centered=config.mean_normalize,
+    )
+    return _local_dis_refine(
+        prev, nxt, flow, config, axis_name, n, row0, h_global, sweep_tile
+    )
+
+
+def validate_spatial_dis(
+    h: int, w: int, config: DISConfig, n: int, sweep_tile: int = 8
+) -> None:
+    validate_prefilter_shards(h, n, config, w)
+    _validate_pallas_band_width(w, config, "DIS")
+    top = config.levels - 1
+    if h % (n << top) or (top and w % (1 << top)):
+        raise ValueError(
+            f"spatial DIS needs H divisible by n_shards * 2^(levels-1) "
+            f"= {n << top} and W by {1 << top}; got {h}x{w}"
+        )
+    r_grad = config.window // 2 + 2
+    d = int(math.ceil(config.max_displacement))
+    r_img = r_grad + d + 2
+    r_refine = 0
+    if config.refine_iterations > 0:
+        k = min(sweep_tile, config.refine_iterations)
+        m = (config.window // 2 + 1) if config.mean_normalize else 1
+        # the refine warp exchanges rp + d + 2 rows in one hop
+        r_refine = (k + 2 + m) + d + 2
+    for lvl in range(config.finest_level, config.levels):
+        warps = lvl < top or config.iterations > 1
+        hk = (h >> lvl) // n
+        need = max(r_img if warps else r_grad, r_refine, 2)
+        if hk < need:
+            raise ValueError(
+                f"DIS level {lvl} holds {hk} rows/shard but its halos need "
+                f"{need}; reduce levels, window, refine sweeps, "
+                f"max_displacement or shards"
+            )
+
+
+def spatial_pyramidal_dis(
+    prev: jax.Array,
+    nxt: jax.Array,
+    config: DISConfig,
+    mesh: Mesh,
+    axis_name: str = "space",
+    sweep_tile: int = 8,
+) -> jax.Array:
+    """Pyramidal DIS for ONE pair, rows sharded over ``mesh``.
+
+    ``sweep_tile`` refinement sweeps run per halo exchange.  Levels below
+    ``config.finest_level`` are never solved; the flow upsamples the rest of
+    the way shard-locally (the unsharded finest-scale knob).
+    """
+    h, w = prev.shape[-2:]
+    n = mesh.shape[axis_name]
+    validate_spatial_dis(h, w, config, n, sweep_tile)
+    return _spatial_dis_jit(
+        config, mesh, axis_name, n, h, sweep_tile, _interp_key()
+    )(prev, nxt)
+
+
+@functools.lru_cache(maxsize=128)
+def _spatial_dis_jit(
+    config: DISConfig, mesh: Mesh, axis_name: str, n: int, h: int,
+    sweep_tile: int, interp: bool,
+):
+    def local(prev_blk, nxt_blk):
+        from jax import lax
+
+        if config.prefilter is not None:
+            prev_blk = _local_prefilter(prev_blk, config, axis_name, n, h)
+            nxt_blk = _local_prefilter(nxt_blk, config, axis_name, n, h)
+        prev_pyr, next_pyr = [prev_blk], [nxt_blk]
+        for _ in range(1, config.levels):
+            prev_pyr.append(_local_pyr_down(prev_pyr[-1], axis_name, n))
+            next_pyr.append(_local_pyr_down(next_pyr[-1], axis_name, n))
+        flow = None
+        for k in range(config.levels - 1, config.finest_level - 1, -1):
+            p, nx = prev_pyr[k], next_pyr[k]
+            hloc = p.shape[-2]
+            row0 = lax.axis_index(axis_name) * hloc
+            if flow is not None:
+                flow = _local_upsample2x_flow(flow, axis_name, n)
+            flow = _local_dis_level(
+                p, nx, flow, config, axis_name, n, row0, h >> k, sweep_tile
+            )
+        for _ in range(config.finest_level):
+            flow = _local_upsample2x_flow(flow, axis_name, n)
+        return flow
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis_name, None), P(axis_name, None)),
+        out_specs=P(axis_name, None, None),
+        check_vma=not (
+            _prefilter_pallas(config)
+            or _warp_pallas(config)
+            or _sweep_pallas(config)
+            or _fused_enabled(_dis_lk_like(config))
         ),
     )
     return jax.jit(fn)

@@ -483,6 +483,40 @@ def _tvl1_stages(prev_l, nxt_l, flow_in, config, n_bands):
     return {"sweeps": sweeps}
 
 
+def _dis_stages(prev_l, nxt_l, flow_in, config, n_bands):
+    """Stage runners for DIS at one level: the mean-normalized inverse
+    search and the variational refinement are isolated on the canonical
+    clamped/warped inputs."""
+    from cuda_optical_flow_2_tpu.models.dis import _refine, dis_level
+    from cuda_optical_flow_2_tpu.ops.warp import warp_bilinear
+
+    clamped = jnp.clip(flow_in, -config.max_displacement, config.max_displacement)
+    warped = warp_bilinear(nxt_l, clamped)
+
+    def _cfg(backend):
+        return dataclasses.replace(config, use_pallas=backend == "pallas")
+
+    def search(backend):
+        if backend in ("xla", "pallas"):
+            return dis_level(
+                prev_l, warped, None,
+                dataclasses.replace(_cfg(backend), refine_iterations=0),
+            )
+        return None
+
+    def refine(backend):
+        if backend in ("xla", "pallas"):
+            return _refine(prev_l, nxt_l, clamped, _cfg(backend))
+        return None
+
+    def level(backend):
+        if backend in ("xla", "pallas"):
+            return dis_level(prev_l, nxt_l, flow_in, _cfg(backend))
+        return None
+
+    return {"search": search, "refine": refine, "level": level}
+
+
 def _flow_runner(prev, nxt, config):
     """Whole-pipeline stage ("flow"): unsharded xla/pallas + a REAL-mesh
     ``sharded`` backend (spatial TP over every available device)."""
@@ -510,6 +544,10 @@ def _flow_runner(prev, nxt, config):
                     return parallel.spatial_pyramidal_fb(prev, nxt, config, mesh)
                 if isinstance(config, tvl1.TVL1Config):
                     return parallel.spatial_pyramidal_tvl1(prev, nxt, config, mesh)
+                from cuda_optical_flow_2_tpu.models.dis import DISConfig
+
+                if isinstance(config, DISConfig):
+                    return parallel.spatial_pyramidal_dis(prev, nxt, config, mesh)
                 return parallel.spatial_pyramidal_lk(prev, nxt, config, mesh)
             except (ValueError, NotImplementedError):
                 return None  # shape/config not shardable this way
@@ -520,6 +558,7 @@ def _flow_runner(prev, nxt, config):
 
 def stages_for(config) -> Callable:
     """The stage-runner factory for a config's model family."""
+    from cuda_optical_flow_2_tpu.models.dis import DISConfig
     from cuda_optical_flow_2_tpu.models.farneback import FBConfig
     from cuda_optical_flow_2_tpu.models.horn_schunck import HSConfig
     from cuda_optical_flow_2_tpu.models.tvl1 import TVL1Config
@@ -530,6 +569,8 @@ def stages_for(config) -> Callable:
         return _hs_stages
     if isinstance(config, TVL1Config):
         return _tvl1_stages
+    if isinstance(config, DISConfig):
+        return _dis_stages
     return _lk_stages
 
 

@@ -281,6 +281,72 @@ def test_spatial_tvl1_matches_unsharded():
     np.testing.assert_allclose(np.asarray(flow), np.asarray(want), atol=5e-4)
 
 
+def test_spatial_dis_matches_unsharded():
+    """Spatial-TP DIS (centered band search + banded refinement) ==
+    unsharded, with and without mean normalization and with the
+    finest_level knob.
+
+    Parity is structural, not bitwise: at 3 levels this texture's coarsest
+    level (256x16) has near-singular windows whose guarded solves amplify
+    band-vs-whole-image conv reassociation ulps (verified: the same
+    comparison in float64 agrees to 3.5e-13, so the banded logic is exactly
+    the unsharded logic) — the FB-precedent tolerance applies, plus a tight
+    median check on the well-conditioned interior.
+    """
+    from cuda_optical_flow_2_tpu.models import dis
+
+    p, n = _smooth_pair(1024, 64, dx=1, dy=2)
+    mesh = parallel.make_mesh(axis_name="space")
+    for kw in (
+        dict(mean_normalize=True),
+        dict(mean_normalize=False),
+        dict(finest_level=1, iterations=1, refine_iterations=3),
+    ):
+        cfg = dis.DISConfig(levels=3, iterations=kw.pop("iterations", 2),
+                            refine_iterations=kw.pop("refine_iterations", 5),
+                            window=9, use_pallas=False, max_displacement=8,
+                            **kw)
+        flow = parallel.spatial_pyramidal_dis(p, n, cfg, mesh)
+        assert flow.shape == (1024, 64, 2)
+        assert len(flow.sharding.device_set) == 8
+        want = dis.pyramidal_dis(p, n, cfg)
+        np.testing.assert_allclose(
+            np.asarray(flow), np.asarray(want), atol=2e-2
+        )
+        inner = np.asarray(flow)[64:-64, 16:-16]
+        med = np.median(inner, axis=(0, 1))
+        assert abs(med[0] - 1) < 0.1 and abs(med[1] - 2) < 0.1, med
+
+
+def test_spatial_dis_pallas_matches_unsharded_pallas(monkeypatch):
+    """Fused-Pallas TP DIS (centered lk_band_step + hs_relax_band with the
+    it_offset plane) == unsharded Pallas DIS, interpret mode on CPU."""
+    from cuda_optical_flow_2_tpu.models import dis
+
+    monkeypatch.setenv("OF2_PALLAS_INTERPRET", "1")
+    p, n = _smooth_pair(1024, 64, dx=1, dy=2)
+    mesh = parallel.make_mesh(axis_name="space")
+    cfg = dis.DISConfig(levels=3, iterations=2, refine_iterations=5,
+                        window=9, use_pallas=True, max_displacement=8)
+    flow = parallel.spatial_pyramidal_dis(p, n, cfg, mesh)
+    assert len(flow.sharding.device_set) == 8
+    want = dis.pyramidal_dis(p, n, cfg)
+    np.testing.assert_allclose(np.asarray(flow), np.asarray(want), atol=1e-4)
+
+
+def test_spatial_dis_validator_messages():
+    from cuda_optical_flow_2_tpu.models import dis
+    from cuda_optical_flow_2_tpu.parallel.spatial_models import (
+        validate_spatial_dis,
+    )
+
+    cfg = dis.DISConfig(levels=3, window=9, max_displacement=8)
+    with pytest.raises(ValueError, match="divisible"):
+        validate_spatial_dis(500, 64, cfg, 8)
+    with pytest.raises(ValueError, match="halos"):
+        validate_spatial_dis(512, 64, cfg, 8)  # 16 rows/shard at level 2
+
+
 def test_spatial_pallas_matches_xla_tp_and_unsharded(monkeypatch):
     """Fused-Pallas TP == XLA TP == unsharded Pallas (interpret mode on CPU).
 
