@@ -28,6 +28,8 @@ from cuda_optical_flow_2_tpu.parallel.multihost import (
     make_global_mesh,
 )
 from cuda_optical_flow_2_tpu.parallel.spatial_models import (
+    grid_pyramidal_flow,
+    spatial_pyramidal_flow,
     spatial_pyramidal_dis,
     spatial_pyramidal_fb,
     spatial_pyramidal_hs,
@@ -46,6 +48,8 @@ __all__ = [
     "spatial_pyramidal_hs",
     "spatial_pyramidal_fb",
     "spatial_pyramidal_dis",
+    "spatial_pyramidal_flow",
+    "grid_pyramidal_flow",
     "spatial_pyramidal_tvl1",
     "validate_spatial",
     "make_global_mesh",

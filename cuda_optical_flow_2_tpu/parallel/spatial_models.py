@@ -44,6 +44,7 @@ from cuda_optical_flow_2_tpu.models.farneback import (
 )
 from cuda_optical_flow_2_tpu.config import LKConfig
 from cuda_optical_flow_2_tpu.models.horn_schunck import HSConfig, _avg3x3
+from cuda_optical_flow_2_tpu.models.tvl1 import TVL1Config
 from cuda_optical_flow_2_tpu.ops.conv import stencil2d
 from cuda_optical_flow_2_tpu.ops.gradients import (
     SOBEL_GAIN,
@@ -69,6 +70,9 @@ from cuda_optical_flow_2_tpu.parallel.spatial import (
 )
 
 __all__ = [
+    "grid_pyramidal_flow",
+    "spatial_pyramidal_flow",
+    "validate_spatial_flow",
     "spatial_pyramidal_hs",
     "spatial_pyramidal_fb",
     "spatial_pyramidal_tvl1",
@@ -302,6 +306,23 @@ def spatial_pyramidal_hs(
     )(prev, nxt)
 
 
+def _local_hs_level(
+    p, nx, flow, config: HSConfig, axis_name, n, row0, hg, sweep_tile
+):
+    """One HS pyramid level on a row shard: warp (below the coarsest) then
+    banded time-tiled relaxation."""
+    if flow is None:
+        return _local_hs_relax(
+            p, nx, config, axis_name, n, row0, hg, sweep_tile
+        )
+    flow, warped = _hs_warp_band(
+        nx, flow, config, axis_name, n, row0, hg, 2
+    )
+    return flow + _local_hs_relax(
+        p, warped, config, axis_name, n, row0, hg, sweep_tile
+    )
+
+
 @functools.lru_cache(maxsize=128)
 def _spatial_hs_jit(
     config: HSConfig, mesh: Mesh, axis_name: str, n: int, h: int,
@@ -310,46 +331,13 @@ def _spatial_hs_jit(
     # Cached per (config, mesh, shape, interpret-mode) so per-frame serving
     # calls reuse the traced/compiled program instead of retracing a fresh
     # closure each time (interp: see spatial._interp_key).
-    def local(prev_blk, nxt_blk):
-        from jax import lax
-
-        if config.prefilter is not None:
-            prev_blk = _local_prefilter(prev_blk, config, axis_name, n, h)
-            nxt_blk = _local_prefilter(nxt_blk, config, axis_name, n, h)
-        prev_pyr, next_pyr = [prev_blk], [nxt_blk]
-        for _ in range(1, config.levels):
-            prev_pyr.append(_local_pyr_down(prev_pyr[-1], axis_name, n))
-            next_pyr.append(_local_pyr_down(next_pyr[-1], axis_name, n))
-        flow = None
-        for k in range(config.levels - 1, -1, -1):
-            p, nx = prev_pyr[k], next_pyr[k]
-            hloc = p.shape[-2]
-            row0 = lax.axis_index(axis_name) * hloc
-            hg = h >> k
-            if flow is None:
-                flow = _local_hs_relax(
-                    p, nx, config, axis_name, n, row0, hg, sweep_tile
-                )
-            else:
-                flow = _local_upsample2x_flow(flow, axis_name, n)
-                flow, warped = _hs_warp_band(
-                    nx, flow, config, axis_name, n, row0, hg, 2
-                )
-                flow = flow + _local_hs_relax(
-                    p, warped, config, axis_name, n, row0, hg, sweep_tile
-                )
-        return flow
-
+    local, check_vma = _family_local(config, axis_name, n, h, sweep_tile, 0)
     fn = shard_map(
         local,
         mesh=mesh,
         in_specs=(P(axis_name, None), P(axis_name, None)),
         out_specs=P(axis_name, None, None),
-        check_vma=not (
-            _prefilter_pallas(config)
-            or _warp_pallas(config)
-            or _sweep_pallas(config)
-        ),
+        check_vma=check_vma,
     )
     return jax.jit(fn)
 
@@ -575,39 +563,13 @@ def _spatial_fb_jit(
     config: FBConfig, mesh: Mesh, axis_name: str, n: int, h: int,
     interp: bool,
 ):
-    def local(prev_blk, nxt_blk):
-        from jax import lax
-
-        if config.prefilter is not None:
-            prev_blk = _local_prefilter(prev_blk, config, axis_name, n, h)
-            nxt_blk = _local_prefilter(nxt_blk, config, axis_name, n, h)
-        prev_pyr, next_pyr = [prev_blk], [nxt_blk]
-        for _ in range(1, config.levels):
-            prev_pyr.append(_local_pyr_down(prev_pyr[-1], axis_name, n))
-            next_pyr.append(_local_pyr_down(next_pyr[-1], axis_name, n))
-        flow = None
-        for k in range(config.levels - 1, -1, -1):
-            p, nx = prev_pyr[k], next_pyr[k]
-            hloc = p.shape[-2]
-            row0 = lax.axis_index(axis_name) * hloc
-            if flow is not None:
-                flow = _local_upsample2x_flow(flow, axis_name, n)
-            flow = _local_fb_level(
-                p, nx, flow, config, axis_name, n, row0, h >> k
-            )
-        return flow
-
+    local, check_vma = _family_local(config, axis_name, n, h, 0, 0)
     fn = shard_map(
         local,
         mesh=mesh,
         in_specs=(P(axis_name, None), P(axis_name, None)),
         out_specs=P(axis_name, None, None),
-        check_vma=not (
-            _prefilter_pallas(config)
-            or _fb_fused_enabled(config)
-            # the non-fused branch still warps via the select kernel
-            or _warp_pallas(config)
-        ),
+        check_vma=check_vma,
     )
     return jax.jit(fn)
 
@@ -847,38 +809,13 @@ def _spatial_tvl1_jit(
     config, mesh: Mesh, axis_name: str, n: int, h: int, iter_tile: int,
     interp: bool,
 ):
-    def local(prev_blk, nxt_blk):
-        from jax import lax
-
-        if config.prefilter is not None:
-            prev_blk = _local_prefilter(prev_blk, config, axis_name, n, h)
-            nxt_blk = _local_prefilter(nxt_blk, config, axis_name, n, h)
-        prev_pyr, next_pyr = [prev_blk], [nxt_blk]
-        for _ in range(1, config.levels):
-            prev_pyr.append(_local_pyr_down(prev_pyr[-1], axis_name, n))
-            next_pyr.append(_local_pyr_down(next_pyr[-1], axis_name, n))
-        flow = None
-        for kk in range(config.levels - 1, -1, -1):
-            p, nx = prev_pyr[kk], next_pyr[kk]
-            hloc = p.shape[-2]
-            row0 = lax.axis_index(axis_name) * hloc
-            if flow is not None:
-                flow = _local_upsample2x_flow(flow, axis_name, n)
-            flow = _local_tvl1_level(
-                p, nx, flow, config, axis_name, n, row0, h >> kk, iter_tile
-            )
-        return flow
-
+    local, check_vma = _family_local(config, axis_name, n, h, 0, iter_tile)
     fn = shard_map(
         local,
         mesh=mesh,
         in_specs=(P(axis_name, None), P(axis_name, None)),
         out_specs=P(axis_name, None, None),
-        check_vma=not (
-            _prefilter_pallas(config)
-            or _warp_pallas(config)
-            or _sweep_pallas(config)
-        ),
+        check_vma=check_vma,
     )
     return jax.jit(fn)
 
@@ -1084,40 +1021,216 @@ def _spatial_dis_jit(
     config: DISConfig, mesh: Mesh, axis_name: str, n: int, h: int,
     sweep_tile: int, interp: bool,
 ):
-    def local(prev_blk, nxt_blk):
-        from jax import lax
-
-        if config.prefilter is not None:
-            prev_blk = _local_prefilter(prev_blk, config, axis_name, n, h)
-            nxt_blk = _local_prefilter(nxt_blk, config, axis_name, n, h)
-        prev_pyr, next_pyr = [prev_blk], [nxt_blk]
-        for _ in range(1, config.levels):
-            prev_pyr.append(_local_pyr_down(prev_pyr[-1], axis_name, n))
-            next_pyr.append(_local_pyr_down(next_pyr[-1], axis_name, n))
-        flow = None
-        for k in range(config.levels - 1, config.finest_level - 1, -1):
-            p, nx = prev_pyr[k], next_pyr[k]
-            hloc = p.shape[-2]
-            row0 = lax.axis_index(axis_name) * hloc
-            if flow is not None:
-                flow = _local_upsample2x_flow(flow, axis_name, n)
-            flow = _local_dis_level(
-                p, nx, flow, config, axis_name, n, row0, h >> k, sweep_tile
-            )
-        for _ in range(config.finest_level):
-            flow = _local_upsample2x_flow(flow, axis_name, n)
-        return flow
-
+    local, check_vma = _family_local(config, axis_name, n, h, sweep_tile, 0)
     fn = shard_map(
         local,
         mesh=mesh,
         in_specs=(P(axis_name, None), P(axis_name, None)),
         out_specs=P(axis_name, None, None),
-        check_vma=not (
-            _prefilter_pallas(config)
+        check_vma=check_vma,
+    )
+    return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
+# Generic shard-local pipeline + combined DP x TP for every family
+# ---------------------------------------------------------------------------
+
+
+def _local_family_pipeline(
+    prev_blk, nxt_blk, config, axis_name, n, h, level_fn, finest_level=0
+):
+    """The shared per-shard pipeline skeleton every family instantiates:
+    optional banded prefilter -> shard-local pyramids -> coarse-to-fine with
+    ``level_fn(p, nx, flow, row0, h_level)`` per solved level -> remaining
+    2x upsamples (DIS's finest_level knob; 0 for the other families)."""
+    from jax import lax
+
+    if config.prefilter is not None:
+        prev_blk = _local_prefilter(prev_blk, config, axis_name, n, h)
+        nxt_blk = _local_prefilter(nxt_blk, config, axis_name, n, h)
+    prev_pyr, next_pyr = [prev_blk], [nxt_blk]
+    for _ in range(1, config.levels):
+        prev_pyr.append(_local_pyr_down(prev_pyr[-1], axis_name, n))
+        next_pyr.append(_local_pyr_down(next_pyr[-1], axis_name, n))
+    flow = None
+    for k in range(config.levels - 1, finest_level - 1, -1):
+        p, nx = prev_pyr[k], next_pyr[k]
+        hloc = p.shape[-2]
+        row0 = lax.axis_index(axis_name) * hloc
+        if flow is not None:
+            flow = _local_upsample2x_flow(flow, axis_name, n)
+        flow = level_fn(p, nx, flow, row0, h >> k)
+    for _ in range(finest_level):
+        flow = _local_upsample2x_flow(flow, axis_name, n)
+    return flow
+
+
+def _family_local(config, axis_name, n, h, sweep_tile, iter_tile):
+    """(shard-local pipeline fn, check_vma) for a config's model family.
+
+    The single dispatch point behind every spatial_pyramidal_* entry and
+    :func:`grid_pyramidal_flow`.  ``check_vma`` is False whenever any Pallas
+    band kernel may dispatch (shard_map cannot see through pallas_call's
+    mixed-vma index arithmetic — spatial._fused_enabled docstring).
+    """
+    if isinstance(config, HSConfig):
+        def level_fn(p, nx, flow, row0, hg):
+            return _local_hs_level(
+                p, nx, flow, config, axis_name, n, row0, hg, sweep_tile
+            )
+        cv = not (
+            _prefilter_pallas(config) or _warp_pallas(config)
+            or _sweep_pallas(config)
+        )
+    elif isinstance(config, FBConfig):
+        def level_fn(p, nx, flow, row0, hg):
+            return _local_fb_level(
+                p, nx, flow, config, axis_name, n, row0, hg
+            )
+        cv = not (
+            _prefilter_pallas(config) or _fb_fused_enabled(config)
+            # the non-fused branch still warps via the select kernel
             or _warp_pallas(config)
+        )
+    elif isinstance(config, TVL1Config):
+        def level_fn(p, nx, flow, row0, hg):
+            return _local_tvl1_level(
+                p, nx, flow, config, axis_name, n, row0, hg, iter_tile
+            )
+        cv = not (
+            _prefilter_pallas(config) or _warp_pallas(config)
+            or _sweep_pallas(config)
+        )
+    elif isinstance(config, DISConfig):
+        def level_fn(p, nx, flow, row0, hg):
+            return _local_dis_level(
+                p, nx, flow, config, axis_name, n, row0, hg, sweep_tile
+            )
+        cv = not (
+            _prefilter_pallas(config) or _warp_pallas(config)
             or _sweep_pallas(config)
             or _fused_enabled(_dis_lk_like(config))
-        ),
+        )
+    elif isinstance(config, LKConfig):
+        from cuda_optical_flow_2_tpu.parallel.spatial import _local_pipeline
+
+        def local(prev_blk, nxt_blk):
+            return _local_pipeline(prev_blk, nxt_blk, config, axis_name, n, h)
+
+        return local, not (
+            _fused_enabled(config) or _prefilter_pallas(config)
+        )
+    else:
+        raise TypeError(
+            f"config must be an LKConfig / HSConfig / FBConfig / TVL1Config "
+            f"/ DISConfig instance; got "
+            f"{type(config).__module__}.{type(config).__qualname__}"
+        )
+
+    finest = getattr(config, "finest_level", 0)
+
+    def local(prev_blk, nxt_blk):
+        return _local_family_pipeline(
+            prev_blk, nxt_blk, config, axis_name, n, h, level_fn, finest
+        )
+
+    return local, cv
+
+
+def validate_spatial_flow(
+    h: int, w: int, config, n: int, sweep_tile: int = 8, iter_tile: int = 8
+) -> None:
+    """Model-generic spatial validation (dispatches on the config type)."""
+    from cuda_optical_flow_2_tpu.parallel.spatial import validate_spatial
+
+    if isinstance(config, HSConfig):
+        validate_spatial_hs(h, w, config, n, sweep_tile)
+    elif isinstance(config, FBConfig):
+        validate_spatial_fb(h, w, config, n)
+    elif isinstance(config, TVL1Config):
+        validate_spatial_tvl1(h, w, config, n, iter_tile)
+    elif isinstance(config, DISConfig):
+        validate_spatial_dis(h, w, config, n, sweep_tile)
+    else:
+        validate_spatial(h, w, config, n)
+
+
+def spatial_pyramidal_flow(
+    prev: jax.Array,
+    nxt: jax.Array,
+    config,
+    mesh: Mesh,
+    axis_name: str = "space",
+    sweep_tile: int = 8,
+    iter_tile: int = 8,
+) -> jax.Array:
+    """Model-generic spatial TP: dispatch on the config type (the TP
+    counterpart of models.pyramidal_flow)."""
+    from cuda_optical_flow_2_tpu.parallel.spatial import spatial_pyramidal_lk
+
+    if isinstance(config, HSConfig):
+        return spatial_pyramidal_hs(prev, nxt, config, mesh, axis_name,
+                                    sweep_tile)
+    if isinstance(config, FBConfig):
+        return spatial_pyramidal_fb(prev, nxt, config, mesh, axis_name)
+    if isinstance(config, TVL1Config):
+        return spatial_pyramidal_tvl1(prev, nxt, config, mesh, axis_name,
+                                      iter_tile)
+    if isinstance(config, DISConfig):
+        return spatial_pyramidal_dis(prev, nxt, config, mesh, axis_name,
+                                     sweep_tile)
+    return spatial_pyramidal_lk(prev, nxt, config, mesh, axis_name)
+
+
+def grid_pyramidal_flow(
+    prev_batch: jax.Array,
+    nxt_batch: jax.Array,
+    config,
+    mesh: Mesh,
+    batch_axis: str = "batch",
+    space_axis: str = "space",
+    sweep_tile: int = 8,
+    iter_tile: int = 8,
+) -> jax.Array:
+    """Combined DP x TP for ANY model family: a frame-pair batch sharded
+    over a 2-D mesh, batch-data-parallel x row-sharded with ppermute halo
+    exchange (the model-generic form of spatial.grid_pyramidal_lk).
+
+    Args:
+      prev_batch / nxt_batch: (B, H, W), B divisible by the batch axis size,
+        H by space-size * 2^(levels-1).
+    Returns: (B, H, W, 2) flow, sharded the same way.
+    """
+    b, h, w = prev_batch.shape[-3:]
+    nb = mesh.shape[batch_axis]
+    ns = mesh.shape[space_axis]
+    if b % nb != 0:
+        raise ValueError(f"batch {b} not divisible by {batch_axis} size {nb}")
+    validate_spatial_flow(h, w, config, ns, sweep_tile, iter_tile)
+    return _grid_flow_jit(
+        config, mesh, batch_axis, space_axis, ns, h, sweep_tile, iter_tile,
+        _interp_key(),
+    )(prev_batch, nxt_batch)
+
+
+@functools.lru_cache(maxsize=128)
+def _grid_flow_jit(
+    config, mesh: Mesh, batch_axis: str, space_axis: str, ns: int, h: int,
+    sweep_tile: int, iter_tile: int, interp: bool,
+):
+    local, check_vma = _family_local(
+        config, space_axis, ns, h, sweep_tile, iter_tile
+    )
+
+    def batched(pb, nb):
+        return jax.vmap(local)(pb, nb)
+
+    fn = shard_map(
+        batched,
+        mesh=mesh,
+        in_specs=(P(batch_axis, space_axis, None),) * 2,
+        out_specs=P(batch_axis, space_axis, None, None),
+        check_vma=check_vma,
     )
     return jax.jit(fn)

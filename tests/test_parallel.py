@@ -334,6 +334,62 @@ def test_spatial_dis_pallas_matches_unsharded_pallas(monkeypatch):
     np.testing.assert_allclose(np.asarray(flow), np.asarray(want), atol=1e-4)
 
 
+def test_grid_flow_model_generic():
+    """grid_pyramidal_flow (DP x TP on a 2-D mesh) == unsharded batch for
+    every model family, via the one model-generic entry."""
+    from jax.sharding import Mesh
+    from cuda_optical_flow_2_tpu.models import dis, pyramidal_flow, tvl1
+    from cuda_optical_flow_2_tpu.models import farneback as fb
+    from cuda_optical_flow_2_tpu.models import horn_schunck as hs
+
+    p, n = _smooth_pair(256, 48, dx=2, dy=1)
+    pb, nb = jnp.stack([p, p * 0.5]), jnp.stack([n, n * 0.5])
+    gmesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("batch", "space"))
+    cfgs_tols = [
+        (of.LKConfig(levels=2, window=9, iterations=1, max_displacement=4.0,
+                     use_pallas=False), 1e-4),
+        (hs.HSConfig(alpha=8.0, iterations=8, levels=2, use_pallas=False,
+                     max_displacement=8), 1e-4),
+        # FB's documented reassociation-amplification tolerance (see
+        # test_spatial_fb_matches_unsharded)
+        (fb.FBConfig(levels=2, iterations=1, winsize=11, use_pallas=False,
+                     max_displacement=4), 2e-2),
+        (tvl1.TVL1Config(levels=2, warps=1, iterations=8, use_pallas=False,
+                         max_displacement=8), 1e-4),
+        (dis.DISConfig(levels=2, iterations=1, refine_iterations=3, window=9,
+                       use_pallas=False, max_displacement=8), 1e-4),
+    ]
+    for cfg, tol in cfgs_tols:
+        flow = parallel.grid_pyramidal_flow(
+            pb, nb, cfg, gmesh, sweep_tile=4, iter_tile=4
+        )
+        assert flow.shape == (2, 256, 48, 2)
+        assert len(flow.sharding.device_set) == 8
+        want = pyramidal_flow(pb, nb, cfg)
+        np.testing.assert_allclose(
+            np.asarray(flow), np.asarray(want), atol=tol
+        )
+
+
+def test_spatial_flow_model_generic_dispatch():
+    """spatial_pyramidal_flow routes each config type to its family entry
+    (spot-checked against the direct entries) and rejects unknown configs."""
+    from cuda_optical_flow_2_tpu.models import horn_schunck as hs
+
+    p, n = _smooth_pair(256, 48, dx=2, dy=1)
+    mesh = parallel.make_mesh(axis_name="space")
+    cfg = hs.HSConfig(alpha=8.0, iterations=8, levels=2, use_pallas=False,
+                      max_displacement=8)
+    a = parallel.spatial_pyramidal_flow(p, n, cfg, mesh, sweep_tile=4)
+    b = parallel.spatial_pyramidal_hs(p, n, cfg, mesh, sweep_tile=4)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    with pytest.raises(TypeError, match="config must be"):
+        from cuda_optical_flow_2_tpu.parallel.spatial_models import (
+            _family_local,
+        )
+        _family_local(object(), "space", 8, 256, 4, 4)
+
+
 def test_spatial_dis_validator_messages():
     from cuda_optical_flow_2_tpu.models import dis
     from cuda_optical_flow_2_tpu.parallel.spatial_models import (
