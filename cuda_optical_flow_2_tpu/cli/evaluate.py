@@ -1,0 +1,208 @@
+"""Dataset evaluation CLI: score any model family against ground-truth flow.
+
+The reference has no quantitative evaluation at all (SURVEY.md section 4 — its
+test strategy is visual inspection of debug windows, main.cu:19-92); this tool
+is the framework's dataset-level accuracy harness: point it at a directory of
+frame pairs with Middlebury ``.flo`` ground truth and it reports per-pair and
+aggregate EPE / angular error / KITTI Fl outlier rate for the chosen model
+family, all through the production jitted pipeline.
+
+Two directory layouts are recognized:
+
+* **Pair directories** (Middlebury style): every immediate subdirectory that
+  contains at least two images is one evaluation pair — the first two images
+  in sorted order (``frame10.png``, ``frame11.png``) plus the single ``.flo``
+  file, if present, as ground truth.
+* **Flat sequence**: images directly in the directory, sorted; consecutive
+  frames form pairs, and a ``.flo`` named after the FIRST frame of a pair
+  (``frame_0003.png`` -> ``frame_0003.flo``) is its ground truth.
+
+Pairs without ground truth still run (useful as a smoke pass / for ``--out``
+artifacts); they are scored only by flow statistics.
+
+    of2-eval --dataset DIR --model lk --levels 4 --window 19
+    of2-eval --dataset DIR --model dis --out /tmp/eval   # + flow-color PNGs
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+__all__ = ["main", "discover_pairs", "evaluate_pair"]
+
+_IMAGE_EXTS = (".png", ".ppm", ".pgm", ".npy")
+
+
+def discover_pairs(root: str) -> list[dict]:
+    """Find (name, frame0, frame1, truth-or-None) evaluation pairs under root.
+
+    See module docstring for the two recognized layouts.  Returns a sorted
+    list of dicts with keys ``name``, ``first``, ``second``, ``truth``.
+    """
+    if not os.path.isdir(root):
+        raise FileNotFoundError(f"dataset directory not found: {root}")
+
+    def images_in(d: str) -> list[str]:
+        return sorted(
+            os.path.join(d, f)
+            for f in os.listdir(d)
+            if f.lower().endswith(_IMAGE_EXTS)
+        )
+
+    pairs: list[dict] = []
+    subdirs = sorted(
+        os.path.join(root, d)
+        for d in os.listdir(root)
+        if os.path.isdir(os.path.join(root, d))
+    )
+    for sub in subdirs:
+        imgs = images_in(sub)
+        if len(imgs) < 2:
+            continue
+        flos = sorted(
+            os.path.join(sub, f)
+            for f in os.listdir(sub)
+            if f.lower().endswith(".flo")
+        )
+        pairs.append(
+            {
+                "name": os.path.basename(sub),
+                "first": imgs[0],
+                "second": imgs[1],
+                "truth": flos[0] if flos else None,
+            }
+        )
+    if pairs:
+        return pairs
+
+    imgs = images_in(root)
+    for a, b in zip(imgs, imgs[1:]):
+        stem = os.path.splitext(a)[0]
+        flo = stem + ".flo"
+        pairs.append(
+            {
+                "name": os.path.basename(stem),
+                "first": a,
+                "second": b,
+                "truth": flo if os.path.exists(flo) else None,
+            }
+        )
+    if not pairs:
+        raise FileNotFoundError(
+            f"no evaluation pairs found under {root} (looked for image "
+            f"subdirectories and for flat {'/'.join(_IMAGE_EXTS)} sequences)"
+        )
+    return pairs
+
+
+def _load_gray(path: str) -> np.ndarray:
+    """Load an image file as a float32 grayscale (H, W) plane."""
+    import jax.numpy as jnp
+
+    from cuda_optical_flow_2_tpu.ops.color import grayscale
+    from cuda_optical_flow_2_tpu.utils import io as uio
+
+    img = uio.read_image(path)
+    if img.ndim == 3:
+        img = np.asarray(grayscale(jnp.asarray(img)))
+    return np.asarray(img, np.float32)
+
+
+def evaluate_pair(
+    pair: dict, flow_fn, margin: int, out_dir: str | None = None
+) -> dict:
+    """Run one pair through ``flow_fn`` and score it against its truth."""
+    import jax.numpy as jnp
+
+    from cuda_optical_flow_2_tpu.utils import io as uio
+    from cuda_optical_flow_2_tpu.utils import metrics, viz
+
+    prev = _load_gray(pair["first"])
+    nxt = _load_gray(pair["second"])
+    if prev.shape != nxt.shape:
+        raise ValueError(
+            f"{pair['name']}: frame shapes differ "
+            f"({prev.shape} vs {nxt.shape})"
+        )
+    flow = np.asarray(flow_fn(jnp.asarray(prev), jnp.asarray(nxt)))
+
+    rec: dict = {"pair": pair["name"], "shape": list(prev.shape)}
+    if pair["truth"] is not None:
+        truth = uio.read_flo(pair["truth"])
+        if truth.shape[:2] != prev.shape:
+            raise ValueError(
+                f"{pair['name']}: ground truth shape {truth.shape[:2]} does "
+                f"not match frames {prev.shape}"
+            )
+        rec.update(metrics.evaluate_flow(flow, truth, margin=margin))
+    else:
+        rec.update({f"flow_{k}": v for k, v in metrics.flow_stats(flow).items()})
+
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        viz.write_png(
+            os.path.join(out_dir, f"{pair['name']}_flow.png"),
+            viz.flow_to_color(flow),
+        )
+        uio.write_flo(os.path.join(out_dir, f"{pair['name']}.flo"), flow)
+    return rec
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--dataset", required=True, help="dataset directory")
+    ap.add_argument(
+        "--model", default="lk", choices=("lk", "hs", "fb", "tvl1", "dis")
+    )
+    ap.add_argument("--levels", type=int, default=4)
+    ap.add_argument("--window", type=int, default=19)
+    ap.add_argument("--iterations", type=int, default=None,
+                    help="per-level iterations/sweeps (model default if unset)")
+    ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument(
+        "--margin", type=int, default=None,
+        help="border crop before scoring (default: window size)",
+    )
+    ap.add_argument("--out", default=None, help="write flow PNG/.flo per pair")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    import cuda_optical_flow_2_tpu as of
+    from cuda_optical_flow_2_tpu.cli.benchmark import _model_cfg
+    from cuda_optical_flow_2_tpu.models import pyramidal_flow
+
+    lk = of.LKConfig(levels=args.levels, window=args.window)
+    cfg = _model_cfg(args.model, lk, args.no_pallas)
+    if args.iterations is not None and hasattr(cfg, "iterations"):
+        cfg = type(cfg)(**{**cfg.__dict__, "iterations": args.iterations})
+    margin = args.margin if args.margin is not None else args.window
+
+    flow_fn = jax.jit(lambda p, n: pyramidal_flow(p, n, cfg))
+
+    pairs = discover_pairs(args.dataset)
+    scored: list[dict] = []
+    for pair in pairs:
+        rec = evaluate_pair(pair, flow_fn, margin, args.out)
+        print(json.dumps(rec), flush=True)
+        if "epe_mean" in rec:
+            scored.append(rec)
+
+    summary: dict = {
+        "aggregate": True,
+        "model": args.model,
+        "pairs": len(pairs),
+        "pairs_with_truth": len(scored),
+    }
+    if scored:
+        for key in ("epe_mean", "angular_deg_mean", "fl_all", "bad_1px", "bad_3px"):
+            summary[key] = float(np.mean([r[key] for r in scored]))
+    print(json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()

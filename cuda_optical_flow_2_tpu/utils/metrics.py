@@ -10,7 +10,18 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["epe", "mean_epe", "angular_error", "flow_stats"]
+__all__ = [
+    "epe",
+    "mean_epe",
+    "angular_error",
+    "outlier_rate",
+    "evaluate_flow",
+    "flow_stats",
+]
+
+# Middlebury marks unknown ground-truth pixels with huge sentinel values
+# (|value| > 1e9); everything above this is treated as invalid truth.
+_UNKNOWN_FLOW_THRESH = 1e9
 
 
 def epe(flow: np.ndarray, truth: np.ndarray) -> np.ndarray:
@@ -38,6 +49,68 @@ def angular_error(flow: np.ndarray, truth: np.ndarray) -> np.ndarray:
         t[..., 0] ** 2 + t[..., 1] ** 2 + 1.0
     )
     return np.arccos(np.clip(num / den, -1.0, 1.0))
+
+
+def _valid_truth_mask(truth: np.ndarray) -> np.ndarray:
+    """Pixels whose ground truth is known (finite, below the sentinel)."""
+    t = np.asarray(truth, np.float64)
+    return (
+        np.isfinite(t).all(axis=-1)
+        & (np.abs(t) < _UNKNOWN_FLOW_THRESH).all(axis=-1)
+    )
+
+
+def outlier_rate(
+    flow: np.ndarray,
+    truth: np.ndarray,
+    abs_thresh: float = 3.0,
+    rel_thresh: float = 0.05,
+) -> float:
+    """KITTI Fl outlier fraction: EPE > ``abs_thresh`` px AND > ``rel_thresh``
+    of the ground-truth magnitude, over pixels with known truth."""
+    valid = _valid_truth_mask(truth)
+    if not valid.any():
+        return float("nan")
+    e = epe(flow, truth)[valid]
+    t = np.asarray(truth, np.float64)
+    mag = np.hypot(t[..., 0], t[..., 1])[valid]
+    bad = (e > abs_thresh) & (e > rel_thresh * mag)
+    return float(bad.mean())
+
+
+def evaluate_flow(
+    flow: np.ndarray, truth: np.ndarray, margin: int = 0
+) -> dict:
+    """Standard accuracy report of ``flow`` against ground truth.
+
+    Returns mean/median EPE, Barron angular error (degrees), the KITTI Fl
+    outlier fraction, and Sintel-style badness fractions (EPE over 1 and 3
+    px).  Unknown-truth pixels (Middlebury sentinel / non-finite) are
+    excluded; ``margin`` crops each border before scoring (dense flow is
+    undefined where the window/warp leaves the frame).
+    """
+    f = np.asarray(flow, np.float64)
+    t = np.asarray(truth, np.float64)
+    if margin:
+        f = f[..., margin:-margin, margin:-margin, :]
+        t = t[..., margin:-margin, margin:-margin, :]
+    valid = _valid_truth_mask(t)
+    if not valid.any():
+        return {"valid_fraction": 0.0}
+    e = epe(f, t)[valid]
+    ang = angular_error(f, t)[valid]
+    tm = np.hypot(t[..., 0], t[..., 1])[valid]
+    bad = (e > 3.0) & (e > 0.05 * tm)
+    return {
+        "epe_mean": float(e.mean()),
+        "epe_median": float(np.median(e)),
+        "epe_p95": float(np.percentile(e, 95)),
+        "angular_deg_mean": float(np.degrees(ang.mean())),
+        "fl_all": float(bad.mean()),
+        "bad_1px": float((e > 1.0).mean()),
+        "bad_3px": float((e > 3.0).mean()),
+        "valid_fraction": float(valid.mean()),
+    }
 
 
 def flow_stats(flow: np.ndarray) -> dict:
