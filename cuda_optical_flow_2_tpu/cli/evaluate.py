@@ -7,15 +7,19 @@ frame pairs with Middlebury ``.flo`` ground truth and it reports per-pair and
 aggregate EPE / angular error / KITTI Fl outlier rate for the chosen model
 family, all through the production jitted pipeline.
 
-Two directory layouts are recognized:
+Three directory layouts are recognized:
 
+* **KITTI**: a root containing an ``image_2`` (2015) or ``colored_0`` (2012)
+  directory of ``XXXXXX_10.png`` / ``XXXXXX_11.png`` frame pairs, with
+  ground truth as 16-bit flow PNGs of the same stem under ``flow_occ`` (or
+  ``flow_noc`` if only that exists).
 * **Pair directories** (Middlebury style): every immediate subdirectory that
   contains at least two images is one evaluation pair — the first two images
   in sorted order (``frame10.png``, ``frame11.png``) plus the single ``.flo``
-  file, if present, as ground truth.
+  file (or a ``*flow*.png`` KITTI-encoded truth), if present, as ground truth.
 * **Flat sequence**: images directly in the directory, sorted; consecutive
-  frames form pairs, and a ``.flo`` named after the FIRST frame of a pair
-  (``frame_0003.png`` -> ``frame_0003.flo``) is its ground truth.
+  frames form pairs, and a ``.flo`` (or ``_flow.png``) named after the FIRST
+  frame of a pair (``frame_0003.png`` -> ``frame_0003.flo``) is its truth.
 
 Pairs without ground truth still run (useful as a smoke pass / for ``--out``
 artifacts); they are scored only by flow statistics.
@@ -37,6 +41,47 @@ __all__ = ["main", "discover_pairs", "evaluate_pair"]
 _IMAGE_EXTS = (".png", ".ppm", ".pgm", ".npy")
 
 
+def _discover_kitti(root: str) -> list[dict]:
+    """Recognize the KITTI flow directory layout, if present.
+
+    ``root/image_2`` (2015) or ``root/colored_0`` (2012) holds
+    ``XXXXXX_10.png`` / ``XXXXXX_11.png`` frame pairs; 16-bit flow-PNG ground
+    truth of the first frame's stem lives under ``root/flow_occ`` (all
+    pixels) or ``root/flow_noc`` (non-occluded only) — ``flow_occ`` wins when
+    both exist.  Returns [] when the layout is absent.
+    """
+    img_dir = None
+    for cand in ("image_2", "colored_0"):
+        if os.path.isdir(os.path.join(root, cand)):
+            img_dir = os.path.join(root, cand)
+            break
+    if img_dir is None:
+        return []
+    flow_dir = None
+    for cand in ("flow_occ", "flow_noc"):
+        if os.path.isdir(os.path.join(root, cand)):
+            flow_dir = os.path.join(root, cand)
+            break
+
+    pairs: list[dict] = []
+    for f in sorted(os.listdir(img_dir)):
+        if not f.endswith("_10.png"):
+            continue
+        second = os.path.join(img_dir, f[: -len("_10.png")] + "_11.png")
+        if not os.path.exists(second):
+            continue
+        truth = os.path.join(flow_dir, f) if flow_dir else None
+        pairs.append(
+            {
+                "name": f[: -len("_10.png")],
+                "first": os.path.join(img_dir, f),
+                "second": second,
+                "truth": truth if truth and os.path.exists(truth) else None,
+            }
+        )
+    return pairs
+
+
 def discover_pairs(root: str) -> list[dict]:
     """Find (name, frame0, frame1, truth-or-None) evaluation pairs under root.
 
@@ -46,12 +91,22 @@ def discover_pairs(root: str) -> list[dict]:
     if not os.path.isdir(root):
         raise FileNotFoundError(f"dataset directory not found: {root}")
 
+    def is_flow_png(name: str) -> bool:
+        stem = os.path.splitext(name)[0].lower()
+        return name.lower().endswith(".png") and (
+            stem.endswith("_flow") or "flow" in os.path.basename(stem)
+        )
+
     def images_in(d: str) -> list[str]:
         return sorted(
             os.path.join(d, f)
             for f in os.listdir(d)
-            if f.lower().endswith(_IMAGE_EXTS)
+            if f.lower().endswith(_IMAGE_EXTS) and not is_flow_png(f)
         )
+
+    kitti = _discover_kitti(root)
+    if kitti:
+        return kitti
 
     pairs: list[dict] = []
     subdirs = sorted(
@@ -63,17 +118,17 @@ def discover_pairs(root: str) -> list[dict]:
         imgs = images_in(sub)
         if len(imgs) < 2:
             continue
-        flos = sorted(
+        truths = sorted(
             os.path.join(sub, f)
             for f in os.listdir(sub)
-            if f.lower().endswith(".flo")
+            if f.lower().endswith(".flo") or is_flow_png(f)
         )
         pairs.append(
             {
                 "name": os.path.basename(sub),
                 "first": imgs[0],
                 "second": imgs[1],
-                "truth": flos[0] if flos else None,
+                "truth": truths[0] if truths else None,
             }
         )
     if pairs:
@@ -82,13 +137,17 @@ def discover_pairs(root: str) -> list[dict]:
     imgs = images_in(root)
     for a, b in zip(imgs, imgs[1:]):
         stem = os.path.splitext(a)[0]
-        flo = stem + ".flo"
+        truth = None
+        for cand in (stem + ".flo", stem + "_flow.png"):
+            if os.path.exists(cand):
+                truth = cand
+                break
         pairs.append(
             {
                 "name": os.path.basename(stem),
                 "first": a,
                 "second": b,
-                "truth": flo if os.path.exists(flo) else None,
+                "truth": truth,
             }
         )
     if not pairs:
@@ -132,7 +191,7 @@ def evaluate_pair(
 
     rec: dict = {"pair": pair["name"], "shape": list(prev.shape)}
     if pair["truth"] is not None:
-        truth = uio.read_flo(pair["truth"])
+        truth = uio.read_flow(pair["truth"])
         if truth.shape[:2] != prev.shape:
             raise ValueError(
                 f"{pair['name']}: ground truth shape {truth.shape[:2]} does "

@@ -19,6 +19,9 @@ __all__ = [
     "read_image",
     "read_flo",
     "write_flo",
+    "read_flow",
+    "read_flow_png",
+    "write_flow_png",
     "read_y4m",
     "write_y4m",
     "Y4MWriter",
@@ -248,7 +251,12 @@ def write_ppm(path: str, img: np.ndarray) -> None:
 
 
 def _read_png(path: str) -> np.ndarray:
-    """Minimal PNG reader: 8-bit, color type 0 (gray) or 2 (RGB), no interlace."""
+    """Minimal PNG reader: 8/16-bit, color type 0 (gray) or 2 (RGB), no interlace.
+
+    Returns uint8 for 8-bit files, uint16 (host-endian, decoded from the PNG's
+    big-endian samples) for 16-bit files — the latter is how KITTI encodes
+    flow ground truth (see :func:`read_flow_png`).
+    """
     with open(path, "rb") as f:
         data = f.read()
     if data[:8] != b"\x89PNG\r\n\x1a\n":
@@ -262,8 +270,10 @@ def _read_png(path: str) -> np.ndarray:
         body = data[i + 8 : i + 8 + ln]
         if tag == b"IHDR":
             w, h, bitdepth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", body)
-            if bitdepth != 8 or ctype not in (0, 2) or interlace:
-                raise ValueError("only 8-bit non-interlaced gray/RGB PNG supported")
+            if bitdepth not in (8, 16) or ctype not in (0, 2) or interlace:
+                raise ValueError(
+                    "only 8/16-bit non-interlaced gray/RGB PNG supported"
+                )
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -271,7 +281,10 @@ def _read_png(path: str) -> np.ndarray:
         i += 12 + ln
     raw = zlib.decompress(idat)
     ch = 3 if ctype == 2 else 1
-    stride = w * ch
+    # PNG filters operate byte-wise with a bytes-per-pixel offset, regardless
+    # of sample depth (RFC 2083 section 6) — only `bpp` changes for 16-bit.
+    bpp = ch * (bitdepth // 8)
+    stride = w * bpp
     out = np.zeros((h, stride), np.uint8)
     prev = np.zeros(stride, np.uint8)
     pos = 0
@@ -286,19 +299,19 @@ def _read_png(path: str) -> np.ndarray:
             rec = (line + prev) % 256
         elif ft == 1:  # sub
             rec = line.copy()
-            for j in range(ch, stride):
-                rec[j] = (rec[j] + rec[j - ch]) % 256
+            for j in range(bpp, stride):
+                rec[j] = (rec[j] + rec[j - bpp]) % 256
         elif ft == 3:  # average
             rec = line.copy()
             for j in range(stride):
-                left = rec[j - ch] if j >= ch else 0
+                left = rec[j - bpp] if j >= bpp else 0
                 rec[j] = (rec[j] + (left + int(prev[j])) // 2) % 256
         elif ft == 4:  # paeth
             rec = line.copy()
             for j in range(stride):
-                a = int(rec[j - ch]) if j >= ch else 0
+                a = int(rec[j - bpp]) if j >= bpp else 0
                 b = int(prev[j])
-                c = int(prev[j - ch]) if j >= ch else 0
+                c = int(prev[j - bpp]) if j >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -307,6 +320,11 @@ def _read_png(path: str) -> np.ndarray:
             raise ValueError(f"unknown PNG filter {ft}")
         out[row] = rec.astype(np.uint8)
         prev = out[row].astype(np.uint8)
+    if bitdepth == 16:
+        img = out.reshape(h, w * ch, 2)
+        img16 = (img[..., 0].astype(np.uint16) << 8) | img[..., 1]
+        img16 = img16.reshape(h, w, ch)
+        return img16[..., 0] if ch == 1 else img16
     img = out.reshape(h, w, ch)
     return img[..., 0] if ch == 1 else img
 
@@ -386,3 +404,81 @@ def read_flo(path: str) -> np.ndarray:
     if data.size != w * h * 2:
         raise ValueError(f"{path}: truncated payload")
     return data.reshape(int(h), int(w), 2)
+
+
+def write_flow_png(
+    path: str, flow: np.ndarray, valid: np.ndarray | None = None
+) -> None:
+    """Write (H, W, 2) flow as a KITTI-format 16-bit RGB PNG.
+
+    KITTI 2012/2015 ground-truth encoding: R = u*64 + 2^15, G = v*64 + 2^15
+    (uint16, saturating), B = 1 where the truth is valid, 0 elsewhere.
+    ``valid`` defaults to the finite pixels of ``flow``; invalid pixels are
+    written as (0, 0, B=0).  The reference has no flow IO at all.
+    """
+    flow = np.asarray(flow, np.float64)
+    if flow.ndim != 3 or flow.shape[-1] != 2:
+        raise ValueError(f"expected (H, W, 2) flow, got {flow.shape}")
+    if valid is None:
+        valid = np.isfinite(flow).all(axis=-1)
+    valid = np.asarray(valid, bool)
+    if valid.shape != flow.shape[:2]:
+        raise ValueError(
+            f"valid mask shape {valid.shape} != flow plane {flow.shape[:2]}"
+        )
+    h, w = flow.shape[:2]
+    img = np.zeros((h, w, 3), np.uint16)
+    quant = np.clip(
+        np.round(np.where(valid[..., None], flow, 0.0) * 64.0 + 32768.0),
+        0,
+        65535,
+    ).astype(np.uint16)
+    img[..., 0] = quant[..., 0]
+    img[..., 1] = quant[..., 1]
+    img[..., 2] = valid.astype(np.uint16)
+    be = img.astype(">u2").view(np.uint8).reshape(h, w * 6)
+    raw = b"".join(b"\x00" + be[i].tobytes() for i in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+    with open(path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n")
+        f.write(chunk(b"IHDR", ihdr))
+        f.write(chunk(b"IDAT", zlib.compress(raw, 6)))
+        f.write(chunk(b"IEND", b""))
+
+
+def read_flow_png(path: str) -> np.ndarray:
+    """Read a KITTI-format 16-bit flow PNG into (H, W, 2) float32.
+
+    Inverse of :func:`write_flow_png`: u = (R - 2^15)/64, v = (G - 2^15)/64;
+    pixels with B == 0 (unknown truth) are returned as NaN so the metrics
+    layer (`metrics._valid_truth_mask`) excludes them from scoring.
+    """
+    img = _read_png(path)
+    if img.ndim != 3 or img.shape[-1] != 3 or img.dtype != np.uint16:
+        raise ValueError(
+            f"{path} is not a 16-bit RGB flow PNG (got "
+            f"{img.dtype} shape {img.shape})"
+        )
+    flow = (img[..., :2].astype(np.float32) - 32768.0) / 64.0
+    invalid = img[..., 2] == 0
+    flow[invalid] = np.nan
+    return flow
+
+
+def read_flow(path: str) -> np.ndarray:
+    """Read flow ground truth by extension: .flo (Middlebury) or .png (KITTI)."""
+    lower = path.lower()
+    if lower.endswith(".flo"):
+        return read_flo(path)
+    if lower.endswith(".png"):
+        return read_flow_png(path)
+    raise ValueError(f"unsupported flow format: {path}")

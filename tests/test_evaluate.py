@@ -80,6 +80,99 @@ def test_eval_cli_end_to_end(tmp_path, capsys):
     assert abs(np.median(flo[..., 0]) - 2.0) < 0.5
 
 
+def test_flow_png_round_trip(tmp_path):
+    """KITTI flow-PNG codec: 1/64-px quantization, invalid pixels -> NaN."""
+    rng = np.random.default_rng(3)
+    flow = rng.uniform(-60.0, 60.0, (17, 23, 2)).astype(np.float32)
+    valid = rng.random((17, 23)) > 0.25
+    path = str(tmp_path / "gt_flow.png")
+    uio.write_flow_png(path, flow, valid)
+    back = uio.read_flow_png(path)
+    assert back.shape == flow.shape and back.dtype == np.float32
+    assert np.isnan(back[~valid]).all()
+    np.testing.assert_allclose(back[valid], flow[valid], atol=1.0 / 128 + 1e-6)
+    # the generic dispatcher picks the right decoder per extension
+    np.testing.assert_array_equal(
+        uio.read_flow(path)[valid], back[valid]
+    )
+    # non-finite flow defaults the valid mask
+    flow[0, 0] = np.nan
+    uio.write_flow_png(path, flow)
+    assert np.isnan(uio.read_flow_png(path)[0, 0]).all()
+
+
+def test_png16_sub_filter_bpp_offset(tmp_path):
+    """16-bit PNG sub/up filters use the 6-byte (not 3) pixel offset."""
+    import struct
+    import zlib
+
+    h, w = 4, 5
+    img = (np.arange(h * w * 3) * 977 % 65536).astype(np.uint16).reshape(h, w, 3)
+    be = img.astype(">u2").view(np.uint8).reshape(h, w * 6)
+    rows = []
+    for i in range(h):
+        if i % 2 == 0:  # filter 1 (sub): delta vs the previous PIXEL's bytes
+            line = be[i].astype(np.int32)
+            enc = line.copy()
+            enc[6:] = (line[6:] - line[:-6]) % 256
+            rows.append(b"\x01" + enc.astype(np.uint8).tobytes())
+        else:  # filter 2 (up)
+            enc = (be[i].astype(np.int32) - be[i - 1].astype(np.int32)) % 256
+            rows.append(b"\x02" + enc.astype(np.uint8).tobytes())
+    raw = b"".join(rows)
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    path = tmp_path / "f.png"
+    path.write_bytes(
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    back = uio._read_png(str(path))
+    assert back.dtype == np.uint16
+    np.testing.assert_array_equal(back, img)
+
+
+def test_discover_and_eval_kitti_layout(tmp_path, capsys):
+    """KITTI directory layout: image_2 pairs + flow_occ 16-bit PNG truth."""
+    from cuda_optical_flow_2_tpu.cli import evaluate
+    from cuda_optical_flow_2_tpu.utils import viz
+
+    h, w, velocity = 96, 128, (2.0, 1.0)
+    img_dir = tmp_path / "image_2"
+    flow_dir = tmp_path / "flow_occ"
+    img_dir.mkdir()
+    flow_dir.mkdir()
+    frames = uio.synthetic_sequence(3, h, w, velocity=velocity, period=24)
+    truth = np.full((h, w, 2), velocity, np.float32)
+    valid = np.ones((h, w), bool)
+    valid[: h // 4] = False  # a known-invalid band must not be scored
+    for k in range(2):
+        viz.write_png(str(img_dir / f"{k:06d}_10.png"), frames[k])
+        viz.write_png(str(img_dir / f"{k:06d}_11.png"), frames[k + 1])
+        uio.write_flow_png(str(flow_dir / f"{k:06d}_10.png"), truth, valid)
+
+    pairs = evaluate.discover_pairs(str(tmp_path))
+    assert [p["name"] for p in pairs] == ["000000", "000001"]
+    assert all(p["truth"] and "flow_occ" in p["truth"] for p in pairs)
+
+    evaluate.main([
+        "--dataset", str(tmp_path), "--levels", "2", "--window", "9",
+        "--no-pallas", "--margin", "12",
+    ])
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    agg = lines[-1]
+    assert agg["pairs"] == 2 == agg["pairs_with_truth"]
+    assert agg["epe_mean"] < 0.5
+    assert all(0.0 < r["valid_fraction"] < 1.0 for r in lines[:-1])
+
+
 def test_eval_cli_without_truth(tmp_path, capsys):
     from cuda_optical_flow_2_tpu.cli import evaluate
 
