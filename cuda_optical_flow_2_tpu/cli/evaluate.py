@@ -16,7 +16,8 @@ Three directory layouts are recognized:
 * **Pair directories** (Middlebury style): every immediate subdirectory that
   contains at least two images is one evaluation pair — the first two images
   in sorted order (``frame10.png``, ``frame11.png``) plus the single ``.flo``
-  file (or a ``*flow*.png`` KITTI-encoded truth), if present, as ground truth.
+  file (or a ``flow.png`` / ``*_flow.png`` / ``gt_flow.png`` KITTI-encoded
+  truth), if present, as ground truth.
 * **Flat sequence**: images directly in the directory, sorted; consecutive
   frames form pairs, and a ``.flo`` (or ``_flow.png``) named after the FIRST
   frame of a pair (``frame_0003.png`` -> ``frame_0003.flo``) is its truth.
@@ -92,9 +93,10 @@ def discover_pairs(root: str) -> list[dict]:
         raise FileNotFoundError(f"dataset directory not found: {root}")
 
     def is_flow_png(name: str) -> bool:
-        stem = os.path.splitext(name)[0].lower()
+        # Exact-suffix/name match only ("flower_10.png" is a frame, not truth).
+        stem = os.path.basename(os.path.splitext(name)[0]).lower()
         return name.lower().endswith(".png") and (
-            stem.endswith("_flow") or "flow" in os.path.basename(stem)
+            stem.endswith("_flow") or stem in ("flow", "gt_flow")
         )
 
     def images_in(d: str) -> list[str]:

@@ -47,6 +47,22 @@ def test_discover_pairs_flat_and_subdir(tmp_path):
     assert len(pairs) == 2
     assert all(p["truth"] for p in pairs)
 
+    # Pair dir with flow-PNG truth; "flower"-like frame names are NOT truth.
+    sub2 = tmp_path / "mb2" / "seq_png"
+    sub2.mkdir(parents=True)
+    from cuda_optical_flow_2_tpu.utils import viz
+
+    frames = uio.synthetic_sequence(2, 32, 48, velocity=(1.0, 0.0))
+    viz.write_png(str(sub2 / "flower_10.png"), frames[0])
+    viz.write_png(str(sub2 / "flower_11.png"), frames[1])
+    uio.write_flow_png(
+        str(sub2 / "gt_flow.png"), np.full((32, 48, 2), (1.0, 0.0), np.float32)
+    )
+    (pair,) = evaluate.discover_pairs(str(tmp_path / "mb2"))
+    assert pair["first"].endswith("flower_10.png")
+    assert pair["second"].endswith("flower_11.png")
+    assert pair["truth"].endswith("gt_flow.png")
+
     # Middlebury-style: one subdirectory per pair, one .flo inside.
     sub = tmp_path / "mb" / "seq_a"
     sub.mkdir(parents=True)
