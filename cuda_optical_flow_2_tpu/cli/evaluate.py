@@ -206,10 +206,15 @@ def evaluate_pair(
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
         viz.write_png(
-            os.path.join(out_dir, f"{pair['name']}_flow.png"),
+            os.path.join(out_dir, f"{pair['name']}_color.png"),
             viz.flow_to_color(flow),
         )
         uio.write_flo(os.path.join(out_dir, f"{pair['name']}.flo"), flow)
+        # KITTI-encoded 16-bit artifact named per the truth convention, so an
+        # --out directory is directly consumable as flow-PNG ground truth.
+        uio.write_flow_png(
+            os.path.join(out_dir, f"{pair['name']}_flow.png"), flow
+        )
     return rec
 
 

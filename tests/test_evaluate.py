@@ -90,10 +90,16 @@ def test_eval_cli_end_to_end(tmp_path, capsys):
     assert agg["fl_all"] < 0.05
     # per-pair records carry the full report
     assert all("epe_median" in r for r in lines[:-1])
-    # artifacts: flow-color PNG + .flo round trip per pair
+    # artifacts: flow-color PNG + .flo + KITTI flow-PNG round trip per pair
     flo = uio.read_flo(str(out / "frame_0000.flo"))
     assert flo.shape == (96, 128, 2)
     assert abs(np.median(flo[..., 0]) - 2.0) < 0.5
+    kitti = uio.read_flow_png(str(out / "frame_0000_flow.png"))
+    finite = np.isfinite(kitti).all(axis=-1)
+    np.testing.assert_allclose(
+        kitti[finite], flo[finite], atol=1.0 / 128 + 1e-6
+    )
+    assert (out / "frame_0000_color.png").exists()
 
 
 def test_flow_png_round_trip(tmp_path):
