@@ -7,12 +7,16 @@ frame pairs with Middlebury ``.flo`` ground truth and it reports per-pair and
 aggregate EPE / angular error / KITTI Fl outlier rate for the chosen model
 family, all through the production jitted pipeline.
 
-Three directory layouts are recognized:
+Four directory layouts are recognized:
 
 * **KITTI**: a root containing an ``image_2`` (2015) or ``colored_0`` (2012)
   directory of ``XXXXXX_10.png`` / ``XXXXXX_11.png`` frame pairs, with
   ground truth as 16-bit flow PNGs of the same stem under ``flow_occ`` (or
   ``flow_noc`` if only that exists).
+* **Sintel**: a root (the ``training`` directory) containing a render-pass
+  directory (``--sintel-pass final`` by default, falling back to ``clean``)
+  of per-sequence frame directories, plus a sibling ``flow`` tree with
+  ``.flo`` truth named after the FIRST frame of each consecutive pair.
 * **Pair directories** (Middlebury style): every immediate subdirectory that
   contains at least two images is one evaluation pair — the first two images
   in sorted order (``frame10.png``, ``frame11.png``) plus the single ``.flo``
@@ -83,10 +87,55 @@ def _discover_kitti(root: str) -> list[dict]:
     return pairs
 
 
-def discover_pairs(root: str) -> list[dict]:
+def _discover_sintel(root: str, sintel_pass: str = "final") -> list[dict]:
+    """Recognize the MPI-Sintel training layout, if present.
+
+    ``root/<pass>/<sequence>/frame_XXXX.png`` frames (pass = ``final`` or
+    ``clean``; the requested one preferred, the other as fallback) with
+    ``root/flow/<sequence>/frame_XXXX.flo`` truth named after the first
+    frame of each consecutive pair.  Every consecutive pair of every
+    sequence is one evaluation pair.  Returns [] when the layout is absent.
+    """
+    flow_root = os.path.join(root, "flow")
+    order = (sintel_pass, "clean" if sintel_pass == "final" else "final")
+    pass_dir = None
+    for cand in order:
+        if os.path.isdir(os.path.join(root, cand)):
+            pass_dir = os.path.join(root, cand)
+            break
+    if pass_dir is None:
+        return []
+    has_flow = os.path.isdir(flow_root)
+
+    pairs: list[dict] = []
+    for seq in sorted(os.listdir(pass_dir)):
+        sdir = os.path.join(pass_dir, seq)
+        if not os.path.isdir(sdir):
+            continue
+        imgs = sorted(
+            os.path.join(sdir, f)
+            for f in os.listdir(sdir)
+            if f.lower().endswith(_IMAGE_EXTS)
+        )
+        for a, b in zip(imgs, imgs[1:]):
+            stem = os.path.splitext(os.path.basename(a))[0]
+            flo = os.path.join(flow_root, seq, stem + ".flo")
+            pairs.append(
+                {
+                    # '/' would split --out artifact names into directories
+                    "name": f"{seq}_{stem}",
+                    "first": a,
+                    "second": b,
+                    "truth": flo if has_flow and os.path.exists(flo) else None,
+                }
+            )
+    return pairs
+
+
+def discover_pairs(root: str, sintel_pass: str = "final") -> list[dict]:
     """Find (name, frame0, frame1, truth-or-None) evaluation pairs under root.
 
-    See module docstring for the two recognized layouts.  Returns a sorted
+    See module docstring for the recognized layouts.  Returns a sorted
     list of dicts with keys ``name``, ``first``, ``second``, ``truth``.
     """
     if not os.path.isdir(root):
@@ -109,6 +158,9 @@ def discover_pairs(root: str) -> list[dict]:
     kitti = _discover_kitti(root)
     if kitti:
         return kitti
+    sintel = _discover_sintel(root, sintel_pass)
+    if sintel:
+        return sintel
 
     pairs: list[dict] = []
     subdirs = sorted(
@@ -234,6 +286,10 @@ def main(argv=None) -> None:
         help="border crop before scoring (default: window size)",
     )
     ap.add_argument("--out", default=None, help="write flow PNG/.flo per pair")
+    ap.add_argument(
+        "--sintel-pass", default="final", choices=("final", "clean"),
+        help="render pass preferred in the Sintel layout",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -250,7 +306,7 @@ def main(argv=None) -> None:
 
     flow_fn = jax.jit(lambda p, n: pyramidal_flow(p, n, cfg))
 
-    pairs = discover_pairs(args.dataset)
+    pairs = discover_pairs(args.dataset, sintel_pass=args.sintel_pass)
     scored: list[dict] = []
     for pair in pairs:
         rec = evaluate_pair(pair, flow_fn, margin, args.out)

@@ -195,6 +195,48 @@ def test_discover_and_eval_kitti_layout(tmp_path, capsys):
     assert all(0.0 < r["valid_fraction"] < 1.0 for r in lines[:-1])
 
 
+def test_discover_and_eval_sintel_layout(tmp_path, capsys):
+    """Sintel layout: final/<seq> frames + flow/<seq> .flo, all consecutive
+    pairs of every sequence; --sintel-pass picks the render pass."""
+    from cuda_optical_flow_2_tpu.cli import evaluate
+    from cuda_optical_flow_2_tpu.utils import viz
+
+    h, w, velocity = 96, 128, (2.0, 1.0)
+    frames = uio.synthetic_sequence(3, h, w, velocity=velocity, period=24)
+    truth = np.full((h, w, 2), velocity, np.float32)
+    for seq in ("alley_1", "bandage_2"):
+        fdir = tmp_path / "final" / seq
+        gdir = tmp_path / "flow" / seq
+        fdir.mkdir(parents=True)
+        gdir.mkdir(parents=True)
+        for t in range(3):
+            viz.write_png(str(fdir / f"frame_{t + 1:04d}.png"), frames[t])
+            if t < 2:
+                uio.write_flo(str(gdir / f"frame_{t + 1:04d}.flo"), truth)
+
+    pairs = evaluate.discover_pairs(str(tmp_path))
+    assert len(pairs) == 4  # 2 sequences x 2 consecutive pairs
+    assert pairs[0]["name"] == "alley_1_frame_0001"
+    assert all(p["truth"] and p["truth"].endswith(".flo") for p in pairs)
+
+    # a clean-pass copy is preferred when requested
+    (tmp_path / "clean").mkdir()
+    (tmp_path / "clean" / "alley_1").mkdir()
+    viz.write_png(str(tmp_path / "clean" / "alley_1" / "frame_0001.png"), frames[0])
+    viz.write_png(str(tmp_path / "clean" / "alley_1" / "frame_0002.png"), frames[1])
+    clean = evaluate.discover_pairs(str(tmp_path), sintel_pass="clean")
+    assert len(clean) == 1 and "/clean/" in clean[0]["first"]
+
+    evaluate.main([
+        "--dataset", str(tmp_path), "--levels", "2", "--window", "9",
+        "--no-pallas", "--margin", "12",
+    ])
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    agg = lines[-1]
+    assert agg["pairs"] == 4 == agg["pairs_with_truth"]
+    assert agg["epe_mean"] < 0.5
+
+
 def test_eval_cli_without_truth(tmp_path, capsys):
     from cuda_optical_flow_2_tpu.cli import evaluate
 
