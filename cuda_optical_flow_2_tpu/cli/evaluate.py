@@ -276,6 +276,15 @@ def main(argv=None) -> None:
     ap.add_argument(
         "--model", default="lk", choices=("lk", "hs", "fb", "tvl1", "dis")
     )
+    ap.add_argument(
+        "--preset", default=None,
+        choices=(
+            "reference_gpu", "reference_cpu", "paper_1080p",
+            "tvl1_realtime", "dis_realtime",
+        ),
+        help="named operating point (overrides --model/--levels/--window/"
+        "--iterations; the model family is implied by the preset's config type)",
+    )
     ap.add_argument("--levels", type=int, default=4)
     ap.add_argument("--window", type=int, default=19)
     ap.add_argument("--iterations", type=int, default=None,
@@ -298,11 +307,25 @@ def main(argv=None) -> None:
     from cuda_optical_flow_2_tpu.cli.benchmark import _model_cfg
     from cuda_optical_flow_2_tpu.models import pyramidal_flow
 
-    lk = of.LKConfig(levels=args.levels, window=args.window)
-    cfg = _model_cfg(args.model, lk, args.no_pallas)
-    if args.iterations is not None and hasattr(cfg, "iterations"):
-        cfg = type(cfg)(**{**cfg.__dict__, "iterations": args.iterations})
-    margin = args.margin if args.margin is not None else args.window
+    if args.preset is not None:
+        import dataclasses
+
+        import cuda_optical_flow_2_tpu.models as models
+
+        cfg = getattr(models, args.preset.upper(), None)
+        if cfg is None:
+            cfg = getattr(of, args.preset.upper())
+        if args.no_pallas:
+            cfg = dataclasses.replace(cfg, use_pallas=False)
+        margin = args.margin if args.margin is not None else getattr(
+            cfg, "window", getattr(cfg, "winsize", 16)
+        )
+    else:
+        lk = of.LKConfig(levels=args.levels, window=args.window)
+        cfg = _model_cfg(args.model, lk, args.no_pallas)
+        if args.iterations is not None and hasattr(cfg, "iterations"):
+            cfg = type(cfg)(**{**cfg.__dict__, "iterations": args.iterations})
+        margin = args.margin if args.margin is not None else args.window
 
     flow_fn = jax.jit(lambda p, n: pyramidal_flow(p, n, cfg))
 
@@ -316,7 +339,8 @@ def main(argv=None) -> None:
 
     summary: dict = {
         "aggregate": True,
-        "model": args.model,
+        "model": type(cfg).__name__ if args.preset else args.model,
+        **({"preset": args.preset} if args.preset else {}),
         "pairs": len(pairs),
         "pairs_with_truth": len(scored),
     }

@@ -237,6 +237,22 @@ def test_discover_and_eval_sintel_layout(tmp_path, capsys):
     assert agg["epe_mean"] < 0.5
 
 
+def test_eval_cli_preset(tmp_path, capsys):
+    """--preset runs a named operating point; family implied by config type."""
+    from cuda_optical_flow_2_tpu.cli import evaluate
+
+    data = tmp_path / "data"
+    data.mkdir()
+    _write_dataset_flat(data, n_frames=2)
+    evaluate.main([
+        "--dataset", str(data), "--preset", "tvl1_realtime",
+        "--no-pallas", "--margin", "16",
+    ])
+    agg = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert agg["model"] == "TVL1Config" and agg["preset"] == "tvl1_realtime"
+    assert agg["epe_mean"] < 0.3
+
+
 def test_eval_cli_without_truth(tmp_path, capsys):
     from cuda_optical_flow_2_tpu.cli import evaluate
 
