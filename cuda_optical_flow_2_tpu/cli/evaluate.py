@@ -120,6 +120,9 @@ def _discover_sintel(root: str, sintel_pass: str = "final") -> list[dict]:
         for a, b in zip(imgs, imgs[1:]):
             stem = os.path.splitext(os.path.basename(a))[0]
             flo = os.path.join(flow_root, seq, stem + ".flo")
+            # Sintel ships per-pair occlusion masks (occ/<seq>/<stem>.png,
+            # white = occluded) used for the EPE matched/unmatched split.
+            occ = os.path.join(root, "occ", seq, stem + ".png")
             pairs.append(
                 {
                     # '/' would split --out artifact names into directories
@@ -127,6 +130,7 @@ def _discover_sintel(root: str, sintel_pass: str = "final") -> list[dict]:
                     "first": a,
                     "second": b,
                     "truth": flo if has_flow and os.path.exists(flo) else None,
+                    "occ": occ if os.path.exists(occ) else None,
                 }
             )
     return pairs
@@ -137,7 +141,21 @@ def discover_pairs(root: str, sintel_pass: str = "final") -> list[dict]:
 
     See module docstring for the recognized layouts.  Returns a sorted
     list of dicts with keys ``name``, ``first``, ``second``, ``truth``.
+    Layout sniffing is greedy (KITTI, then Sintel, then generic), so the
+    detected layout is reported on stderr — a mis-detection silently drops
+    pairs otherwise (ADVICE r2).
     """
+    layout, pairs = _discover(root, sintel_pass)
+    import sys
+
+    print(
+        f"of2-eval: detected {layout} layout ({len(pairs)} pairs)",
+        file=sys.stderr,
+    )
+    return pairs
+
+
+def _discover(root: str, sintel_pass: str) -> tuple[str, list[dict]]:
     if not os.path.isdir(root):
         raise FileNotFoundError(f"dataset directory not found: {root}")
 
@@ -157,10 +175,10 @@ def discover_pairs(root: str, sintel_pass: str = "final") -> list[dict]:
 
     kitti = _discover_kitti(root)
     if kitti:
-        return kitti
+        return "KITTI", kitti
     sintel = _discover_sintel(root, sintel_pass)
     if sintel:
-        return sintel
+        return "Sintel", sintel
 
     pairs: list[dict] = []
     subdirs = sorted(
@@ -186,7 +204,7 @@ def discover_pairs(root: str, sintel_pass: str = "final") -> list[dict]:
             }
         )
     if pairs:
-        return pairs
+        return "pair-directories", pairs
 
     imgs = images_in(root)
     for a, b in zip(imgs, imgs[1:]):
@@ -209,26 +227,50 @@ def discover_pairs(root: str, sintel_pass: str = "final") -> list[dict]:
             f"no evaluation pairs found under {root} (looked for image "
             f"subdirectories and for flat {'/'.join(_IMAGE_EXTS)} sequences)"
         )
-    return pairs
+    return "flat-sequence", pairs
 
 
 def _load_gray(path: str) -> np.ndarray:
-    """Load an image file as a float32 grayscale (H, W) plane."""
+    """Load an image file as a float32 grayscale (H, W) plane, 0-255 scale.
+
+    16-bit frames rescale by 1/257 (65535 -> 255) so scale-dependent knobs
+    (e.g. the bilateral prefilter's sigma_range) see the intensity range
+    every config documents; 16-bit decoding exists for flow-PNG truth.
+    """
     import jax.numpy as jnp
 
     from cuda_optical_flow_2_tpu.ops.color import grayscale
     from cuda_optical_flow_2_tpu.utils import io as uio
 
     img = uio.read_image(path)
+    scale = 1.0 / 257.0 if img.dtype == np.uint16 else 1.0
     if img.ndim == 3:
-        img = np.asarray(grayscale(jnp.asarray(img)))
-    return np.asarray(img, np.float32)
+        img = np.asarray(grayscale(jnp.asarray(img.astype(np.float32))))
+    return np.asarray(img, np.float32) * np.float32(scale)
+
+
+def _bucket_shape(shape: tuple[int, int], bucket: int) -> tuple[int, int]:
+    """Round (H, W) up to multiples of ``bucket`` (identity when 0)."""
+    if not bucket:
+        return shape
+    h, w = shape
+    return (-(-h // bucket) * bucket, -(-w // bucket) * bucket)
 
 
 def evaluate_pair(
-    pair: dict, flow_fn, margin: int, out_dir: str | None = None
+    pair: dict,
+    flow_fn,
+    margin: int,
+    out_dir: str | None = None,
+    bucket: int = 0,
 ) -> dict:
-    """Run one pair through ``flow_fn`` and score it against its truth."""
+    """Run one pair through ``flow_fn`` and score it against its truth.
+
+    With ``bucket`` > 0, frames are edge-padded (bottom/right) up to the
+    next multiple of ``bucket`` per side before the jitted pipeline and the
+    flow is cropped back — so datasets with varying frame shapes (KITTI)
+    compile once per bucket instead of once per distinct shape.
+    """
     import jax.numpy as jnp
 
     from cuda_optical_flow_2_tpu.utils import io as uio
@@ -241,17 +283,32 @@ def evaluate_pair(
             f"{pair['name']}: frame shapes differ "
             f"({prev.shape} vs {nxt.shape})"
         )
+    h, w = prev.shape
+    bh, bw = _bucket_shape((h, w), bucket)
+    if (bh, bw) != (h, w):
+        pad = ((0, bh - h), (0, bw - w))
+        prev = np.pad(prev, pad, mode="edge")
+        nxt = np.pad(nxt, pad, mode="edge")
     flow = np.asarray(flow_fn(jnp.asarray(prev), jnp.asarray(nxt)))
+    flow = flow[:h, :w]
 
-    rec: dict = {"pair": pair["name"], "shape": list(prev.shape)}
+    rec: dict = {"pair": pair["name"], "shape": [h, w]}
+    if (bh, bw) != (h, w):
+        rec["padded_shape"] = [bh, bw]
+    occ = None
+    if pair.get("occ"):
+        occ = uio.read_image(pair["occ"])
+        if occ.ndim == 3:
+            occ = occ[..., 0]
+        occ = occ > 0
     if pair["truth"] is not None:
         truth = uio.read_flow(pair["truth"])
-        if truth.shape[:2] != prev.shape:
+        if truth.shape[:2] != (h, w):
             raise ValueError(
                 f"{pair['name']}: ground truth shape {truth.shape[:2]} does "
-                f"not match frames {prev.shape}"
+                f"not match frames {(h, w)}"
             )
-        rec.update(metrics.evaluate_flow(flow, truth, margin=margin))
+        rec.update(metrics.evaluate_flow(flow, truth, margin=margin, occ=occ))
     else:
         rec.update({f"flow_{k}": v for k, v in metrics.flow_stats(flow).items()})
 
@@ -299,6 +356,12 @@ def main(argv=None) -> None:
         "--sintel-pass", default="final", choices=("final", "clean"),
         help="render pass preferred in the Sintel layout",
     )
+    ap.add_argument(
+        "--bucket", type=int, default=0,
+        help="pad frames up to multiples of this per side (edge replication,"
+        " flow cropped back) so varying-shape datasets compile once per"
+        " bucket instead of once per shape; 0 = exact shapes",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -327,12 +390,28 @@ def main(argv=None) -> None:
             cfg = type(cfg)(**{**cfg.__dict__, "iterations": args.iterations})
         margin = args.margin if args.margin is not None else args.window
 
-    flow_fn = jax.jit(lambda p, n: pyramidal_flow(p, n, cfg))
+    # The Python body runs once per XLA trace, so `compiles` counts distinct
+    # compiled shapes — with --bucket that is the number of buckets, which
+    # the summary reports (and tests assert).
+    compiles = 0
 
-    pairs = discover_pairs(args.dataset, sintel_pass=args.sintel_pass)
+    def _step(p, n):
+        nonlocal compiles
+        compiles += 1
+        return pyramidal_flow(p, n, cfg)
+
+    flow_fn = jax.jit(_step)
+
+    import sys
+
+    layout, pairs = _discover(args.dataset, sintel_pass=args.sintel_pass)
+    print(
+        f"of2-eval: detected {layout} layout ({len(pairs)} pairs)",
+        file=sys.stderr,
+    )
     scored: list[dict] = []
     for pair in pairs:
-        rec = evaluate_pair(pair, flow_fn, margin, args.out)
+        rec = evaluate_pair(pair, flow_fn, margin, args.out, bucket=args.bucket)
         print(json.dumps(rec), flush=True)
         if "epe_mean" in rec:
             scored.append(rec)
@@ -341,12 +420,19 @@ def main(argv=None) -> None:
         "aggregate": True,
         "model": type(cfg).__name__ if args.preset else args.model,
         **({"preset": args.preset} if args.preset else {}),
+        "layout": layout,
         "pairs": len(pairs),
         "pairs_with_truth": len(scored),
+        "compiles": compiles,
     }
     if scored:
-        for key in ("epe_mean", "angular_deg_mean", "fl_all", "bad_1px", "bad_3px"):
-            summary[key] = float(np.mean([r[key] for r in scored]))
+        for key in (
+            "epe_mean", "angular_deg_mean", "fl_all", "bad_1px", "bad_3px",
+            "epe_matched", "epe_unmatched",
+        ):
+            vals = [r[key] for r in scored if key in r]
+            if vals:
+                summary[key] = float(np.mean(vals))
     print(json.dumps(summary), flush=True)
 
 

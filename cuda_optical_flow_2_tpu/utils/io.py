@@ -250,13 +250,40 @@ def write_ppm(path: str, img: np.ndarray) -> None:
         f.write(img.tobytes())
 
 
+def _read_png_cv2(path: str) -> np.ndarray | None:
+    """Decode via OpenCV when importable (C-speed adaptive-filter inflate);
+    None when cv2 is absent or declines the file.  Output matches the pure
+    decoder: (H, W) gray or (H, W, 3) RGB, uint8/uint16 at native depth."""
+    try:
+        import cv2
+    except ImportError:
+        return None
+    img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    if img is None or img.dtype not in (np.uint8, np.uint16):
+        return None
+    if img.ndim == 3:
+        if img.shape[-1] == 4:
+            img = img[..., :3]
+        img = img[..., ::-1].copy()  # BGR -> RGB
+    return img
+
+
 def _read_png(path: str) -> np.ndarray:
     """Minimal PNG reader: 8/16-bit, color type 0 (gray) or 2 (RGB), no interlace.
 
     Returns uint8 for 8-bit files, uint16 (host-endian, decoded from the PNG's
     big-endian samples) for 16-bit files — the latter is how KITTI encodes
     flow ground truth (see :func:`read_flow_png`).
+
+    Real libpng output (e.g. KITTI ground truth) uses adaptive per-row
+    filtering whose left-predicting filters decode sequentially; when OpenCV
+    is importable it decodes instead (two orders of magnitude faster on
+    1242x375 KITTI frames), with this pure-Python path as the zero-dependency
+    fallback (sub/up vectorized; average/paeth per-byte).
     """
+    fast = _read_png_cv2(path)
+    if fast is not None:
+        return fast
     with open(path, "rb") as f:
         data = f.read()
     if data[:8] != b"\x89PNG\r\n\x1a\n":
@@ -298,9 +325,12 @@ def _read_png(path: str) -> np.ndarray:
         elif ft == 2:  # up
             rec = (line + prev) % 256
         elif ft == 1:  # sub
-            rec = line.copy()
-            for j in range(bpp, stride):
-                rec[j] = (rec[j] + rec[j - bpp]) % 256
+            # rec[j] = line[j] + rec[j-bpp]: a running sum per byte lane
+            # (j mod bpp) — vectorized as a cumsum over the pixel axis.
+            rec = (
+                np.cumsum(line.reshape(-1, bpp), axis=0, dtype=np.int64)
+                .reshape(-1) % 256
+            ).astype(np.int32)
         elif ft == 3:  # average
             rec = line.copy()
             for j in range(stride):
@@ -414,7 +444,11 @@ def write_flow_png(
     KITTI 2012/2015 ground-truth encoding: R = u*64 + 2^15, G = v*64 + 2^15
     (uint16, saturating), B = 1 where the truth is valid, 0 elsewhere.
     ``valid`` defaults to the finite pixels of ``flow``; invalid pixels are
-    written as (0, 0, B=0).  The reference has no flow IO at all.
+    written as literal (0, 0, 0) — byte-identical to the KITTI devkit, which
+    zeroes all three channels at unknown pixels.  The format represents
+    |u|,|v| <= (2^15 - 1)/64 ~ 511.98 px; values beyond that saturate, and a
+    RuntimeWarning is emitted (KITTI's own range limit — use .flo for larger
+    flows).  The reference has no flow IO at all.
     """
     flow = np.asarray(flow, np.float64)
     if flow.ndim != 3 or flow.shape[-1] != 2:
@@ -428,11 +462,20 @@ def write_flow_png(
         )
     h, w = flow.shape[:2]
     img = np.zeros((h, w, 3), np.uint16)
-    quant = np.clip(
-        np.round(np.where(valid[..., None], flow, 0.0) * 64.0 + 32768.0),
-        0,
-        65535,
-    ).astype(np.uint16)
+    fv = np.where(valid[..., None], flow, 0.0)
+    limit = (65535.0 - 32768.0) / 64.0  # ~511.98 px
+    if np.abs(fv).max(initial=0.0) > limit:
+        import warnings
+
+        warnings.warn(
+            f"flow exceeds the KITTI PNG range (max |component| "
+            f"{np.abs(fv).max():.1f} px > {limit:.2f}); values saturate — "
+            f"use write_flo for an exact artifact",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    quant = np.clip(np.round(fv * 64.0 + 32768.0), 0, 65535).astype(np.uint16)
+    quant *= valid[..., None].astype(np.uint16)  # devkit zeroes unknowns
     img[..., 0] = quant[..., 0]
     img[..., 1] = quant[..., 1]
     img[..., 2] = valid.astype(np.uint16)

@@ -79,7 +79,10 @@ def outlier_rate(
 
 
 def evaluate_flow(
-    flow: np.ndarray, truth: np.ndarray, margin: int = 0
+    flow: np.ndarray,
+    truth: np.ndarray,
+    margin: int = 0,
+    occ: np.ndarray | None = None,
 ) -> dict:
     """Standard accuracy report of ``flow`` against ground truth.
 
@@ -88,20 +91,27 @@ def evaluate_flow(
     px).  Unknown-truth pixels (Middlebury sentinel / non-finite) are
     excluded; ``margin`` crops each border before scoring (dense flow is
     undefined where the window/warp leaves the frame).
+
+    ``occ`` (optional, (H, W) bool/uint8, nonzero = occluded) splits the EPE
+    the Sintel way: ``epe_matched`` over valid non-occluded pixels,
+    ``epe_unmatched`` over valid occluded ones (NaN when a side is empty).
     """
     f = np.asarray(flow, np.float64)
     t = np.asarray(truth, np.float64)
     if margin:
         f = f[..., margin:-margin, margin:-margin, :]
         t = t[..., margin:-margin, margin:-margin, :]
+        if occ is not None:
+            occ = np.asarray(occ)[..., margin:-margin, margin:-margin]
     valid = _valid_truth_mask(t)
     if not valid.any():
         return {"valid_fraction": 0.0}
-    e = epe(f, t)[valid]
+    e_all = epe(f, t)
+    e = e_all[valid]
     ang = angular_error(f, t)[valid]
     tm = np.hypot(t[..., 0], t[..., 1])[valid]
     bad = (e > 3.0) & (e > 0.05 * tm)
-    return {
+    rec = {
         "epe_mean": float(e.mean()),
         "epe_median": float(np.median(e)),
         "epe_p95": float(np.percentile(e, 95)),
@@ -111,6 +121,21 @@ def evaluate_flow(
         "bad_3px": float((e > 3.0).mean()),
         "valid_fraction": float(valid.mean()),
     }
+    if occ is not None:
+        om = np.asarray(occ).astype(bool)
+        if om.shape != valid.shape:
+            raise ValueError(
+                f"occlusion mask shape {om.shape} != flow plane {valid.shape}"
+            )
+        matched, unmatched = valid & ~om, valid & om
+        rec["epe_matched"] = (
+            float(e_all[matched].mean()) if matched.any() else float("nan")
+        )
+        rec["epe_unmatched"] = (
+            float(e_all[unmatched].mean()) if unmatched.any() else float("nan")
+        )
+        rec["occluded_fraction"] = float(om[valid].mean())
+    return rec
 
 
 def flow_stats(flow: np.ndarray) -> dict:

@@ -269,3 +269,94 @@ def test_eval_cli_without_truth(tmp_path, capsys):
     lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
     assert lines[-1]["pairs"] == 1 and lines[-1]["pairs_with_truth"] == 0
     assert "flow_mean_magnitude" in lines[0]
+
+def test_eval_cli_bucket_compiles_once_per_bucket(tmp_path, capsys):
+    """--bucket pads varying-shape pairs to shared shapes: 3 distinct frame
+    shapes land in 2 buckets -> exactly 2 XLA traces (the KITTI readiness
+    requirement, VERDICT r2 #4a), and accuracy survives the padding."""
+    from cuda_optical_flow_2_tpu.cli import evaluate
+    from cuda_optical_flow_2_tpu.utils import viz
+
+    velocity = (2.0, 1.0)
+    shapes = [(96, 120), (88, 126), (60, 62)]  # buckets 128x128, 128x128, 64x64
+    for i, (h, w) in enumerate(shapes):
+        sub = tmp_path / f"seq{i}"
+        sub.mkdir()
+        frames = uio.synthetic_sequence(2, h, w, velocity=velocity, period=24)
+        viz.write_png(str(sub / "frame_0.png"), frames[0])
+        viz.write_png(str(sub / "frame_1.png"), frames[1])
+        uio.write_flo(
+            str(sub / "frame_0.flo"), np.full((h, w, 2), velocity, np.float32)
+        )
+
+    evaluate.main([
+        "--dataset", str(tmp_path), "--levels", "2", "--window", "9",
+        "--no-pallas", "--margin", "12", "--bucket", "64",
+    ])
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    agg = lines[-1]
+    assert agg["compiles"] == 2
+    assert agg["pairs"] == 3 == agg["pairs_with_truth"]
+    assert agg["epe_mean"] < 0.5
+    padded = {tuple(r.get("padded_shape", r["shape"])) for r in lines[:-1]}
+    assert padded == {(128, 128), (64, 64)}
+
+    # Without bucketing the same tree compiles once per distinct shape.
+    evaluate.main([
+        "--dataset", str(tmp_path), "--levels", "2", "--window", "9",
+        "--no-pallas", "--margin", "12",
+    ])
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert lines[-1]["compiles"] == 3
+    assert "padded_shape" not in lines[0]
+
+
+def test_eval_sintel_occlusion_split(tmp_path, capsys):
+    """Sintel occ/ masks produce the EPE matched/unmatched split."""
+    from cuda_optical_flow_2_tpu.cli import evaluate
+    from cuda_optical_flow_2_tpu.utils import viz
+
+    h, w, velocity = 96, 128, (2.0, 1.0)
+    frames = uio.synthetic_sequence(3, h, w, velocity=velocity, period=24)
+    truth = np.full((h, w, 2), velocity, np.float32)
+    # Occluded band carries deliberately wrong truth so the split is visible.
+    occ_mask = np.zeros((h, w), np.uint8)
+    occ_mask[:, : w // 4] = 255
+    truth_occ = truth.copy()
+    truth_occ[:, : w // 4] = (30.0, -30.0)
+    fdir = tmp_path / "final" / "alley_1"
+    gdir = tmp_path / "flow" / "alley_1"
+    odir = tmp_path / "occ" / "alley_1"
+    for d in (fdir, gdir, odir):
+        d.mkdir(parents=True)
+    for t in range(3):
+        viz.write_png(str(fdir / f"frame_{t + 1:04d}.png"), frames[t])
+        if t < 2:
+            uio.write_flo(str(gdir / f"frame_{t + 1:04d}.flo"), truth_occ)
+            viz.write_png(str(odir / f"frame_{t + 1:04d}.png"), occ_mask)
+
+    pairs = evaluate.discover_pairs(str(tmp_path))
+    assert all(p["occ"] and "/occ/" in p["occ"] for p in pairs)
+
+    evaluate.main([
+        "--dataset", str(tmp_path), "--levels", "2", "--window", "9",
+        "--no-pallas", "--margin", "12",
+    ])
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    agg = lines[-1]
+    assert agg["layout"] == "Sintel"
+    assert agg["epe_matched"] < 0.5          # truth is correct off-occlusion
+    assert agg["epe_unmatched"] > 10.0       # and deliberately wrong on it
+    assert all(0.0 < r["occluded_fraction"] < 1.0 for r in lines[:-1])
+
+
+def test_metrics_occlusion_split_margins():
+    truth = np.zeros((16, 16, 2), np.float64)
+    flow = np.zeros_like(truth)
+    flow[:, :8, 0] = 2.0
+    occ = np.zeros((16, 16), bool)
+    occ[:, :8] = True
+    rep = metrics.evaluate_flow(flow, truth, margin=2, occ=occ)
+    assert rep["epe_matched"] == 0.0
+    assert abs(rep["epe_unmatched"] - 2.0) < 1e-12
+    assert abs(rep["occluded_fraction"] - 0.5) < 1e-12
