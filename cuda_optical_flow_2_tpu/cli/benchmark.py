@@ -126,6 +126,9 @@ def _model_cfg(model: str, lk_cfg, no_pallas: bool):
 
 
 def main(argv=None) -> None:
+    from cuda_optical_flow_2_tpu.cli import apply_platform_env
+
+    apply_platform_env()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--configs", type=int, nargs="+", default=[1, 2, 3, 4])
     ap.add_argument("--iters", type=int, default=20)

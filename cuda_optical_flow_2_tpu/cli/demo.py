@@ -82,6 +82,9 @@ def _dump_gradients(frame, prev_frame, levels: int, out_dir: str, idx: int) -> N
 
 
 def main(argv=None) -> None:
+    from cuda_optical_flow_2_tpu.cli import apply_platform_env
+
+    apply_platform_env()
     ap = argparse.ArgumentParser(description=__doc__)
     src = ap.add_mutually_exclusive_group()
     src.add_argument(
@@ -117,8 +120,9 @@ def main(argv=None) -> None:
     )
     ap.add_argument("--bilateral", action="store_true", help="enable pre-filter")
     ap.add_argument(
-        "--median", type=int, default=0,
-        help="TV-L1 flow median filter size (odd; 0 = off; OpenCV uses 5)",
+        "--median", type=int, default=None,
+        help="TV-L1 flow median filter size (odd; 0 = off; default: the "
+        "config default 5, matching OpenCV DualTVL1)",
     )
     ap.add_argument("--no-pallas", action="store_true")
     ap.add_argument("--out", default=None, help="artifact output directory")
@@ -208,7 +212,7 @@ def main(argv=None) -> None:
         cfg = TVL1Config(
             levels=args.levels,
             iterations=args.iterations if args.iterations is not None else 30,
-            median_filtering=args.median,
+            **({} if args.median is None else {"median_filtering": args.median}),
             prefilter=prefilter,
             use_pallas=not args.no_pallas,
         )

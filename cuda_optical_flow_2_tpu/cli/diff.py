@@ -19,6 +19,9 @@ import numpy as np
 
 
 def main(argv=None) -> None:
+    from cuda_optical_flow_2_tpu.cli import apply_platform_env
+
+    apply_platform_env()
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument(
         "--model", choices=("lk", "hs", "fb", "tvl1", "dis"), default="lk"

@@ -328,6 +328,9 @@ def evaluate_pair(
 
 
 def main(argv=None) -> None:
+    from cuda_optical_flow_2_tpu.cli import apply_platform_env
+
+    apply_platform_env()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--dataset", required=True, help="dataset directory")
     ap.add_argument(
