@@ -68,8 +68,10 @@ class TVL1Config:
       epsilon: |grad|^2 floor in the threshold step's division.
       median_filtering: odd k applies a k x k spatial median to the flow
         after each warp's iterations (the outlier-rejection step of the
-        standard TV-L1 pipeline — OpenCV DualTVL1's medianBlur(5)); 0/1
-        disables (default: off, preserving the pure Zach et al. update).
+        standard TV-L1 pipeline — OpenCV DualTVL1's medianBlur(5), which is
+        also the default here: the median is what bounds cross-backend
+        divergence, docs/PERF.md TV-L1 caveat); 0/1 disables, giving the
+        pure Zach et al. update as the documented opt-out.
       use_pallas / max_displacement / d_local / c_max: warp dispatch knobs,
         same semantics as LKConfig (the inter-level/warp backward warp).
       prefilter: optional joint-bilateral pre-smoothing, as in LKConfig.
@@ -82,7 +84,7 @@ class TVL1Config:
     iterations: int = 30
     levels: int = 5
     epsilon: float = 1e-6
-    median_filtering: int = 0
+    median_filtering: int = 5
     use_pallas: bool = True
     max_displacement: int = 32
     d_local: int = 7

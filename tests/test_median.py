@@ -62,8 +62,12 @@ def test_tvl1_median_filtering_config(rng):
     frames = io.synthetic_sequence(2, 256, 48, velocity=(2.0, 1.0), noise=0.0)
     p = jnp.asarray(frames[0], jnp.float32)
     n = jnp.asarray(frames[1], jnp.float32)
+    # median_filtering=5 is the config default (cross-backend reproducibility,
+    # VERDICT r2 #7); 0 is the documented opt-out exercised here as the "off"
+    # baseline.
     base = tvl1.TVL1Config(levels=2, warps=2, iterations=8,
-                           use_pallas=False, max_displacement=8)
+                           use_pallas=False, max_displacement=8,
+                           median_filtering=0)
     med = tvl1.TVL1Config(levels=2, warps=2, iterations=8,
                           use_pallas=False, max_displacement=8,
                           median_filtering=5)
