@@ -39,6 +39,7 @@ from cuda_optical_flow_2_tpu.models.dis import DISConfig
 from cuda_optical_flow_2_tpu.models.dis import _lk_like as dis_lk_like
 from cuda_optical_flow_2_tpu.models.farneback import (
     FBConfig,
+    _window as fb_window,
     fb_normal_eq_products,
     solve_normal_eqs,
 )
@@ -494,7 +495,10 @@ def _local_fb_level(prev, nxt, flow, config, axis_name, n, row0, h_global):
         prods = _zero_outside_global(
             _crop_rows(prods, r_poly), row0 - r_win, h_global
         )
-        sums = window_sum(prods, config.winsize)
+        # fb_window = the unsharded window dispatch: box window_sum, or the
+        # separable Gaussian when config.gaussian_window — both are
+        # band-local stencils with the same r_win halo, so TP supports both.
+        sums = fb_window(prods, config)
         flow = _crop_rows(
             solve_normal_eqs(sums, config.det_eps), r_win, -3
         )
@@ -503,10 +507,6 @@ def _local_fb_level(prev, nxt, flow, config, axis_name, n, row0, h_global):
 
 def validate_spatial_fb(h: int, w: int, config: FBConfig, n: int) -> None:
     validate_prefilter_shards(h, n, config, w)
-    if config.gaussian_window:
-        raise NotImplementedError(
-            "spatial FB supports the box window (gaussian_window=False)"
-        )
     if config.warp_planes != "image":
         raise NotImplementedError(
             "spatial FB implements the image-warp formulation "

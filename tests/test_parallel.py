@@ -784,3 +784,24 @@ def test_chunked_flow_reuses_jit(monkeypatch):
     parallel.chunked_flow(pb, nb, cfg, chunk=1)
     info2 = batching._chunked_flow_jit.cache_info()
     assert info2.hits == info1.hits + 1 and info2.currsize == info1.currsize
+
+def test_spatial_fb_gaussian_window_matches_unsharded():
+    """gaussian_window=True under TP (round 3): the separable Gaussian
+    window is band-local with the same r_win halo as the box window, so the
+    sharded path reuses the unsharded window dispatch verbatim."""
+    from cuda_optical_flow_2_tpu.models import farneback as fb
+
+    p, n = _smooth_pair(512, 64, dx=2, dy=1)
+    cfg = fb.FBConfig(levels=3, iterations=2, winsize=11, use_pallas=False,
+                      gaussian_window=True, max_displacement=4)
+    mesh = parallel.make_mesh(axis_name="space")
+    flow = parallel.spatial_pyramidal_fb(p, n, cfg, mesh)
+    assert flow.shape == (512, 64, 2)
+    assert len(flow.sharding.device_set) == 8
+    want = fb.pyramidal_farneback(p, n, cfg)
+    np.testing.assert_allclose(
+        np.asarray(flow), np.asarray(want), atol=2e-2
+    )
+    inner = np.asarray(flow)[32:-32, 16:-16]
+    med = np.median(inner, axis=(0, 1))
+    assert abs(med[0] - 2) < 0.1 and abs(med[1] - 1) < 0.1, med
