@@ -40,6 +40,62 @@ H, W = 1080, 1920
 BASELINE_FPS = 60.0
 ITERS = 50
 
+# --- v5e peaks for utilization accounting (public numbers) -----------------
+# HBM bandwidth ~819 GB/s; bf16 MXU ~197 TFLOP/s (fp32 matmuls run at ~1/4).
+# VPU: (8, 128) vector unit x ~4 ALUs at ~1.5 GHz ~ 6.1e12 fp32 ALU ops/s.
+HBM_PEAK = 819e9
+MXU_PEAK_F32 = 49e12
+VPU_PEAK = 6.1e12
+
+
+def _cost_model(cfg: of.LKConfig, h: int, w: int) -> dict:
+    """Analytic per-pair HBM bytes, VPU op floor and MXU FLOPs.
+
+    Byte counts are exact plane traffic of the fused pipeline (each level
+    step reads prev/nxt/flow and writes flow once — device-resident, no
+    intermediate HBM round trips; halo re-reads ignored, <2%).  The VPU
+    count is the ALGORITHMIC FLOOR of the select-gather warp + residual
+    (docs/PERF.md "Level-0 kernel pass budget"): issued ops also include
+    rolls/masks the floor excludes, so vpu_util is a lower bound on busy-ness
+    and an upper bound on headroom.  MXU counts the two banded decimation
+    matmuls per pyramid level (ops/pyramid.py).
+    """
+    lv, it = cfg.levels, cfg.iterations
+    d, c = cfg.d_local, cfg.c_max
+    areas = [(h >> k) * (w >> k) for k in range(lv)]
+    f32 = 4
+
+    level_px = sum(a * it for a in areas)
+    # planes per level step: read prev, warped-source nxt, flow(2); write flow(2)
+    bytes_steps = 6 * f32 * level_px
+    # pyramid build x2 frames: read parent, write child per transition
+    bytes_pyr = 2 * f32 * sum(areas[k - 1] + areas[k] for k in range(1, lv))
+    # flow upsample between levels: read 2 planes at k, write 2 at k-1
+    bytes_up = 2 * f32 * sum(areas[k] + areas[k - 1] for k in range(1, lv))
+    hbm_bytes = bytes_steps + bytes_pyr + bytes_up
+
+    # Select-gather warp floor per pixel: vertical pass examines 2*d_local+1
+    # offsets x (1 cmp + 2 ops per candidate, ncands = 2*c_max + 2);
+    # horizontal pass runs the same structure for 2 corners + the vig row.
+    ncands = 2 * c + 2
+    vert = (2 * d + 1) * (1 + 2 * ncands)
+    warp_ops = vert + 3 * vert + 8  # + bilinear blend
+    # residual: Sobel x/y + temporal stencils (shift form), 5 products,
+    # separable window sums (log-depth shift-adds), guarded 2x2 solve
+    import math
+
+    resid_ops = 24 + 5 + 5 * 2 * max(1, math.ceil(math.log2(cfg.window))) + 18
+    vpu_ops = (warp_ops + resid_ops) * level_px
+
+    # D_h @ x @ D_w^T per pyramid transition, x2 frames
+    mxu_flops = 0
+    for k in range(1, lv):
+        hi, wi = h >> (k - 1), w >> (k - 1)
+        ho, wo = h >> k, w >> k
+        mxu_flops += 2 * (2 * ho * hi * wi + 2 * ho * wi * wo)
+
+    return {"hbm_bytes": hbm_bytes, "vpu_ops": vpu_ops, "mxu_flops": mxu_flops}
+
 
 def _chained(p: jax.Array, n: jax.Array, iters: int, cfg: of.LKConfig) -> jax.Array:
     def body(_, s):
@@ -76,6 +132,7 @@ def main() -> None:
     per_frame = (min(tns) - min(t1s)) / ITERS
     fps = 1.0 / per_frame
 
+    cost = _cost_model(cfg, H, W)
     print(
         json.dumps(
             {
@@ -83,6 +140,16 @@ def main() -> None:
                 "value": round(fps, 2),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
+                # Roofline accounting (docs/PERF.md "End-to-end roofline"):
+                # achieved HBM/VPU/MXU throughput from the analytic per-pair
+                # cost model vs v5e peaks.  vpu_util uses the ALGORITHMIC
+                # op floor, so it lower-bounds occupancy.
+                "hbm_gbps": round(cost["hbm_bytes"] * fps / 1e9, 1),
+                "hbm_util": round(cost["hbm_bytes"] * fps / HBM_PEAK, 4),
+                "vpu_gops": round(cost["vpu_ops"] * fps / 1e9, 1),
+                "vpu_util": round(cost["vpu_ops"] * fps / VPU_PEAK, 4),
+                "mxu_gflops": round(cost["mxu_flops"] * fps / 1e9, 1),
+                "mxu_util": round(cost["mxu_flops"] * fps / MXU_PEAK_F32, 4),
             }
         )
     )
