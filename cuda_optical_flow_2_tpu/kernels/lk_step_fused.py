@@ -47,7 +47,9 @@ from cuda_optical_flow_2_tpu.kernels.lk_fused import (
 )
 from cuda_optical_flow_2_tpu.ops.gradients import SOBEL_GAIN
 
-__all__ = ["supported", "lk_level_step", "lk_band_step"]
+__all__ = [
+    "supported", "supported_half", "lk_level_step", "lk_band_step"
+]
 
 _LANE = 128
 _SUBLANE = 8
@@ -60,6 +62,67 @@ def supported(prev: jax.Array, config: LKConfig) -> bool:
         and config.max_displacement <= 96
         and config.warp_mode == "bilinear"
     )
+
+
+def supported_half(prev: jax.Array, config: LKConfig) -> bool:
+    """Whether the fused in-kernel 2x flow upsample may be used at this level.
+
+    Requires even target dims (the coarse flow is exactly (h/2, w/2)) and a
+    power-of-two padded lane extent (the log-depth lane interleave network,
+    kernels/updown.interleave_lanes).  1080p and its even levels qualify
+    (wp = 2048/1024/512); widths whose padded extent is not a power of two
+    fall back to the XLA upsample pass.
+    """
+    if not supported(prev, config):
+        return False
+    h, w = prev.shape[-2:]
+    if h % 2 or w % 2:
+        return False
+    r = config.window // 2
+    rw = _round_up(r + 1, 4)
+    d = int(config.max_displacement)
+    halo_x = max(select_core.halo_x(d, config.d_local), rw + 1)
+    halo_x += halo_x % 2
+    wp = _round_up(w + 2 * halo_x, _LANE)
+    return wp & (wp - 1) == 0
+
+
+def _expand_flow2x(
+    uh, i, tile_h, rw, rw2, halo_x2, h2, w2
+):
+    """Expand a half-res flow block to the (tile_h + 2*rw)-row band.
+
+    Bit-exact twin of ops/resize.upsample_flow's 2x path (0.75/0.25
+    half-pixel bilinear, edges clamped at the COARSE plane borders, values
+    scaled by 2): rows via stack+reshape (lane dim intact), lanes via the
+    log-depth interleave network.
+    """
+    from cuda_optical_flow_2_tpu.kernels import updown
+
+    text2, wp2 = uh.shape
+    text = tile_h + 2 * rw
+    # coarse-plane row of each local block row
+    cr = (
+        jax.lax.broadcasted_iota(jnp.int32, (text2, wp2), 0)
+        + i * (tile_h // 2)
+        - rw2
+    )
+    up = pltpu.roll(uh, 1, 0)
+    dn = pltpu.roll(uh, text2 - 1, 0)
+    rows_a = 0.75 * uh + 0.25 * jnp.where(cr <= 0, uh, up)
+    rows_b = 0.75 * uh + 0.25 * jnp.where(cr >= h2 - 1, uh, dn)
+    inter = updown.interleave_rows(rows_a, rows_b)
+    off = 2 * (rw2 - rw // 2)
+    band = inter[off : off + text, :]
+
+    cc = (
+        jax.lax.broadcasted_iota(jnp.int32, (text, wp2), 1) - halo_x2
+    )
+    left = pltpu.roll(band, 1, 1)
+    right = pltpu.roll(band, wp2 - 1, 1)
+    lanes_a = 0.75 * band + 0.25 * jnp.where(cc <= 0, band, left)
+    lanes_b = 0.75 * band + 0.25 * jnp.where(cc >= w2 - 1, band, right)
+    return updown.interleave_lanes(lanes_a, lanes_b) * 2.0
 
 
 def _kernel(
@@ -87,17 +150,32 @@ def _kernel(
     temporal_mask: np.ndarray,
     det_eps: float,
     centered: bool,
+    half: bool = False,
+    rw2: int = 0,
+    halo_x2: int = 0,
+    h2: int = 0,
+    w2: int = 0,
 ):
     # prev tile: (tile_h + 2*halo_p, wp); next tile: (tile_h + 2*halo_n, wp);
     # flow tiles: (tile_h + 2*rw, wp) — the warped band needs rw extra rows
-    # for the gradient + window stencils.
+    # for the gradient + window stencils.  With ``half`` the flow tiles are
+    # the COARSER level's flow at half resolution and the 2x bilinear
+    # upsample (+2x scale) runs in-kernel, eliminating the separate XLA
+    # upsample pass and 3/4 of the flow-input HBM traffic.
     prev = prev_ref[0]
     nxt = nxt_ref[0]
-    u_in = u_ref[0]
-    v_in = v_ref[0]
-    text, wp = u_in.shape  # text = tile_h + 2*rw
-
     i = pl.program_id(1)
+    if half:
+        u_in = _expand_flow2x(
+            u_ref[0], i, tile_h, rw, rw2, halo_x2, h2, w2
+        )
+        v_in = _expand_flow2x(
+            v_ref[0], i, tile_h, rw, rw2, halo_x2, h2, w2
+        )
+    else:
+        u_in = u_ref[0]
+        v_in = v_ref[0]
+    text, wp = u_in.shape  # text = tile_h + 2*rw
     # Absolute GLOBAL image coordinates of the extended band's rows/cols.
     # row0_ref holds the global row index of input row 0 (zero for the
     # whole-image entry; the band entry passes the shard's offset so border
@@ -186,7 +264,7 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("config", "interpret", "centered")
+    jax.jit, static_argnames=("config", "interpret", "centered", "flow_half")
 )
 def lk_level_step(
     prev: jax.Array,
@@ -195,18 +273,23 @@ def lk_level_step(
     config: LKConfig,
     interpret: bool = False,
     centered: bool = False,
+    flow_half: bool = False,
 ) -> jax.Array:
     """One warp + solve + update iteration of an LK level, fully fused.
 
     Args: prev/nxt (..., H, W) float32, flow (..., H, W, 2).
     ``centered=True`` mean-normalizes the window sums in-kernel (the
     DIS-style data term, models/dis.py).
+    With ``flow_half`` the flow argument is the COARSER level's flow at
+    (H/2, W/2) and the 2x bilinear upsample (ops/resize.upsample_flow's
+    exact semantics, including the 2x value scaling) runs inside the
+    kernel — callers must gate on :func:`supported_half`.
     Returns the updated flow (..., H, W, 2).
     """
     h = prev.shape[-2]
     return _step_impl(
         prev, nxt, flow, jnp.zeros((1,), jnp.int32), h, config, interpret,
-        centered=centered,
+        centered=centered, flow_half=flow_half,
     )
 
 
@@ -258,12 +341,14 @@ def _step_impl(
     interpret: bool,
     vma: tuple[str, ...] = (),
     centered: bool = False,
+    flow_half: bool = False,
 ) -> jax.Array:
     lead = prev.shape[:-2]
     h, w = prev.shape[-2:]
     p = prev.reshape((-1, h, w)).astype(jnp.float32)
     n = nxt.reshape((-1, h, w)).astype(jnp.float32)
-    f = flow.reshape((-1, h, w, 2)).astype(jnp.float32)
+    fh, fw = (h // 2, w // 2) if flow_half else (h, w)
+    f = flow.reshape((-1, fh, fw, 2)).astype(jnp.float32)
     b = p.shape[0]
 
     r = config.window // 2
@@ -284,7 +369,15 @@ def _step_impl(
     halo_p = _round_up(rw, _SUBLANE)
     halo_n = _round_up(select_core.halo_y(d, d_local, c_max) + rw, _SUBLANE)
     halo_x = max(select_core.halo_x(d, d_local), rw + 1)
+    if flow_half:
+        # expanded lane 2j must map to img col 2(j - halo_x/2) = L - halo_x
+        halo_x += halo_x % 2
     wp = _round_up(w + 2 * halo_x, _LANE)
+    if flow_half and (h % 2 or w % 2 or wp & (wp - 1)):
+        raise ValueError(
+            f"flow_half needs even dims and a power-of-two padded width "
+            f"(h={h}, w={w}, wp={wp}) — gate on supported_half()"
+        )
 
     # VMEM: with the scratch-based core the peak live set is ~3*ncands
     # accumulators plus ~12 temporaries/index maps on the extended band,
@@ -298,8 +391,12 @@ def _step_impl(
     # slightly between compiles of the same kernel, so leave ~30% headroom.
     budget = 40 * 1024 * 1024 // 4
     th_max = (budget // wp - 2 * (halo_n + rw)) // arrays
+    # half mode tiles in 16-row units so the half-res flow block height
+    # (tile_h/2 + 2*rw2) stays sublane-divisible
+    th_align = 2 * _SUBLANE if flow_half else _SUBLANE
     tile_h = max(
-        _SUBLANE, min(_round_up(h, _SUBLANE), (th_max // _SUBLANE) * _SUBLANE)
+        th_align,
+        min(_round_up(h, th_align), (th_max // th_align) * th_align),
     )
     ht = pl.cdiv(h, tile_h)
 
@@ -309,7 +406,14 @@ def _step_impl(
 
     pp = jnp.pad(p, ((0, 0), (halo_p, hp_p - h - halo_p), (halo_x, wp - w - halo_x)))
     np_ = jnp.pad(n, ((0, 0), (halo_n, hp_n - h - halo_n), (halo_x, wp - w - halo_x)))
-    pad_f = ((0, 0), (rw, hp_f - h - rw), (halo_x, wp - w - halo_x))
+    if flow_half:
+        rw2 = _round_up(rw // 2 + 1, 4)
+        halo_x2, wp2 = halo_x // 2, wp // 2
+        hp_f2 = ht * (tile_h // 2) + 2 * rw2
+        pad_f = ((0, 0), (rw2, hp_f2 - fh - rw2), (halo_x2, wp2 - fw - halo_x2))
+    else:
+        rw2 = halo_x2 = 0
+        pad_f = ((0, 0), (rw, hp_f - h - rw), (halo_x, wp - w - halo_x))
     uf = jnp.pad(f[..., 0], pad_f)
     vf = jnp.pad(f[..., 1], pad_f)
 
@@ -338,6 +442,11 @@ def _step_impl(
         temporal_mask=tmask,
         det_eps=config.det_eps,
         centered=centered,
+        half=flow_half,
+        rw2=rw2,
+        halo_x2=halo_x2,
+        h2=fh,
+        w2=fw,
     )
 
     def espec(gy):
@@ -347,6 +456,19 @@ def _step_impl(
             memory_space=pltpu.VMEM,
         )
 
+    if flow_half:
+        fspec = pl.BlockSpec(
+            (
+                pl.Element(1),
+                pl.Element(tile_h // 2 + 2 * rw2),
+                pl.Element(wp // 2),
+            ),
+            lambda bb, i: (bb, i * (tile_h // 2), 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        fspec = espec(rw)
+
     out_spec = pl.BlockSpec(
         (None, tile_h, wp), lambda bb, i: (bb, i, 0), memory_space=pltpu.VMEM
     )
@@ -354,7 +476,7 @@ def _step_impl(
     uo, vo = pl.pallas_call(
         kernel,
         grid=(b, ht),
-        in_specs=[smem_spec, espec(halo_p), espec(halo_n), espec(rw), espec(rw)],
+        in_specs=[smem_spec, espec(halo_p), espec(halo_n), fspec, fspec],
         out_specs=(out_spec, out_spec),
         out_shape=(
             jax.ShapeDtypeStruct(

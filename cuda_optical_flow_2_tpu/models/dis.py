@@ -299,8 +299,14 @@ def dis_level(
     nxt: jax.Array,
     flow_init: jax.Array | None,
     config: DISConfig,
+    flow_init_half: bool = False,
 ) -> jax.Array:
-    """One pyramid level: inverse-search GN steps + variational refinement."""
+    """One pyramid level: inverse-search GN steps + variational refinement.
+
+    ``flow_init_half``: ``flow_init`` is the coarser level's flow and the 2x
+    upsample runs inside the fused kernel (same contract as
+    models/lucas_kanade.lk_level).
+    """
     lk_like = _lk_like(config)
     flow = flow_init
     fused = False
@@ -308,8 +314,10 @@ def dis_level(
         from cuda_optical_flow_2_tpu.kernels import lk_step_fused
 
         fused = lk_step_fused.supported(prev, lk_like) or _interpret_forced()
+    if flow_init_half and not fused:
+        flow = upsample_flow(flow, prev.shape[-2:])
 
-    for _ in range(config.iterations):
+    for it in range(config.iterations):
         if flow is None:
             # Coarsest start: zero displacement, so the "warped" frame is
             # the frame itself — one plain centered residual step.
@@ -325,6 +333,7 @@ def dis_level(
                 lk_like,
                 interpret=_interpret_forced(),
                 centered=config.mean_normalize,
+                flow_half=flow_init_half and it == 0,
             )
             continue
         warp, clamps = _pick_warp(nxt, lk_like)
@@ -361,11 +370,21 @@ def dis_coarse_to_fine(
     bilinearly upsampled the rest of the way (the paper's finest-scale
     speed knob).
     """
+    from cuda_optical_flow_2_tpu.models.lucas_kanade import (
+        _fused_half_upsample,
+    )
+
     flow = init_flow
+    lk_like = _lk_like(config)
     for k in range(config.levels - 1, config.finest_level - 1, -1):
+        half = False
         if flow is not None:
-            flow = upsample_flow(flow, prev_pyr[k].shape[-2:])
-        flow = dis_level(prev_pyr[k], next_pyr[k], flow, config)
+            half = _fused_half_upsample(prev_pyr[k], flow, lk_like)
+            if not half:
+                flow = upsample_flow(flow, prev_pyr[k].shape[-2:])
+        flow = dis_level(
+            prev_pyr[k], next_pyr[k], flow, config, flow_init_half=half
+        )
     if config.finest_level > 0:
         flow = upsample_flow(flow, prev_pyr[0].shape[-2:])
     return flow

@@ -81,6 +81,7 @@ def lk_level(
     nxt: jax.Array,
     flow_init: jax.Array | None,
     config: LKConfig,
+    flow_init_half: bool = False,
 ) -> jax.Array:
     """One pyramid level: warp -> gradients -> window sums -> solve (+iterate).
 
@@ -89,6 +90,11 @@ def lk_level(
     rather than the reference's (0,0)-sampling nearest shift.
     ``config.iterations`` > 1 re-warps with the refined flow and re-solves,
     which the reference never does but BASELINE config 2 requires.
+
+    ``flow_init_half``: ``flow_init`` is the coarser level's flow at half
+    resolution and the 2x upsample runs inside the fused kernel (callers
+    gate on lk_step_fused.supported_half via coarse_to_fine's dispatch);
+    the non-fused paths upsample here as a fallback.
     """
     if flow_init is None:
         # Coarsest level: no prior flow, so no warp (reference:
@@ -98,10 +104,7 @@ def lk_level(
             return flow
         return lk_level(prev, nxt, flow, _with_iterations(config, config.iterations - 1))
     flow = flow_init
-    if config.warp_mode == "none":
-        # Without warping, re-iterating recomputes the same residual.
-        return flow + _lk_residual(prev, nxt, config)
-    if config.use_pallas:
+    if config.use_pallas and config.warp_mode != "none":
         from cuda_optical_flow_2_tpu.kernels import lk_step_fused
 
         if lk_step_fused.supported(prev, config) or (
@@ -109,12 +112,21 @@ def lk_level(
         ):
             # Fully-fused path: warp + gradients + window sums + solve +
             # accumulate in one kernel per iteration (accumulation on the
-            # applied flow happens in-kernel).
-            for _ in range(config.iterations):
+            # applied flow happens in-kernel).  The first iteration may take
+            # the coarser flow directly (flow_init_half) — the 2x upsample
+            # then runs in-kernel.
+            for it in range(config.iterations):
                 flow = lk_step_fused.lk_level_step(
-                    prev, nxt, flow, config, interpret=_interpret_forced()
+                    prev, nxt, flow, config, interpret=_interpret_forced(),
+                    flow_half=flow_init_half and it == 0,
                 )
             return flow
+    if flow_init_half:
+        # non-fused fallback: materialize the upsample the caller skipped
+        flow = upsample_flow(flow, prev.shape[-2:])
+    if config.warp_mode == "none":
+        # Without warping, re-iterating recomputes the same residual.
+        return flow + _lk_residual(prev, nxt, config)
     warp, clamps = _pick_warp(nxt, config)
     for _ in range(config.iterations):
         # The accumulation base must be the flow the warp ACTUALLY applied:
@@ -224,11 +236,35 @@ def coarse_to_fine(
     flows: list[jax.Array | None] = [None] * config.levels
     flow = init_flow
     for k in range(config.levels - 1, -1, -1):
+        half = False
         if flow is not None:
-            flow = upsample_flow(flow, prev_pyr[k].shape[-2:])
-        flow = lk_level(prev_pyr[k], next_pyr[k], flow, config)
+            half = _fused_half_upsample(prev_pyr[k], flow, config)
+            if not half:
+                flow = upsample_flow(flow, prev_pyr[k].shape[-2:])
+        flow = lk_level(
+            prev_pyr[k], next_pyr[k], flow, config, flow_init_half=half
+        )
         flows[k] = flow
     return flows  # type: ignore[return-value]
+
+
+def _fused_half_upsample(
+    prev_k: jax.Array, flow: jax.Array, config: LKConfig
+) -> bool:
+    """Whether the level-k step can consume the coarser flow directly and
+    upsample in-kernel (lk_step_fused.supported_half): saves the separate
+    XLA upsample pass and 3/4 of the kernel's flow-input HBM traffic.
+    False for warm-start flows already at level-k resolution."""
+    if not config.use_pallas or config.warp_mode != "bilinear":
+        return False
+    h, w = prev_k.shape[-2:]
+    if flow.shape[-3:-1] != (h // 2, w // 2) or h % 2 or w % 2:
+        return False
+    from cuda_optical_flow_2_tpu.kernels import lk_step_fused
+
+    # supported_half's backend clause already covers forced-interpret mode
+    # (it goes through lk_fused.supported's "tpu or interpret_forced").
+    return lk_step_fused.supported_half(prev_k, config)
 
 
 def pyramidal_lk_pyramid(
@@ -237,9 +273,16 @@ def pyramidal_lk_pyramid(
     """Coarse-to-fine LK returning the full flow pyramid (finest first).
 
     Level k flow is in level-k pixel units, matching the reference's
-    per-level flow pyramid (main.cu:256-262).
+    per-level flow pyramid (main.cu:256-262).  The two frames' pyramids are
+    built in ONE stacked pass — the decimation matmuls and the prefilter
+    batch over the pair, halving the preprocess dispatch count.
     """
     _validate(prev, nxt, config)
+    if prev.shape == nxt.shape:
+        both = preprocess(jnp.stack([prev, nxt], axis=0), config)
+        prev_pyr = [lvl[0] for lvl in both]
+        next_pyr = [lvl[1] for lvl in both]
+        return coarse_to_fine(prev_pyr, next_pyr, config)
     return coarse_to_fine(
         preprocess(prev, config), preprocess(nxt, config), config
     )

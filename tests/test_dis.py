@@ -205,3 +205,21 @@ def test_dis_realtime_preset():
     f = dis.pyramidal_dis(p, n, cfg)
     m = np.median(np.asarray(f)[24:-24, 24:-24], axis=(0, 1))
     assert abs(m[0] - 2) < 0.3 and abs(m[1] - 1) < 0.3, m
+
+def test_dis_fused_half_upsample_matches(monkeypatch):
+    """DIS's coarse-to-fine consumes the coarser flow directly in the fused
+    kernel (in-kernel 2x upsample) and matches the XLA-upsample route."""
+    monkeypatch.setenv("OF2_PALLAS_INTERPRET", "1")
+    from cuda_optical_flow_2_tpu.models import dis
+    from cuda_optical_flow_2_tpu.models import lucas_kanade as lk
+    from cuda_optical_flow_2_tpu.utils import io
+
+    fr = io.synthetic_sequence(2, 128, 448, velocity=(2.0, 1.0))
+    p, n = (jnp.asarray(f, jnp.float32) for f in fr)
+    cfg = dis.DISConfig(
+        levels=2, iterations=2, refine_iterations=2, max_displacement=8
+    )
+    got = np.asarray(dis.pyramidal_dis(p, n, cfg))
+    monkeypatch.setattr(lk, "_fused_half_upsample", lambda *a: False)
+    want = np.asarray(dis.pyramidal_dis(p, n, cfg))
+    np.testing.assert_allclose(got, want, atol=2e-5)

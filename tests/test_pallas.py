@@ -751,3 +751,45 @@ def test_fb_band_geometry_fuzz():
             band[lo - a : hi - a], full[lo:hi], atol=1e-5,
             err_msg=str((case, h, w, winsize, d, v, lo, hi)),
         )
+
+def test_lk_step_fused_half_upsample_matches_xla_upsample(rng):
+    """flow_half: the in-kernel 2x flow upsample (row stack+reshape + lane
+    interleave network, kernels/updown.py) is float-exact against
+    upsample_flow + the full-res kernel, across tiles and batch."""
+    import cuda_optical_flow_2_tpu as of
+    from cuda_optical_flow_2_tpu.kernels import lk_step_fused
+    from cuda_optical_flow_2_tpu.ops.resize import upsample_flow
+
+    cfg = of.LKConfig(levels=2, window=9, max_displacement=8, d_local=7)
+    h, w = 64, 448  # wp = 512: power-of-two lane extent
+    prev = jnp.asarray(rng.uniform(0, 255, (2, h, w)).astype(np.float32))
+    nxt = jnp.asarray(rng.uniform(0, 255, (2, h, w)).astype(np.float32))
+    half = jnp.asarray(
+        rng.uniform(-2, 2, (2, h // 2, w // 2, 2)).astype(np.float32)
+    )
+    got = lk_step_fused.lk_level_step(
+        prev, nxt, half, cfg, interpret=True, flow_half=True
+    )
+    want = lk_step_fused.lk_level_step(
+        prev, nxt, upsample_flow(half, (h, w)), cfg, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5
+    )
+    # non-power-of-two widths are rejected, not silently wrong
+    assert not lk_step_fused.supported_half(jnp.zeros((64, 224)), cfg)
+
+
+def test_interleave_primitives(rng):
+    from cuda_optical_flow_2_tpu.kernels import updown
+
+    a = rng.normal(size=(6, 64)).astype(np.float32)
+    b = rng.normal(size=(6, 64)).astype(np.float32)
+    rows = np.asarray(updown.interleave_rows(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_array_equal(rows[0::2], a)
+    np.testing.assert_array_equal(rows[1::2], b)
+    lanes = np.asarray(updown.interleave_lanes(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_array_equal(lanes[:, 0::2], a)
+    np.testing.assert_array_equal(lanes[:, 1::2], b)
+    with pytest.raises(ValueError, match="power-of-two"):
+        updown.interleave_lanes(jnp.zeros((4, 48)), jnp.zeros((4, 48)))
