@@ -151,6 +151,16 @@ def main(argv=None) -> None:
         "(C++ worker + ring buffer) instead of materializing the sequence",
     )
     ap.add_argument(
+        "--camera", default=None, metavar="DEV",
+        help="capture live from a V4L2 camera device (e.g. /dev/video0) — "
+        "the reference's webcam source; implies the native stream path",
+    )
+    ap.add_argument(
+        "--camera-frames", type=int, default=64,
+        help="frames to process from --camera before exiting (0 = until "
+        "the stream ends)",
+    )
+    ap.add_argument(
         "--out-video", default=None, metavar="FLOW.y4m",
         help="write the flow-color frames as one Y4M video (play with "
         "`ffplay FLOW.y4m` — the headless twin of the reference's live "
@@ -171,8 +181,13 @@ def main(argv=None) -> None:
     args = ap.parse_args(argv)
 
     stream = None
-    if args.native_stream:
-        if args.frames and args.frames.endswith(".y4m"):
+    if args.native_stream or args.camera:
+        if args.camera:
+            # Live webcam capture — the reference's cv::VideoCapture(0)
+            # source (main.cu:181-184), through the native V4L2 runtime.
+            # Unbounded; --camera-frames caps the CLI session.
+            stream = native.FrameStream.from_v4l2(args.camera)
+        elif args.frames and args.frames.endswith(".y4m"):
             stream = native.FrameStream.from_y4m(args.frames)
         elif args.frames:
             paths = sorted(glob.glob(args.frames))
@@ -201,7 +216,12 @@ def main(argv=None) -> None:
                 yield f
 
         frames = None
-        frame_iter = _record(stream)
+        src = stream
+        if args.camera and args.camera_frames:
+            import itertools
+
+            src = itertools.islice(iter(stream), args.camera_frames)
+        frame_iter = _record(src)
     else:
         frames = _load_frames(args)
         frame_iter = iter(frames)

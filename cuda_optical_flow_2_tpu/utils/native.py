@@ -22,6 +22,7 @@ __all__ = [
     "gray_f32",
     "gray_u8",
     "synthetic_frame",
+    "v4l2_probe",
     "FrameStream",
 ]
 
@@ -78,6 +79,16 @@ def _try_load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_int),
         ]
         lib.of2_y4m_probe.restype = ctypes.c_int
+        lib.of2_v4l2_probe.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.of2_v4l2_probe.restype = ctypes.c_int
+        lib.of2_stream_open_v4l2.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.of2_stream_open_v4l2.restype = ctypes.c_void_p
         lib.of2_stream_info.argtypes = [
             ctypes.c_void_p,
             ctypes.POINTER(ctypes.c_int),
@@ -125,6 +136,26 @@ def build(quiet: bool = True) -> bool:
 
 def available() -> bool:
     return _try_load() is not None
+
+
+def v4l2_probe(
+    device: str = "/dev/video0", w: int = 640, h: int = 480
+) -> tuple[int, int, int]:
+    """Probe a V4L2 camera device without starting capture.
+
+    Returns ``(rc, h, w)``: rc 0 with the driver-granted size on success;
+    -1 cannot open; -2 not a V4L2 streaming-capture device; -3 no
+    YUYV/GREY format; -4 buffer setup failed; -5 stream start failed.
+    rc -1 also when the native library is unavailable (non-Linux builds
+    always report -1).
+    """
+    lib = _try_load()
+    if lib is None:
+        return -1, 0, 0
+    hh = ctypes.c_int(h)
+    ww = ctypes.c_int(w)
+    rc = lib.of2_v4l2_probe(device.encode(), ctypes.byref(hh), ctypes.byref(ww))
+    return int(rc), hh.value, ww.value
 
 
 def _u8p(a: np.ndarray):
@@ -337,6 +368,46 @@ class FrameStream:
         n = ctypes.c_int()
         lib.of2_stream_info(handle, ctypes.byref(h), ctypes.byref(w), ctypes.byref(n))
         return cls(handle, h.value, w.value, None)
+
+    @classmethod
+    def from_v4l2(
+        cls, device: str = "/dev/video0", w: int = 640, h: int = 480,
+        prefetch: int = 4,
+    ) -> "FrameStream":
+        """Stream luma frames from a live V4L2 camera device (Linux).
+
+        The direct twin of the reference's ``cv::VideoCapture(0)`` webcam
+        source (main.cu:181-184): unbounded capture (``nframes`` is None,
+        close() ends it), YUYV or GREY negotiated with the driver, which
+        may adjust the requested ``w``/``h`` — the stream's ``.h``/``.w``
+        report the actual size.  Capture glitches are per-frame failures
+        the stream recovers from (same contract as the Y4M path).  There is
+        no pure-Python fallback (camera IO is native-only); raises when the
+        native library or the device is unavailable, with the probe's
+        distinct failure reason.
+        """
+        lib = _try_load()
+        if lib is None:
+            raise RuntimeError(
+                "V4L2 capture needs the native library (utils.native.build())"
+            )
+        handle = lib.of2_stream_open_v4l2(device.encode(), w, h, prefetch)
+        if not handle:
+            rc = v4l2_probe(device, w, h)[0]
+            reason = {
+                0: "ring allocation failed",
+                -1: "cannot open device",
+                -2: "not a V4L2 streaming-capture device",
+                -3: "no supported pixel format (YUYV/GREY)",
+                -4: "buffer setup failed",
+                -5: "stream start failed",
+            }.get(rc, f"error {rc}")
+            raise ValueError(f"cannot open camera {device}: {reason}")
+        hh = ctypes.c_int()
+        ww = ctypes.c_int()
+        n = ctypes.c_int()
+        lib.of2_stream_info(handle, ctypes.byref(hh), ctypes.byref(ww), ctypes.byref(n))
+        return cls(handle, hh.value, ww.value, None)
 
     def __iter__(self):
         return self
