@@ -257,12 +257,19 @@ def _bucket_shape(shape: tuple[int, int], bucket: int) -> tuple[int, int]:
     return (-(-h // bucket) * bucket, -(-w // bucket) * bucket)
 
 
+def _load_pair(pair: dict) -> tuple[np.ndarray, np.ndarray]:
+    """Decode one pair's frames (the host-side half of evaluate_pair —
+    prefetched on a worker thread by main() so decode overlaps compute)."""
+    return _load_gray(pair["first"]), _load_gray(pair["second"])
+
+
 def evaluate_pair(
     pair: dict,
     flow_fn,
     margin: int,
     out_dir: str | None = None,
     bucket: int = 0,
+    frames: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> dict:
     """Run one pair through ``flow_fn`` and score it against its truth.
 
@@ -270,14 +277,14 @@ def evaluate_pair(
     next multiple of ``bucket`` per side before the jitted pipeline and the
     flow is cropped back — so datasets with varying frame shapes (KITTI)
     compile once per bucket instead of once per distinct shape.
+    ``frames`` supplies pre-decoded frame planes (see :func:`_load_pair`).
     """
     import jax.numpy as jnp
 
     from cuda_optical_flow_2_tpu.utils import io as uio
     from cuda_optical_flow_2_tpu.utils import metrics, viz
 
-    prev = _load_gray(pair["first"])
-    nxt = _load_gray(pair["second"])
+    prev, nxt = frames if frames is not None else _load_pair(pair)
     if prev.shape != nxt.shape:
         raise ValueError(
             f"{pair['name']}: frame shapes differ "
@@ -413,11 +420,28 @@ def main(argv=None) -> None:
         file=sys.stderr,
     )
     scored: list[dict] = []
-    for pair in pairs:
-        rec = evaluate_pair(pair, flow_fn, margin, args.out, bucket=args.bucket)
-        print(json.dumps(rec), flush=True)
-        if "epe_mean" in rec:
-            scored.append(rec)
+    # One decode worker prefetches the NEXT pair's frames while the device
+    # evaluates the current one (PNG inflate + grayscale are host work that
+    # would otherwise serialize with compute — the FrameStream doctrine,
+    # native/framesrc.cpp, applied to the eval loop).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        pending = pool.submit(_load_pair, pairs[0]) if pairs else None
+        for i, pair in enumerate(pairs):
+            frames = pending.result()
+            pending = (
+                pool.submit(_load_pair, pairs[i + 1])
+                if i + 1 < len(pairs)
+                else None
+            )
+            rec = evaluate_pair(
+                pair, flow_fn, margin, args.out, bucket=args.bucket,
+                frames=frames,
+            )
+            print(json.dumps(rec), flush=True)
+            if "epe_mean" in rec:
+                scored.append(rec)
 
     summary: dict = {
         "aggregate": True,
