@@ -48,7 +48,7 @@ def supported(img: jax.Array, window: int) -> bool:
     h, w = img.shape[-2:]
     if h < _SUBLANE or w < _SUBLANE:
         return False
-    return jax.default_backend() == "tpu" or interpret_forced()
+    return mosaic_ok()
 
 
 def _kernel(

@@ -78,7 +78,7 @@ def supported(img: jax.Array, config) -> bool:
         return False
     if config.gaussian_window:
         return False
-    return jax.default_backend() == "tpu" or interpret_forced()
+    return mosaic_ok()
 
 
 def _corr1d_band(x: jax.Array, taps: np.ndarray, axis: int) -> jax.Array:

@@ -59,6 +59,20 @@ def interpret_forced() -> bool:
     return os.environ.get("OF2_PALLAS_INTERPRET", "") == "1"
 
 
+def mosaic_ok() -> bool:
+    """Compiled Mosaic dispatch is available on this backend/config.
+
+    Under ``jax_enable_x64`` Python-int scalars (roll shifts, index-map and
+    grid arithmetic) stage as i64, which Mosaic rejects at verification
+    (``tpu.dynamic_rotate`` wants i32; ``func.return`` legalization fails on
+    i64 scalars) — x64 sessions fall back to the XLA twin path, which is
+    x64-clean.  Interpret mode has no such constraint.
+    """
+    if interpret_forced():
+        return True
+    return jax.default_backend() == "tpu" and not jax.config.jax_enable_x64
+
+
 def supported(prev: jax.Array, config: LKConfig) -> bool:
     """Whether the fused Pallas kernel handles this shape/config/backend."""
     if prev.dtype != jnp.float32:
@@ -68,7 +82,7 @@ def supported(prev: jax.Array, config: LKConfig) -> bool:
     h, w = prev.shape[-2:]
     if h < 8 or w < 8:
         return False
-    return jax.default_backend() == "tpu" or interpret_forced()
+    return mosaic_ok()
 
 
 def _roll(x: jax.Array, d: int, axis: int) -> jax.Array:
@@ -79,7 +93,9 @@ def _roll(x: jax.Array, d: int, axis: int) -> jax.Array:
     """
     size = x.shape[axis]
     s = (-d) % size
-    return pltpu.roll(x, s, axis) if s else x
+    # np.int32: under jax_enable_x64 a Python-int shift stages as an i64
+    # constant, which Mosaic's tpu.dynamic_rotate rejects.
+    return pltpu.roll(x, np.int32(s), axis) if s else x
 
 
 def _shift(x: jax.Array, dy: int, dx: int) -> jax.Array:

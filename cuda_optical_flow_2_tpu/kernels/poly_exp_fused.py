@@ -38,7 +38,7 @@ def supported(img: jax.Array, n: int) -> bool:
     h, w = img.shape[-2:]
     if h < _SUBLANE or w < _SUBLANE or n > 31:
         return False
-    return jax.default_backend() == "tpu" or interpret_forced()
+    return mosaic_ok()
 
 
 def _kernel(

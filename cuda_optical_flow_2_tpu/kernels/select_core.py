@@ -52,7 +52,9 @@ def halo_x(d_max: int, d_local: int) -> int:
 
 
 def _roll_dyn(x: jax.Array, d: jax.Array, axis: int) -> jax.Array:
-    return pltpu.roll(x, jnp.mod(-d, x.shape[axis]), axis)
+    # int32 cast: Mosaic's tpu.dynamic_rotate requires an i32 shift, and
+    # under jax_enable_x64 the mod can promote to i64.
+    return pltpu.roll(x, jnp.mod(-d, x.shape[axis]).astype(jnp.int32), axis)
 
 
 def global_clamp(

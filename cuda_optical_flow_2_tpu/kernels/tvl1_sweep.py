@@ -62,7 +62,7 @@ def supported(prev: jax.Array) -> bool:
     h, w = prev.shape[-2:]
     if h < _SUBLANE or w < _SUBLANE:
         return False
-    return jax.default_backend() == "tpu" or interpret_forced()
+    return mosaic_ok()
 
 
 def _kernel(

@@ -52,7 +52,7 @@ def supported(img: jax.Array, max_displacement: int) -> bool:
     h, w = img.shape[-2:]
     if h < 8 or w < 8:
         return False
-    return max_displacement <= 96 and jax.default_backend() == "tpu"
+    return max_displacement <= 96 and jax.default_backend() == "tpu" and not jax.config.jax_enable_x64
 
 
 def _warp_kernel(

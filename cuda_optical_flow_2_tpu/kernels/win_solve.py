@@ -42,7 +42,7 @@ def supported(x: jax.Array, window: int) -> bool:
     h, w = x.shape[-2:]
     if h < _SUBLANE or w < _SUBLANE or window > _MAX_WINDOW:
         return False
-    return jax.default_backend() == "tpu" or interpret_forced()
+    return mosaic_ok()
 
 
 def _kernel(

@@ -144,7 +144,7 @@ def _prefilter_pallas(config) -> bool:
 
     if config.prefilter.window > bilateral_tap._MAX_WINDOW:
         return False
-    return jax.default_backend() == "tpu" or lk_fused.interpret_forced()
+    return lk_fused.mosaic_ok()
 
 
 def _local_prefilter(
@@ -402,7 +402,7 @@ def _fused_enabled(config: LKConfig) -> bool:
         return False
     from cuda_optical_flow_2_tpu.kernels import lk_fused
 
-    return jax.default_backend() == "tpu" or lk_fused.interpret_forced()
+    return lk_fused.mosaic_ok()
 
 
 def validate_prefilter_shards(h: int, n: int, config, w: int | None = None) -> None:

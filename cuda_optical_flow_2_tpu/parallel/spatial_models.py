@@ -95,7 +95,7 @@ def _warp_pallas(config) -> bool:
         return False
     from cuda_optical_flow_2_tpu.kernels import lk_fused
 
-    return jax.default_backend() == "tpu" or lk_fused.interpret_forced()
+    return lk_fused.mosaic_ok()
 
 
 def _sweep_pallas(config) -> bool:
@@ -108,7 +108,7 @@ def _sweep_pallas(config) -> bool:
         return False
     from cuda_optical_flow_2_tpu.kernels import lk_fused
 
-    return jax.default_backend() == "tpu" or lk_fused.interpret_forced()
+    return lk_fused.mosaic_ok()
 
 
 def _validate_pallas_band_width(w: int, config, family: str) -> None:
@@ -375,7 +375,7 @@ def _fb_fused_enabled(config: FBConfig) -> bool:
         return False
     from cuda_optical_flow_2_tpu.kernels import lk_fused
 
-    return jax.default_backend() == "tpu" or lk_fused.interpret_forced()
+    return lk_fused.mosaic_ok()
 
 
 def _fb_fused_halo(config: FBConfig) -> int:

@@ -16,6 +16,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Pin the env var too: CLI mains re-assert JAX_PLATFORMS via the config API
+# (cli.apply_platform_env), so a session-level JAX_PLATFORMS=<tpu-plugin>
+# would flip in-process CLI tests onto the real chip mid-suite.
+os.environ["JAX_PLATFORMS"] = "cpu"
+
 import jax  # noqa: E402
 
 # The environment may force-register a TPU plugin platform at interpreter

@@ -793,3 +793,26 @@ def test_interleave_primitives(rng):
     np.testing.assert_array_equal(lanes[:, 1::2], b)
     with pytest.raises(ValueError, match="power-of-two"):
         updown.interleave_lanes(jnp.zeros((4, 48)), jnp.zeros((4, 48)))
+
+
+def test_mosaic_dispatch_rejects_x64(monkeypatch):
+    """x64 sessions must fall back to the XLA twins on TPU backends.
+
+    Under jax_enable_x64, Python-int roll shifts and index-map scalars stage
+    as i64, which Mosaic rejects at verification — dispatching the compiled
+    kernel would raise deep inside lowering.  supported() must say no up
+    front (the suite runs with x64 on, so only the backend needs faking).
+    """
+    import jax
+
+    from cuda_optical_flow_2_tpu.kernels import lk_fused
+
+    monkeypatch.delenv("OF2_PALLAS_INTERPRET", raising=False)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert jax.config.jax_enable_x64  # conftest turns it on
+    assert not lk_fused.mosaic_ok()
+    cfg = __import__("cuda_optical_flow_2_tpu").LKConfig(levels=1, window=5)
+    assert not lk_fused.supported(jnp.zeros((64, 64), jnp.float32), cfg)
+    # interpret mode is x64-clean and stays available
+    monkeypatch.setenv("OF2_PALLAS_INTERPRET", "1")
+    assert lk_fused.mosaic_ok()
