@@ -60,18 +60,32 @@ def _cost_model(cfg: of.LKConfig, h: int, w: int) -> dict:
     and an upper bound on headroom.  MXU counts the two banded decimation
     matmuls per pyramid level (ops/pyramid.py).
     """
+    from cuda_optical_flow_2_tpu.kernels.lk_step_fused import half_geometry_ok
+
     lv, it = cfg.levels, cfg.iterations
     d, c = cfg.d_local, cfg.c_max
     areas = [(h >> k) * (w >> k) for k in range(lv)]
     f32 = 4
 
     level_px = sum(a * it for a in areas)
+    # The in-kernel 2x flow upsample (kernels/updown.py) engages where the
+    # level geometry allows: that level's first iteration reads the coarser
+    # flow at quarter area, and the separate XLA upsample pass for the
+    # transition into that level never touches HBM.
+    fused_half = [
+        k < lv - 1 and half_geometry_ok(h >> k, w >> k, cfg) for k in range(lv)
+    ]
     # planes per level step: read prev, warped-source nxt, flow(2); write flow(2)
     bytes_steps = 6 * f32 * level_px
+    bytes_steps -= 2 * f32 * sum(
+        areas[k] - areas[k] // 4 for k in range(lv) if fused_half[k]
+    )
     # pyramid build x2 frames: read parent, write child per transition
     bytes_pyr = 2 * f32 * sum(areas[k - 1] + areas[k] for k in range(1, lv))
     # flow upsample between levels: read 2 planes at k, write 2 at k-1
-    bytes_up = 2 * f32 * sum(areas[k] + areas[k - 1] for k in range(1, lv))
+    bytes_up = 2 * f32 * sum(
+        areas[k] + areas[k - 1] for k in range(1, lv) if not fused_half[k - 1]
+    )
     hbm_bytes = bytes_steps + bytes_pyr + bytes_up
 
     # Select-gather warp floor per pixel: vertical pass examines 2*d_local+1

@@ -150,7 +150,7 @@ def main(argv=None) -> None:
         help="feed frames through the native prefetching FrameStream "
         "(C++ worker + ring buffer) instead of materializing the sequence",
     )
-    ap.add_argument(
+    src.add_argument(
         "--camera", default=None, metavar="DEV",
         help="capture live from a V4L2 camera device (e.g. /dev/video0) — "
         "the reference's webcam source; implies the native stream path",

@@ -46,6 +46,20 @@ __all__ = ["main", "discover_pairs", "evaluate_pair"]
 _IMAGE_EXTS = (".png", ".ppm", ".pgm", ".npy")
 
 
+def _json_line(rec: dict) -> str:
+    """json.dumps with NaN mapped to null.
+
+    The Sintel matched/unmatched EPE splits are NaN when a side is empty
+    (metrics.evaluate_flow); bare json.dumps would emit the non-standard
+    ``NaN`` token, which strict consumers (jq, JSON.parse) reject.
+    """
+    clean = {
+        k: (None if isinstance(v, float) and np.isnan(v) else v)
+        for k, v in rec.items()
+    }
+    return json.dumps(clean, allow_nan=False)
+
+
 def _discover_kitti(root: str) -> list[dict]:
     """Recognize the KITTI flow directory layout, if present.
 
@@ -145,17 +159,28 @@ def discover_pairs(root: str, sintel_pass: str = "final") -> list[dict]:
     detected layout is reported on stderr — a mis-detection silently drops
     pairs otherwise (ADVICE r2).
     """
-    layout, pairs = _discover(root, sintel_pass)
-    import sys
-
-    print(
-        f"of2-eval: detected {layout} layout ({len(pairs)} pairs)",
-        file=sys.stderr,
-    )
+    _, pairs = _discover(root, sintel_pass)
     return pairs
 
 
 def _discover(root: str, sintel_pass: str) -> tuple[str, list[dict]]:
+    """Sniff the dataset layout and collect pairs, reporting on stderr.
+
+    Layout sniffing is greedy (KITTI, then Sintel, then generic), so the
+    detection is always announced — a mis-detection silently drops pairs
+    otherwise (ADVICE r2).
+    """
+    import sys
+
+    layout, pairs = _discover_impl(root, sintel_pass)
+    print(
+        f"of2-eval: detected {layout} layout ({len(pairs)} pairs)",
+        file=sys.stderr,
+    )
+    return layout, pairs
+
+
+def _discover_impl(root: str, sintel_pass: str) -> tuple[str, list[dict]]:
     if not os.path.isdir(root):
         raise FileNotFoundError(f"dataset directory not found: {root}")
 
@@ -412,13 +437,7 @@ def main(argv=None) -> None:
 
     flow_fn = jax.jit(_step)
 
-    import sys
-
     layout, pairs = _discover(args.dataset, sintel_pass=args.sintel_pass)
-    print(
-        f"of2-eval: detected {layout} layout ({len(pairs)} pairs)",
-        file=sys.stderr,
-    )
     scored: list[dict] = []
     # One decode worker prefetches the NEXT pair's frames while the device
     # evaluates the current one (PNG inflate + grayscale are host work that
@@ -439,7 +458,7 @@ def main(argv=None) -> None:
                 pair, flow_fn, margin, args.out, bucket=args.bucket,
                 frames=frames,
             )
-            print(json.dumps(rec), flush=True)
+            print(_json_line(rec), flush=True)
             if "epe_mean" in rec:
                 scored.append(rec)
 
@@ -457,10 +476,15 @@ def main(argv=None) -> None:
             "epe_mean", "angular_deg_mean", "fl_all", "bad_1px", "bad_3px",
             "epe_matched", "epe_unmatched",
         ):
-            vals = [r[key] for r in scored if key in r]
+            # NaN-filtered: a pair whose matched/occluded side is empty
+            # reports NaN for that split (metrics.evaluate_flow) and must
+            # not poison the run aggregate.
+            vals = [
+                r[key] for r in scored if key in r and not np.isnan(r[key])
+            ]
             if vals:
                 summary[key] = float(np.mean(vals))
-    print(json.dumps(summary), flush=True)
+    print(_json_line(summary), flush=True)
 
 
 if __name__ == "__main__":

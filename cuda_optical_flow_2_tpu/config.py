@@ -100,6 +100,11 @@ class LKConfig:
             raise ValueError(f"unknown warp_mode {self.warp_mode!r}")
         if self.d_local < 1:
             raise ValueError(f"d_local must be >= 1, got {self.d_local}")
+        if self.iterations < 1:
+            # iterations=0 would skip the fused level loop entirely, and with
+            # the in-kernel 2x upsample that loop is also what brings the
+            # coarser flow to this level's resolution.
+            raise ValueError(f"iterations must be >= 1, got {self.iterations}")
         if self.temporal_kernel not in ("dt3", "gauss3", "delta"):
             raise ValueError(f"unknown temporal_kernel {self.temporal_kernel!r}")
         if self.window_method not in ("sep_conv", "cumsum", "reduce_window"):

@@ -31,6 +31,7 @@ from cuda_optical_flow_2_tpu.kernels.lk_fused import (
     _round_up,
     _shift,
     interpret_forced,
+    mosaic_ok,
 )
 
 __all__ = ["supported", "bilateral_kernel", "bilateral_kernel_band"]

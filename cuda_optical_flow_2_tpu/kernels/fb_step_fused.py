@@ -44,6 +44,7 @@ from cuda_optical_flow_2_tpu.kernels.lk_fused import (
     _roll,
     _round_up,
     interpret_forced,
+    mosaic_ok,
 )
 from cuda_optical_flow_2_tpu.ops.poly_exp import gaussian_1d, mixing_matrix
 

@@ -49,6 +49,7 @@ from cuda_optical_flow_2_tpu.kernels.lk_fused import (
     _round_up,
     _stencil3,
     interpret_forced,
+    mosaic_ok,
 )
 from cuda_optical_flow_2_tpu.ops.gradients import SOBEL_GAIN
 

@@ -76,6 +76,14 @@ def supported_half(prev: jax.Array, config: LKConfig) -> bool:
     if not supported(prev, config):
         return False
     h, w = prev.shape[-2:]
+    return half_geometry_ok(h, w, config)
+
+
+def half_geometry_ok(h: int, w: int, config: LKConfig) -> bool:
+    """Shape-only half of supported_half (no backend/dtype clauses).
+
+    Exposed separately so cost accounting (bench.py's roofline model) can
+    predict engagement from the config alone."""
     if h % 2 or w % 2:
         return False
     r = config.window // 2

@@ -24,7 +24,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cuda_optical_flow_2_tpu.kernels.fb_step_fused import band_expansion
-from cuda_optical_flow_2_tpu.kernels.lk_fused import _round_up, interpret_forced
+from cuda_optical_flow_2_tpu.kernels.lk_fused import _round_up, interpret_forced, mosaic_ok
 from cuda_optical_flow_2_tpu.ops.poly_exp import gaussian_1d, mixing_matrix
 
 __all__ = ["supported", "poly_expansion_kernel"]

@@ -29,6 +29,7 @@ from cuda_optical_flow_2_tpu.kernels.lk_fused import (
     _box_sum,
     _round_up,
     interpret_forced,
+    mosaic_ok,
 )
 
 __all__ = ["supported", "window_solve"]

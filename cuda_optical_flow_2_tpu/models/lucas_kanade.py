@@ -277,15 +277,11 @@ def pyramidal_lk_pyramid(
     built in ONE stacked pass — the decimation matmuls and the prefilter
     batch over the pair, halving the preprocess dispatch count.
     """
-    _validate(prev, nxt, config)
-    if prev.shape == nxt.shape:
-        both = preprocess(jnp.stack([prev, nxt], axis=0), config)
-        prev_pyr = [lvl[0] for lvl in both]
-        next_pyr = [lvl[1] for lvl in both]
-        return coarse_to_fine(prev_pyr, next_pyr, config)
-    return coarse_to_fine(
-        preprocess(prev, config), preprocess(nxt, config), config
-    )
+    _validate(prev, nxt, config)  # equal shapes guaranteed below
+    both = preprocess(jnp.stack([prev, nxt], axis=0), config)
+    prev_pyr = [lvl[0] for lvl in both]
+    next_pyr = [lvl[1] for lvl in both]
+    return coarse_to_fine(prev_pyr, next_pyr, config)
 
 
 def pyramidal_lk(prev: jax.Array, nxt: jax.Array, config: LKConfig) -> jax.Array:

@@ -360,3 +360,42 @@ def test_metrics_occlusion_split_margins():
     assert rep["epe_matched"] == 0.0
     assert abs(rep["epe_unmatched"] - 2.0) < 1e-12
     assert abs(rep["occluded_fraction"] - 0.5) < 1e-12
+
+
+def test_eval_sintel_empty_occ_side_stays_strict_json(tmp_path, capsys):
+    """A pair with an all-black occ mask (no occluded pixels) reports null
+    for epe_unmatched — not the non-standard NaN token — and does not
+    poison the run aggregate (which averages over pairs that HAVE the
+    split)."""
+    from cuda_optical_flow_2_tpu.cli import evaluate
+    from cuda_optical_flow_2_tpu.utils import viz
+
+    h, w, velocity = 96, 128, (2.0, 1.0)
+    frames = uio.synthetic_sequence(3, h, w, velocity=velocity, period=24)
+    truth = np.full((h, w, 2), velocity, np.float32)
+    fdir = tmp_path / "final" / "alley_1"
+    gdir = tmp_path / "flow" / "alley_1"
+    odir = tmp_path / "occ" / "alley_1"
+    for d in (fdir, gdir, odir):
+        d.mkdir(parents=True)
+    # pair 1: no occluded pixels at all; pair 2: a quarter-width band
+    masks = [np.zeros((h, w), np.uint8), np.zeros((h, w), np.uint8)]
+    masks[1][:, : w // 4] = 255
+    for t in range(3):
+        viz.write_png(str(fdir / f"frame_{t + 1:04d}.png"), frames[t])
+        if t < 2:
+            uio.write_flo(str(gdir / f"frame_{t + 1:04d}.flo"), truth)
+            viz.write_png(str(odir / f"frame_{t + 1:04d}.png"), masks[t])
+
+    evaluate.main([
+        "--dataset", str(tmp_path), "--levels", "2", "--window", "9",
+        "--no-pallas", "--margin", "12",
+    ])
+    out = capsys.readouterr().out
+    assert "NaN" not in out  # strict JSON everywhere
+    lines = [json.loads(l) for l in out.splitlines()]
+    agg = lines[-1]
+    # pair 1's empty occluded side is null per-pair, filtered from the agg
+    assert lines[0]["epe_unmatched"] is None
+    assert isinstance(agg["epe_unmatched"], float)
+    assert np.isfinite(agg["epe_unmatched"])
