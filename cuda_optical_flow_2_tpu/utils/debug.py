@@ -640,6 +640,16 @@ def stage_report(
     """
     import os
 
+    known = {"xla", "pallas", "banded", "oracle", "sharded"}
+    bad = [b for b in (*backends, baseline) if b not in known]
+    if bad:
+        # A runner silently returns None for names it doesn't know, which
+        # would yield an EMPTY report — e.g. `--backends xla,pallas` (one
+        # comma-joined token) printing nothing and exiting 0.
+        raise ValueError(
+            f"unknown backend(s) {bad}; choose from {sorted(known)}"
+        )
+
     prev = jnp.asarray(prev, jnp.float32)
     nxt = jnp.asarray(nxt, jnp.float32)
     prev_pyr, next_pyr, flow_in = _canonical_levels(prev, nxt, config)
@@ -721,4 +731,9 @@ def stage_report(
 
 
 def format_report(report: list[StageDiff]) -> str:
+    if not report:
+        # Distinguish "nothing diffed" from a clean run: every row skipped
+        # means the stage filter (or a baseline with no runner for any
+        # stage) matched nothing.
+        return "(no stages matched — check --stages / --baseline)"
     return "\n".join(str(r) for r in report)

@@ -126,3 +126,21 @@ def test_flow_stage_oracle_baseline_skips_not_crashes():
         stages=("flow",),
     )
     assert rep == []
+
+
+def test_stage_report_rejects_unknown_backend():
+    """Unknown backend names must error, not yield a silently empty report
+    (e.g. a comma-joined `--backends xla,pallas` token)."""
+    import numpy as np
+    import pytest
+
+    import cuda_optical_flow_2_tpu as of
+    from cuda_optical_flow_2_tpu.utils.debug import format_report, stage_report
+
+    prev = np.zeros((32, 32), np.float32)
+    with pytest.raises(ValueError, match="unknown backend"):
+        stage_report(
+            prev, prev, of.LKConfig(levels=1, window=5),
+            backends=("xla,pallas",),
+        )
+    assert "no stages matched" in format_report([])

@@ -649,7 +649,8 @@ def test_halo_exchange_counts_hoisted(monkeypatch):
     so this pins the communication volume per level:
       LK fused level:  2 frame exchanges + 1 flow exchange per iteration
       TV-L1 level:     2 frame exchanges + (1 flow exchange +
-                       ceil(iterations / iter_tile) sweep-chunk exchanges)
+                       ceil(iterations / iter_tile) sweep-chunk exchanges +
+                       1 median-filter exchange if median_filtering is on)
                        per warp
     """
     from cuda_optical_flow_2_tpu.models import tvl1
@@ -672,15 +673,18 @@ def test_halo_exchange_counts_hoisted(monkeypatch):
         assert got == 2 * (2 + it), (it, got)
 
     for warps in (1, 3):
-        cfg = tvl1.TVL1Config(
-            levels=1, warps=warps, iterations=8, max_displacement=8
-        )
-        got = permutes(
-            lambda a, b, c=cfg: parallel.spatial_pyramidal_tvl1(
-                a, b, c, mesh, iter_tile=4
+        for median in (0, 5):
+            cfg = tvl1.TVL1Config(
+                levels=1, warps=warps, iterations=8, max_displacement=8,
+                median_filtering=median,
             )
-        )
-        assert got == 2 * (2 + warps * (1 + 2)), (warps, got)
+            got = permutes(
+                lambda a, b, c=cfg: parallel.spatial_pyramidal_tvl1(
+                    a, b, c, mesh, iter_tile=4
+                )
+            )
+            per_warp = (1 + 2) + (1 if median else 0)
+            assert got == 2 * (2 + warps * per_warp), (warps, median, got)
 
     # FB fused level: prev expansion band + next band once, flow per
     # iteration — same 2*(2 + iterations) shape as LK.
