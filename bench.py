@@ -73,7 +73,10 @@ def _cost_model(cfg: of.LKConfig, h: int, w: int) -> dict:
     # flow at quarter area, and the separate XLA upsample pass for the
     # transition into that level never touches HBM.
     fused_half = [
-        k < lv - 1 and half_geometry_ok(h >> k, w >> k, cfg) for k in range(lv)
+        cfg.fused_half_upsample
+        and k < lv - 1
+        and half_geometry_ok(h >> k, w >> k, cfg)
+        for k in range(lv)
     ]
     # planes per level step: read prev, warped-source nxt, flow(2); write flow(2)
     bytes_steps = 6 * f32 * level_px

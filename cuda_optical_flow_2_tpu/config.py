@@ -88,6 +88,13 @@ class LKConfig:
     use_pallas: bool = True
     d_local: int = 7
     c_max: int = 1
+    # Run the 2x coarse-flow upsample inside the fused level kernel
+    # (kernels/updown.py) instead of as a separate XLA pass.  Measured a NET
+    # LOSS at the 1080p headline (~421 vs ~438 fps, interleaved A/B — the
+    # log-depth lane-interleave rolls cost more VPU time than the eliminated
+    # pass saved) and a wash for DIS, so the default is the faster XLA
+    # upsample; see docs/PERF.md "Remaining levers".
+    fused_half_upsample: bool = False
 
     def __post_init__(self) -> None:
         if self.c_max < 0:

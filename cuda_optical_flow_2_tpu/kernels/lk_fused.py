@@ -93,9 +93,10 @@ def _roll(x: jax.Array, d: int, axis: int) -> jax.Array:
     """
     size = x.shape[axis]
     s = (-d) % size
-    # np.int32: under jax_enable_x64 a Python-int shift stages as an i64
-    # constant, which Mosaic's tpu.dynamic_rotate rejects.
-    return pltpu.roll(x, np.int32(s), axis) if s else x
+    # Plain Python-int shift: stages as a static rotate.  (Under
+    # jax_enable_x64 it would stage as i64 and fail Mosaic verification,
+    # but mosaic_ok() keeps x64 sessions off this path entirely.)
+    return pltpu.roll(x, s, axis) if s else x
 
 
 def _shift(x: jax.Array, dy: int, dx: int) -> jax.Array:

@@ -115,8 +115,8 @@ def _expand_flow2x(
         + i * (tile_h // 2)
         - rw2
     )
-    up = pltpu.roll(uh, np.int32(1), 0)
-    dn = pltpu.roll(uh, np.int32(text2 - 1), 0)
+    up = pltpu.roll(uh, 1, 0)
+    dn = pltpu.roll(uh, text2 - 1, 0)
     rows_a = 0.75 * uh + 0.25 * jnp.where(cr <= 0, uh, up)
     rows_b = 0.75 * uh + 0.25 * jnp.where(cr >= h2 - 1, uh, dn)
     inter = updown.interleave_rows(rows_a, rows_b)
@@ -126,8 +126,8 @@ def _expand_flow2x(
     cc = (
         jax.lax.broadcasted_iota(jnp.int32, (text, wp2), 1) - halo_x2
     )
-    left = pltpu.roll(band, np.int32(1), 1)
-    right = pltpu.roll(band, np.int32(wp2 - 1), 1)
+    left = pltpu.roll(band, 1, 1)
+    right = pltpu.roll(band, wp2 - 1, 1)
     lanes_a = 0.75 * band + 0.25 * jnp.where(cc <= 0, band, left)
     lanes_b = 0.75 * band + 0.25 * jnp.where(cc >= w2 - 1, band, right)
     return updown.interleave_lanes(lanes_a, lanes_b) * 2.0

@@ -35,9 +35,7 @@ def _roll(x: jax.Array, s: int, axis: int) -> jax.Array:
     try:  # inside a TPU kernel: the Mosaic rotate primitive
         from jax.experimental.pallas import tpu as pltpu
 
-        # np.int32: a Python-int shift stages as i64 under jax_enable_x64,
-        # which Mosaic's tpu.dynamic_rotate rejects.
-        return pltpu.roll(x, np.int32(s % x.shape[axis]), axis)
+        return pltpu.roll(x, s % x.shape[axis], axis)
     except Exception:
         return jnp.roll(x, s, axis=axis)
 

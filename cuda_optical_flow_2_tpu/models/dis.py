@@ -129,6 +129,10 @@ class DISConfig:
     max_displacement: int = 32
     d_local: int = 7
     c_max: int = 1
+    # In-kernel 2x flow upsample: measured a throughput wash for DIS
+    # (136.3 vs 135.7 fps at the 1080p default) and a net loss for LK, so
+    # off by default — see LKConfig.fused_half_upsample.
+    fused_half_upsample: bool = False
 
     def __post_init__(self) -> None:
         if self.levels < 1:
@@ -177,6 +181,7 @@ def _lk_like(config: DISConfig) -> LKConfig:
         use_pallas=config.use_pallas,
         d_local=config.d_local,
         c_max=config.c_max,
+        fused_half_upsample=config.fused_half_upsample,
     )
 
 

@@ -251,10 +251,15 @@ def coarse_to_fine(
 def _fused_half_upsample(
     prev_k: jax.Array, flow: jax.Array, config: LKConfig
 ) -> bool:
-    """Whether the level-k step can consume the coarser flow directly and
-    upsample in-kernel (lk_step_fused.supported_half): saves the separate
-    XLA upsample pass and 3/4 of the kernel's flow-input HBM traffic.
-    False for warm-start flows already at level-k resolution."""
+    """Whether the level-k step should consume the coarser flow directly and
+    upsample in-kernel (lk_step_fused.supported_half).  Opt-in via
+    config.fused_half_upsample: it saves the separate XLA upsample pass and
+    3/4 of the kernel's flow-input HBM traffic but costs MORE VPU time in
+    lane-interleave rolls than it saves (measured ~4% net headline loss;
+    docs/PERF.md "Remaining levers").  False for warm-start flows already at
+    level-k resolution."""
+    if not config.fused_half_upsample:
+        return False
     if not config.use_pallas or config.warp_mode != "bilinear":
         return False
     h, w = prev_k.shape[-2:]

@@ -217,7 +217,8 @@ def test_dis_fused_half_upsample_matches(monkeypatch):
     fr = io.synthetic_sequence(2, 128, 448, velocity=(2.0, 1.0))
     p, n = (jnp.asarray(f, jnp.float32) for f in fr)
     cfg = dis.DISConfig(
-        levels=2, iterations=2, refine_iterations=2, max_displacement=8
+        levels=2, iterations=2, refine_iterations=2, max_displacement=8,
+        fused_half_upsample=True,
     )
     got = np.asarray(dis.pyramidal_dis(p, n, cfg))
     monkeypatch.setattr(lk, "_fused_half_upsample", lambda *a: False)

@@ -159,13 +159,19 @@ def test_pipeline_fused_half_upsample_dispatch(monkeypatch):
     fr = io.synthetic_sequence(2, 128, 448, velocity=(2.0, 1.0))
     p, n = (jnp.asarray(f, jnp.float32) for f in fr)
     cfg = of.LKConfig(levels=2, window=9, iterations=2,
-                      max_displacement=8, d_local=7)
+                      max_displacement=8, d_local=7,
+                      fused_half_upsample=True)  # opt-in (off by default)
     assert lk._fused_half_upsample(
         p, jnp.zeros((64, 224, 2), jnp.float32), cfg
     )
     # warm-start flow already at level res must NOT take the half path
     assert not lk._fused_half_upsample(
         p, jnp.zeros((128, 448, 2), jnp.float32), cfg
+    )
+    # and the default config keeps the XLA upsample (measured faster)
+    assert not lk._fused_half_upsample(
+        p, jnp.zeros((64, 224, 2), jnp.float32),
+        of.LKConfig(levels=2, window=9, iterations=2, max_displacement=8),
     )
     flow = np.asarray(of.pyramidal_lk(p, n, cfg))
     monkeypatch.setattr(lk, "_fused_half_upsample", lambda *a: False)
