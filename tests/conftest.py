@@ -16,19 +16,27 @@ if "xla_force_host_platform_device_count" not in flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# OF2_TEST_TPU=1 opts into the on-device test module (test_tpu_device.py):
+# the platform is left as the session provides it (a real TPU) and x64 stays
+# OFF (compiled Mosaic kernels require 32-bit staging — kernels.lk_fused.
+# mosaic_ok).  Everything else in the suite is CPU-pinned as below.
+_TPU_MODE = os.environ.get("OF2_TEST_TPU") == "1"
+
 # Pin the env var too: CLI mains re-assert JAX_PLATFORMS via the config API
 # (cli.apply_platform_env), so a session-level JAX_PLATFORMS=<tpu-plugin>
 # would flip in-process CLI tests onto the real chip mid-suite.
-os.environ["JAX_PLATFORMS"] = "cpu"
+if not _TPU_MODE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
-# The environment may force-register a TPU plugin platform at interpreter
-# start (overriding JAX_PLATFORMS), so select CPU via the config API instead.
-jax.config.update("jax_platforms", "cpu")
-# float64 for the reference-exact compat solve (the reference solves in
-# double, OptFlowGpu.cu:1831).  Production code pins float32 explicitly.
-jax.config.update("jax_enable_x64", True)
+if not _TPU_MODE:
+    # The environment may force-register a TPU plugin platform at interpreter
+    # start (overriding JAX_PLATFORMS), so select CPU via the config API.
+    jax.config.update("jax_platforms", "cpu")
+    # float64 for the reference-exact compat solve (the reference solves in
+    # double, OptFlowGpu.cu:1831).  Production code pins float32 explicitly.
+    jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,114 @@
+"""On-device (compiled Mosaic) tests — opt-in, real TPU required.
+
+The regular suite runs the Pallas kernels in interpreter mode on CPU
+(tests/conftest.py pins the platform).  This module is the compiled-path
+counterpart: it drives every family's fused kernels against their XLA twins
+ON THE CHIP and pins the cross-backend bounds, plus a throughput sanity
+floor.  It is exactly the surface that catches dispatch-layer regressions
+(a round-3 ``supported()`` NameError and an x64-only Mosaic verification
+failure were both first seen here — docs/PERF.md "On-device kernel parity
+sweep").
+
+Run with:
+
+    OF2_TEST_TPU=1 python -m pytest tests/test_tpu_device.py -q
+
+Under the plain suite (CPU-pinned) every test here skips.  First run
+compiles through the remote compile service (minutes); the persistent
+compilation cache (bench.py sets ``JAX_COMPILATION_CACHE_DIR``; export it
+here too for warm reruns) makes later runs fast.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() == "cpu",
+    reason="on-device tests need a TPU backend (run with OF2_TEST_TPU=1)",
+)
+
+
+def _pair(h: int = 128, w: int = 256):
+    from cuda_optical_flow_2_tpu.utils import io
+
+    seq = io.synthetic_sequence(2, h, w, velocity=(2.0, 1.0), noise=0.0)
+    return seq[0].astype(np.float32), seq[1].astype(np.float32)
+
+
+def _config(model: str):
+    if model == "lk":
+        import cuda_optical_flow_2_tpu as of
+
+        return of.LKConfig(levels=2, window=9, iterations=2)
+    if model == "hs":
+        from cuda_optical_flow_2_tpu.models.horn_schunck import HSConfig
+
+        return HSConfig(levels=2, iterations=20)
+    if model == "fb":
+        from cuda_optical_flow_2_tpu.models.farneback import FBConfig
+
+        return FBConfig(levels=2, iterations=2, winsize=9)
+    if model == "tvl1":
+        from cuda_optical_flow_2_tpu.models.tvl1 import TVL1Config
+
+        return TVL1Config(levels=2, iterations=15)
+    from cuda_optical_flow_2_tpu.models.dis import DISConfig
+
+    return DISConfig(levels=2, window=9, iterations=2)
+
+
+@pytest.mark.parametrize("model", ["lk", "hs", "fb", "tvl1", "dis"])
+def test_compiled_kernels_match_xla_twins(model):
+    """Every per-stage compiled-Mosaic output tracks its XLA twin.
+
+    Bounds are ~3x the sweep measured in docs/PERF.md ("On-device kernel
+    parity sweep"): per-stage mean |delta| and the end-to-end flow mean.
+    Max |delta| is NOT bounded for TV-L1 (near-tied median/threshold
+    decisions flip at isolated pixels under reassociated fp32 — the
+    documented backend-divergence mode), so the mean carries the assertion.
+    """
+    from cuda_optical_flow_2_tpu.utils.debug import stage_report
+
+    prev, nxt = _pair()
+    report = stage_report(prev, nxt, _config(model), backends=("pallas",))
+    assert report, "no stages produced for the pallas backend"
+    for row in report:
+        assert np.isfinite(row.max_abs), row
+        assert row.mean_abs < 1e-2, row  # ~3x the measured sweep means
+
+
+def test_compiled_headline_clears_target():
+    """The flagship pipeline beats the 60 fps north-star on one chip by a
+    wide margin even at small scale-check shapes (the full 1080p number is
+    bench.py's job; this is a sanity floor, not a benchmark)."""
+    import jax.numpy as jnp
+
+    import cuda_optical_flow_2_tpu as of
+    from cuda_optical_flow_2_tpu.utils.profiling import device_time
+
+    prev, nxt = _pair(256, 512)
+    cfg = of.LKConfig(levels=3, window=15, iterations=1)
+    secs = device_time(
+        lambda a, b: of.pyramidal_lk(a, b, cfg),
+        jnp.asarray(prev), jnp.asarray(nxt), iters=20,
+    )
+    assert 1.0 / secs > 60.0, f"{1.0 / secs:.1f} fps at 256x512"
+
+
+def test_compiled_flow_accuracy_on_translation():
+    """End-to-end accuracy on the chip: median inner flow ~= (2, 1)."""
+    import jax.numpy as jnp
+
+    import cuda_optical_flow_2_tpu as of
+
+    prev, nxt = _pair()
+    cfg = of.LKConfig(levels=3, window=11, temporal_kernel="gauss3", iterations=2)
+    flow = np.asarray(
+        of.pyramidal_lk(jnp.asarray(prev), jnp.asarray(nxt), cfg)
+    )
+    m = np.median(flow[24:-24, 24:-24], axis=(0, 1))
+    assert abs(m[0] - 2.0) < 0.15 and abs(m[1] - 1.0) < 0.15, m
