@@ -47,14 +47,15 @@ _IMAGE_EXTS = (".png", ".ppm", ".pgm", ".npy")
 
 
 def _json_line(rec: dict) -> str:
-    """json.dumps with NaN mapped to null.
+    """json.dumps with non-finite floats mapped to null.
 
     The Sintel matched/unmatched EPE splits are NaN when a side is empty
-    (metrics.evaluate_flow); bare json.dumps would emit the non-standard
-    ``NaN`` token, which strict consumers (jq, JSON.parse) reject.
+    (metrics.evaluate_flow), and an inf pixel in a frame can make any
+    metric infinite; bare json.dumps would emit the non-standard ``NaN`` /
+    ``Infinity`` tokens, which strict consumers (jq, JSON.parse) reject.
     """
     clean = {
-        k: (None if isinstance(v, float) and np.isnan(v) else v)
+        k: (None if isinstance(v, float) and not np.isfinite(v) else v)
         for k, v in rec.items()
     }
     return json.dumps(clean, allow_nan=False)
@@ -476,11 +477,12 @@ def main(argv=None) -> None:
             "epe_mean", "angular_deg_mean", "fl_all", "bad_1px", "bad_3px",
             "epe_matched", "epe_unmatched",
         ):
-            # NaN-filtered: a pair whose matched/occluded side is empty
-            # reports NaN for that split (metrics.evaluate_flow) and must
-            # not poison the run aggregate.
+            # Finite-filtered: a pair whose matched/occluded side is empty
+            # reports NaN for that split (metrics.evaluate_flow), and a
+            # degenerate pair can report inf; neither may poison the run
+            # aggregate.
             vals = [
-                r[key] for r in scored if key in r and not np.isnan(r[key])
+                r[key] for r in scored if key in r and np.isfinite(r[key])
             ]
             if vals:
                 summary[key] = float(np.mean(vals))

@@ -21,8 +21,6 @@ under interpret mode).
 
 from __future__ import annotations
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 

@@ -19,7 +19,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # OF2_TEST_TPU=1 opts into the on-device test module (test_tpu_device.py):
 # the platform is left as the session provides it (a real TPU) and x64 stays
 # OFF (compiled Mosaic kernels require 32-bit staging — kernels.lk_fused.
-# mosaic_ok).  Everything else in the suite is CPU-pinned as below.
+# mosaic_ok).  Since the platform and x64 settings are PROCESS-GLOBAL, the
+# rest of the suite cannot run CPU-pinned in the same session — the
+# collection hook below skips every other module under this flag, so
+# `OF2_TEST_TPU=1 pytest tests/` runs exactly the on-device tests rather
+# than silently running CPU-designed tests (x64 compat, in-process CLI) on
+# the chip.
 _TPU_MODE = os.environ.get("OF2_TEST_TPU") == "1"
 
 # Pin the env var too: CLI mains re-assert JAX_PLATFORMS via the config API
@@ -40,6 +45,18 @@ if not _TPU_MODE:
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    if not _TPU_MODE:
+        return
+    skip = pytest.mark.skip(
+        reason="OF2_TEST_TPU=1 runs only tests/test_tpu_device.py "
+        "(platform/x64 pinning is process-global)"
+    )
+    for item in items:
+        if item.fspath.basename != "test_tpu_device.py":
+            item.add_marker(skip)
 
 
 @pytest.fixture
