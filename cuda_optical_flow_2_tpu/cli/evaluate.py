@@ -156,11 +156,12 @@ def discover_pairs(root: str, sintel_pass: str = "final") -> list[dict]:
 
     See module docstring for the recognized layouts.  Returns a sorted
     list of dicts with keys ``name``, ``first``, ``second``, ``truth``.
-    Layout sniffing is greedy (KITTI, then Sintel, then generic), so the
-    detected layout is reported on stderr — a mis-detection silently drops
-    pairs otherwise (ADVICE r2).
+    Layout sniffing is greedy (KITTI, then Sintel, then generic); this
+    programmatic entry point is silent (ADVICE r3 — no stderr side effect
+    in a library function).  The ``of2-eval`` CLI announces the detected
+    layout via ``_discover``.
     """
-    _, pairs = _discover(root, sintel_pass)
+    _, pairs = _discover_impl(root, sintel_pass)
     return pairs
 
 

@@ -130,7 +130,7 @@ def _expand_flow2x(
     right = pltpu.roll(band, wp2 - 1, 1)
     lanes_a = 0.75 * band + 0.25 * jnp.where(cc <= 0, band, left)
     lanes_b = 0.75 * band + 0.25 * jnp.where(cc >= w2 - 1, band, right)
-    return updown.interleave_lanes(lanes_a, lanes_b) * 2.0
+    return updown.interleave_lanes(lanes_a, lanes_b, in_kernel=True) * 2.0
 
 
 def _kernel(

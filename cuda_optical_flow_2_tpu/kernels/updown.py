@@ -27,15 +27,19 @@ import jax.numpy as jnp
 __all__ = ["interleave_rows", "interleave_lanes"]
 
 
-def _roll(x: jax.Array, s: int, axis: int) -> jax.Array:
+def _roll(x: jax.Array, s: int, axis: int, in_kernel: bool) -> jax.Array:
+    """Rotate along axis.  ``in_kernel=True`` (the caller is tracing inside a
+    Pallas TPU kernel body) selects the Mosaic rotate primitive; outside a
+    kernel ``pltpu.roll`` cannot lower, so use ``jnp.roll``.  The flag is
+    explicit rather than try/except so an unrelated trace-time error from
+    ``pltpu.roll`` is never silently swallowed (ADVICE r3)."""
     if s % x.shape[axis] == 0:
         return x
-    try:  # inside a TPU kernel: the Mosaic rotate primitive
+    if in_kernel:
         from jax.experimental.pallas import tpu as pltpu
 
         return pltpu.roll(x, s % x.shape[axis], axis)
-    except Exception:
-        return jnp.roll(x, s, axis=axis)
+    return jnp.roll(x, s, axis=axis)
 
 
 def interleave_rows(a: jax.Array, b: jax.Array) -> jax.Array:
@@ -44,9 +48,15 @@ def interleave_rows(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.stack([a, b], axis=1).reshape(2 * t, w)
 
 
-def interleave_lanes(a: jax.Array, b: jax.Array) -> jax.Array:
+def interleave_lanes(
+    a: jax.Array, b: jax.Array, *, in_kernel: bool = False
+) -> jax.Array:
     """(T, W2), (T, W2) -> (T, 2*W2) with out[:, 2j] = a[:, j],
-    out[:, 2j+1] = b[:, j].  ``2*W2`` must be a power of two."""
+    out[:, 2j+1] = b[:, j].  ``2*W2`` must be a power of two.
+
+    Pass ``in_kernel=True`` when calling from inside a Pallas TPU kernel
+    body (uses ``pltpu.roll``); the default uses ``jnp.roll`` for plain
+    traced/eager use."""
     t, w2 = a.shape
     w = 2 * w2
     if w & (w - 1):
@@ -59,8 +69,8 @@ def interleave_lanes(a: jax.Array, b: jax.Array) -> jax.Array:
         pos = lane % s
         second = (pos >= q) & (pos < 2 * q)
         third = (pos >= 2 * q) & (pos < 3 * q)
-        xl = _roll(x, -q, 1)
-        xr = _roll(x, q, 1)
+        xl = _roll(x, -q, 1, in_kernel)
+        xr = _roll(x, q, 1, in_kernel)
         x = jnp.where(second, xl, jnp.where(third, xr, x))
         s //= 2
     return x

@@ -250,10 +250,29 @@ def write_ppm(path: str, img: np.ndarray) -> None:
         f.write(img.tobytes())
 
 
+def _png_header_ok(path: str) -> bool:
+    """True when the PNG's IHDR is in the supported domain (8/16-bit,
+    color type 0 gray or 2 RGB, non-interlaced).  Checked BEFORE handing
+    the file to cv2 so the accepted input domain does not vary with the
+    environment (ADVICE r3): a palette/interlaced/alpha PNG is rejected
+    identically whether or not OpenCV is importable."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(33)
+    except OSError:
+        return False
+    if head[:8] != b"\x89PNG\r\n\x1a\n" or head[12:16] != b"IHDR":
+        return False
+    _, _, bitdepth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", head[16:29])
+    return bitdepth in (8, 16) and ctype in (0, 2) and not interlace
+
+
 def _read_png_cv2(path: str) -> np.ndarray | None:
     """Decode via OpenCV when importable (C-speed adaptive-filter inflate);
     None when cv2 is absent or declines the file.  Output matches the pure
-    decoder: (H, W) gray or (H, W, 3) RGB, uint8/uint16 at native depth."""
+    decoder: (H, W) gray or (H, W, 3) RGB, uint8/uint16 at native depth.
+    Only called for headers the pure decoder also accepts (_png_header_ok),
+    so behavior is environment-independent."""
     try:
         import cv2
     except ImportError:
@@ -281,9 +300,10 @@ def _read_png(path: str) -> np.ndarray:
     1242x375 KITTI frames), with this pure-Python path as the zero-dependency
     fallback (sub/up vectorized; average/paeth per-byte).
     """
-    fast = _read_png_cv2(path)
-    if fast is not None:
-        return fast
+    if _png_header_ok(path):
+        fast = _read_png_cv2(path)
+        if fast is not None:
+            return fast
     with open(path, "rb") as f:
         data = f.read()
     if data[:8] != b"\x89PNG\r\n\x1a\n":

@@ -143,11 +143,12 @@ def v4l2_probe(
 ) -> tuple[int, int, int]:
     """Probe a V4L2 camera device without starting capture.
 
-    Returns ``(rc, h, w)``: rc 0 with the driver-granted size on success;
-    -1 cannot open; -2 not a V4L2 streaming-capture device; -3 no
-    YUYV/GREY format; -4 buffer setup failed; -5 stream start failed.
-    rc -1 also when the native library is unavailable (non-Linux builds
-    always report -1).
+    The native probe stops after format negotiation (no buffer request or
+    STREAMON is issued), so a camera held by another consumer is never
+    disturbed.  Returns ``(rc, h, w)``: rc 0 with the driver-granted size
+    on success; -1 cannot open; -2 not a V4L2 streaming-capture device;
+    -3 no YUYV/GREY format.  rc -1 also when the native library is
+    unavailable (non-Linux builds always report -1).
     """
     lib = _try_load()
     if lib is None:

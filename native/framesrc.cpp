@@ -472,7 +472,13 @@ void v4l2_teardown(FrameStream* s) {
 // 0 ok; -1 open failure; -2 not a V4L2 streaming-capture device;
 // -3 no supported pixel format (YUYV/GREY); -4 buffer setup failure;
 // -5 stream start failure.
-int v4l2_setup(FrameStream* s, const char* device, int w, int h) {
+//
+// ``probe_only`` stops after format negotiation — no REQBUFS/STREAMON —
+// so of2_v4l2_probe never briefly starts capture on a camera another
+// consumer may hold (ADVICE r3), and from_v4l2's probe-then-open path
+// does not run the full buffer setup twice.
+int v4l2_setup(FrameStream* s, const char* device, int w, int h,
+               bool probe_only = false) {
   s->v4l2_fd = open(device, O_RDWR | O_NONBLOCK);
   if (s->v4l2_fd < 0) return -1;
 
@@ -506,6 +512,7 @@ int v4l2_setup(FrameStream* s, const char* device, int w, int h) {
     v4l2_teardown(s);
     return -3;
   }
+  if (probe_only) return 0;  // caller tears down; stream never started
 
   v4l2_requestbuffers req{};
   req.count = 4;
@@ -586,7 +593,9 @@ Produce v4l2_read_frame(FrameStream* s, float* dst) {
 #else  // !__linux__
 
 void v4l2_teardown(FrameStream*) {}
-int v4l2_setup(FrameStream*, const char*, int, int) { return -1; }
+int v4l2_setup(FrameStream*, const char*, int, int, bool = false) {
+  return -1;
+}
 Produce v4l2_read_frame(FrameStream*, float*) { return Produce::kFail; }
 
 #endif
@@ -745,13 +754,14 @@ void* of2_stream_open_ppm(const char* paths, int prefetch) {
 }
 
 // Camera (V4L2) probe: negotiates a format on ``device`` without starting
-// the stream; fills the driver-granted h, w.  Returns the v4l2_setup error
-// code (0 ok; -1 open failure; -2 not a V4L2 streaming-capture device;
-// -3 no YUYV/GREY format; -4 buffer setup; -5 stream start).  On non-Linux
-// builds always -1.
+// the stream (probe_only stops before REQBUFS/STREAMON, so capture truly
+// never starts); fills the driver-granted h, w.  Returns the v4l2_setup
+// error code (0 ok; -1 open failure; -2 not a V4L2 streaming-capture
+// device; -3 no YUYV/GREY format).  On non-Linux builds always -1.
 int of2_v4l2_probe(const char* device, int* h, int* w) {
   FrameStream s;
-  int rc = v4l2_setup(&s, device, *w > 0 ? *w : 640, *h > 0 ? *h : 480);
+  int rc = v4l2_setup(&s, device, *w > 0 ? *w : 640, *h > 0 ? *h : 480,
+                      /*probe_only=*/true);
   if (rc == 0) {
     *h = s.h;
     *w = s.w;

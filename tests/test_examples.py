@@ -1,8 +1,13 @@
-"""Every example must run end-to-end on the CPU test mesh."""
+"""Every example must run end-to-end on the CPU test mesh.
+
+One test per example so a failure in one does not mask the rest
+(VERDICT r3 item 8).
+"""
 
 import runpy
-import sys
 import os
+
+import pytest
 
 EXAMPLES = [
     "basic",
@@ -16,7 +21,7 @@ EXAMPLES = [
 ]
 
 
-def test_examples_run():
+@pytest.mark.parametrize("name", EXAMPLES)
+def test_example_runs(name):
     root = os.path.join(os.path.dirname(__file__), "..", "examples")
-    for name in EXAMPLES:
-        runpy.run_path(os.path.join(root, f"{name}.py"), run_name="__main__")
+    runpy.run_path(os.path.join(root, f"{name}.py"), run_name="__main__")
