@@ -44,6 +44,19 @@ class LKConfig:
       window_method: backend for the windowed sums — "sep_conv" (separable
         ones-vector convolutions), "cumsum" (integral image) or
         "reduce_window" (lax.reduce_window).
+      window_weights: weighting of the integration window — "box" (the
+        reference's flat 19x19 sum, OptFlowGpu.cu:1944-1945), "tri"
+        (trapezoid: two iterated box sums), or "gauss" (truncated Gaussian,
+        sigma = window/6).  The box window's Fourier transfer function has
+        NEGATIVE sidelobes (min -0.22 at 19 taps), so the iterative
+        warp-and-re-solve correction flips sign for flow-error components
+        at scales near the window size: iterating diverges (measured EPE
+        0.09 -> 0.46 px over 8 iterations on a natural-texture translation)
+        and the converged field keeps a smooth ~0.1 px error floor.  "tri"
+        (min transfer -0.01) and "gauss" (-0.002) are monotone-stable and
+        cut the same case to 0.02 / 0.008 px — see
+        docs/studies/lk_window_study.py and the ACCURACY section of
+        docs/PERF.md for the measured envelopes and TPU cost.
       max_displacement: per-level warp displacement budget in pixels (flow is
         clamped to this before sampling).  Bounds the TPU select-warp kernel's
         cost (linear in it) and the trackable per-level motion; the reference
@@ -82,6 +95,7 @@ class LKConfig:
     warp_mode: str = "bilinear"
     det_eps: float = 1e-8
     window_method: str = "sep_conv"
+    window_weights: str = "box"
     normalize_gradients: bool = True
     max_displacement: int = 32
     prefilter: Optional[BilateralConfig] = None
@@ -116,6 +130,8 @@ class LKConfig:
             raise ValueError(f"unknown temporal_kernel {self.temporal_kernel!r}")
         if self.window_method not in ("sep_conv", "cumsum", "reduce_window"):
             raise ValueError(f"unknown window_method {self.window_method!r}")
+        if self.window_weights not in ("box", "tri", "gauss"):
+            raise ValueError(f"unknown window_weights {self.window_weights!r}")
 
 
 # The reference GPU operating point — the full live loop of main.cu:

@@ -147,6 +147,39 @@ def _box_sum(x: jax.Array, r: int, axis: int) -> jax.Array:
     return total
 
 
+def _win_sum(x: jax.Array, r: int, axis: int, weights: str = "box") -> jax.Array:
+    """Weighted windowed sum along ``axis`` (LKConfig.window_weights).
+
+    * "box":   the O(log r) run-doubling flat sum (:func:`_box_sum`).
+    * "tri":   two iterated box passes (radii r//2 and r - r//2) — a
+               trapezoid whose transfer function has no significant negative
+               sidelobes (ops/window.window_weight_taps), scaled to match
+               the XLA taps (each axis sums to 2r+1).
+    * "gauss": explicit truncated-Gaussian taps, sigma = (2r+1)/6 — r
+               symmetric-pair FMAs via static rolls.
+
+    All three keep the same reach r per axis, so halo sizing is identical.
+    """
+    if weights == "box":
+        return _box_sum(x, r, axis)
+    if weights == "tri":
+        r1, r2 = r // 2, r - r // 2
+        scale = (2 * r + 1) / float((2 * r1 + 1) * (2 * r2 + 1))
+        return _box_sum(_box_sum(x, r1, axis), r2, axis) * scale
+    if weights == "gauss":
+        from cuda_optical_flow_2_tpu.ops.window import window_weight_taps
+
+        taps = window_weight_taps(2 * r + 1, "gauss")
+        acc = x * float(taps[r])
+        for d in range(1, r + 1):
+            # taps are symmetric: one multiply per distance pair
+            acc = acc + (_roll(x, d, axis) + _roll(x, -d, axis)) * float(
+                taps[r - d]
+            )
+        return acc
+    raise ValueError(f"unknown window_weights {weights!r}")
+
+
 def _lk_kernel(
     prev_ref,
     nxt_ref,
@@ -163,6 +196,7 @@ def _lk_kernel(
     temporal_mask: np.ndarray,
     det_eps: float,
     centered: bool,
+    window_weights: str = "box",
 ):
     # Input blocks are (1, G, WP) — Mosaic requires every dim of an
     # Element-indexed BlockSpec to be an Element, so the batch dim is a
@@ -197,12 +231,12 @@ def _lk_kernel(
     it = jnp.where(inside, it, zero)
 
     def win(prod):
-        # Row box first, then crop to the output band, then column box.
+        # Row pass first, then crop to the output band, then column pass.
         # Reads stay in [1, G-2] x [1, WP-2]: gradient rolls only contaminate
         # the outermost ring, and halo_y, halo_x >= r+1 keep every window
-        # read off it (see module docstring).
-        rows = _box_sum(prod, r, 0)[halo_y : halo_y + tile_h, :]
-        return _box_sum(rows, r, 1)
+        # read off it (see module docstring).  The weighting keeps reach r.
+        rows = _win_sum(prod, r, 0, window_weights)[halo_y : halo_y + tile_h, :]
+        return _win_sum(rows, r, 1, window_weights)
 
     sum_ix2 = win(ix * ix)
     sum_iy2 = win(iy * iy)
@@ -342,6 +376,7 @@ def lk_residual(
         temporal_mask=tmask,
         det_eps=config.det_eps,
         centered=centered,
+        window_weights=getattr(config, "window_weights", "box"),
     )
     in_spec = pl.BlockSpec(
         (pl.Element(1), pl.Element(g), pl.Element(wp)),

@@ -38,7 +38,7 @@ from cuda_optical_flow_2_tpu.config import LKConfig
 from cuda_optical_flow_2_tpu.constants import MASKS
 from cuda_optical_flow_2_tpu.kernels import select_core
 from cuda_optical_flow_2_tpu.kernels.lk_fused import (
-    _box_sum,
+    _win_sum,
     _center_sums,
     _round_up,
     _solve2x2,
@@ -158,6 +158,7 @@ def _kernel(
     temporal_mask: np.ndarray,
     det_eps: float,
     centered: bool,
+    window_weights: str = "box",
     half: bool = False,
     rw2: int = 0,
     halo_x2: int = 0,
@@ -239,8 +240,8 @@ def _kernel(
     it = jnp.where(inside, _stencil3(warped - prev_band, temporal_mask), zero)
 
     def win(prod):
-        rows = _box_sum(prod, r, 0)[rw : rw + tile_h, :]
-        return _box_sum(rows, r, 1)
+        rows = _win_sum(prod, r, 0, window_weights)[rw : rw + tile_h, :]
+        return _win_sum(rows, r, 1, window_weights)
 
     sum_ix2 = win(ix * ix)
     sum_iy2 = win(iy * iy)
@@ -450,6 +451,7 @@ def _step_impl(
         temporal_mask=tmask,
         det_eps=config.det_eps,
         centered=centered,
+        window_weights=getattr(config, "window_weights", "box"),
         half=flow_half,
         rw2=rw2,
         halo_x2=halo_x2,

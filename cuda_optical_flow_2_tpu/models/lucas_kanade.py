@@ -61,7 +61,9 @@ def _lk_residual_xla(
     """Residual flow between prev and (already warped) next — pure-XLA path."""
     ix, iy = spatial_gradients(prev, config.normalize_gradients)
     it = temporal_gradient(prev, nxt, config.temporal_kernel, config.normalize_gradients)
-    sums = structure_tensor_sums(ix, iy, it, config.window, config.window_method)
+    sums = structure_tensor_sums(
+        ix, iy, it, config.window, config.window_method, config.window_weights
+    )
     return solve_flow(sums, config)
 
 

@@ -11,7 +11,11 @@ from cuda_optical_flow_2_tpu.ops.color import grayscale, grayscale_u8
 from cuda_optical_flow_2_tpu.ops.conv import conv2d, sep_conv2d, stencil2d
 from cuda_optical_flow_2_tpu.ops.pyramid import build_pyramid, pyr_down
 from cuda_optical_flow_2_tpu.ops.gradients import spatial_gradients, temporal_gradient
-from cuda_optical_flow_2_tpu.ops.window import structure_tensor_sums, window_sum
+from cuda_optical_flow_2_tpu.ops.window import (
+    structure_tensor_sums,
+    window_sum,
+    window_weight_taps,
+)
 from cuda_optical_flow_2_tpu.ops.solve import solve_2x2, solve_2x2_unguarded
 from cuda_optical_flow_2_tpu.ops.warp import warp_bilinear, warp_nearest
 from cuda_optical_flow_2_tpu.ops.resize import upsample_flow, upscale_nn
@@ -31,6 +35,7 @@ __all__ = [
     "temporal_gradient",
     "structure_tensor_sums",
     "window_sum",
+    "window_weight_taps",
     "solve_2x2",
     "solve_2x2_unguarded",
     "warp_bilinear",

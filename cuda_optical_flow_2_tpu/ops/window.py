@@ -27,9 +27,40 @@ from cuda_optical_flow_2_tpu.ops.conv import sep_conv2d
 
 __all__ = [
     "window_sum",
+    "window_weight_taps",
     "structure_tensor_sums",
     "centered_structure_tensor_sums",
 ]
+
+
+def window_weight_taps(window: int, weights: str) -> np.ndarray:
+    """1-D window weight taps, scaled so each axis sums to ``window``.
+
+    The scaling keeps the 2-D total weight at ``window**2`` — the same
+    scale as the flat box sum — so ``det_eps`` thresholds and any
+    magnitude-sensitive downstream use carry over unchanged between
+    weightings.
+
+    * "box":   all-ones (the reference's flat window).
+    * "tri":   trapezoid = convolution of two odd boxes of radii
+               ``r//2`` and ``r - r//2`` (support = window).  Its transfer
+               function is a product of two sincs with interleaved zeros —
+               min -0.01 vs the box's -0.22 — and on TPU it runs as two
+               iterated O(log r) box passes.
+    * "gauss": truncated Gaussian, sigma = window/6 (support = window).
+    """
+    if weights == "box":
+        return np.ones((window,), np.float32)
+    r = window // 2
+    if weights == "tri":
+        r1, r2 = r // 2, r - r // 2
+        t = np.convolve(np.ones(2 * r1 + 1), np.ones(2 * r2 + 1))
+    elif weights == "gauss":
+        x = np.arange(window) - r
+        t = np.exp(-0.5 * (x / (window / 6.0)) ** 2)
+    else:
+        raise ValueError(f"unknown window_weights {weights!r}")
+    return (t * (window / t.sum())).astype(np.float32)
 
 
 def _window_sum_cumsum(x: jax.Array, window: int) -> jax.Array:
@@ -52,14 +83,23 @@ def _window_sum_cumsum(x: jax.Array, window: int) -> jax.Array:
     )
 
 
-def window_sum(x: jax.Array, window: int, method: str = "sep_conv") -> jax.Array:
+def window_sum(
+    x: jax.Array, window: int, method: str = "sep_conv", weights: str = "box"
+) -> jax.Array:
     """Sum of ``x`` over the window x window box centered at each pixel.
 
     Zero contribution outside the image (reference: OptFlowGpu.cu:1569-1586
     skips out-of-bounds taps).  ``window`` must be odd.
+
+    ``weights`` != "box" applies the separable :func:`window_weight_taps`
+    weighting (always via the sep_conv path — weighted sums are not
+    box-decomposable, so ``method`` is ignored for them).
     """
     if window % 2 != 1:
         raise ValueError(f"window must be odd, got {window}")
+    if weights != "box":
+        taps = window_weight_taps(window, weights)
+        return sep_conv2d(x, taps, taps)
     if method == "sep_conv":
         ones = np.ones((window,), dtype=np.float32)
         return sep_conv2d(x, ones, ones)
@@ -85,18 +125,20 @@ def structure_tensor_sums(
     it: jax.Array,
     window: int,
     method: str = "sep_conv",
+    weights: str = "box",
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """The five windowed product sums of the LK normal equations.
 
     Replaces the reference's five separate srm_1ch_float launches
     (OptFlowGpu.cu:1948-1960) with one fused, stacked window reduction: the
     products are stacked on a leading axis so XLA runs a single windowed sum
-    over a (5, H, W) array.
+    over a (5, H, W) array.  ``weights`` selects the window weighting
+    (LKConfig.window_weights — "box" is the reference's flat sum).
 
     Returns (sum_ix2, sum_iy2, sum_ixiy, sum_ixit, sum_iyit).
     """
     prods = jnp.stack([ix * ix, iy * iy, ix * iy, ix * it, iy * it])
-    sums = window_sum(prods, window, method)
+    sums = window_sum(prods, window, method, weights)
     return sums[0], sums[1], sums[2], sums[3], sums[4]
 
 
@@ -107,6 +149,7 @@ def centered_structure_tensor_sums(
     window: int,
     method: str = "sep_conv",
     valid: jax.Array | None = None,
+    weights: str = "box",
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Mean-normalized ("centered") LK normal-equation sums.
 
@@ -137,7 +180,7 @@ def centered_structure_tensor_sums(
     planes = jnp.stack(
         [ix * ix, iy * iy, ix * iy, ix * it, iy * it, ix, iy, it, ones]
     )
-    s = window_sum(planes, window, method)
+    s = window_sum(planes, window, method, weights)
     inv_n = 1.0 / jnp.maximum(s[8], 1.0)
     g11 = s[0] - s[5] * s[5] * inv_n
     g22 = s[1] - s[6] * s[6] * inv_n

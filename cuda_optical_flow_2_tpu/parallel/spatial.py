@@ -239,11 +239,13 @@ def _banded_residual(
         # pixels only, exactly like the fused kernels' `inside` mask.
         valid = _zero_outside_global(jnp.ones_like(ix), row0_pad, h_global)
         sums = centered_structure_tensor_sums(
-            ix, iy, it, config.window, config.window_method, valid=valid
+            ix, iy, it, config.window, config.window_method, valid=valid,
+            weights=getattr(config, "window_weights", "box"),
         )
     else:
         sums = structure_tensor_sums(
-            ix, iy, it, config.window, config.window_method
+            ix, iy, it, config.window, config.window_method,
+            getattr(config, "window_weights", "box"),
         )
     return solve_flow(sums, config)
 

@@ -75,6 +75,37 @@ def test_window_sum_methods_match_naive(rng, method, window):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("weights", ["tri", "gauss"])
+@pytest.mark.parametrize("window", [9, 19])
+def test_window_sum_weighted_matches_naive(rng, weights, window):
+    x = rng.normal(0, 1, (24, 28)).astype(np.float32)
+    taps = ops.window_weight_taps(window, weights)
+    got = np.asarray(ops.window_sum(jnp.asarray(x), window, weights=weights))
+    want = naive_conv2d(x, np.outer(taps, taps))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("window", [9, 19, 31])
+def test_window_weight_taps_scale_and_transfer(window):
+    """Each axis's taps sum to ``window`` (total 2-D weight = window**2,
+    the box scale), and the non-box weightings have no significant negative
+    transfer sidelobes — the property that makes the iterative LK update
+    monotone-stable (LKConfig.window_weights docstring; the box window's
+    transfer dips below -0.2)."""
+    for weights in ("box", "tri", "gauss"):
+        taps = ops.window_weight_taps(window, weights)
+        assert taps.shape == (window,)
+        np.testing.assert_allclose(taps.sum(), window, rtol=1e-6)
+        n = 512
+        k = taps / taps.sum()
+        tf = np.fft.rfft(np.pad(k, (0, n - window)))
+        tf = (tf * np.exp(1j * 2 * np.pi * np.fft.rfftfreq(n) * (window - 1) / 2)).real
+        if weights == "box":
+            assert tf.min() < -0.15
+        else:
+            assert tf.min() > -0.03
+
+
 def test_window_sum_cumsum_exact_int(rng):
     x = rng.integers(0, 255, (12, 16)).astype(np.int32)
     got = np.asarray(ops.window_sum(jnp.asarray(x), 9, "cumsum"))

@@ -36,6 +36,46 @@ def test_fused_matches_xla(rng, shape, window, tk, norm):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("weights", ["tri", "gauss"])
+def test_fused_weighted_window_matches_xla(rng, weights):
+    """Weighted integration windows (LKConfig.window_weights) in the fused
+    residual kernel vs the XLA sep-conv taps path."""
+    prev, nxt = _pair(rng, 61, 77)
+    cfg = of.LKConfig(
+        levels=1, window=19, window_weights=weights, use_pallas=False
+    )
+    want = np.asarray(_lk_residual_xla(prev, nxt, cfg))
+    got = np.asarray(lk_fused.lk_residual(prev, nxt, cfg, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("weights", ["tri", "gauss"])
+def test_fused_step_weighted_window_matches_xla(rng, weights):
+    """Weighted windows through the fully-fused level-step kernel (smooth
+    flow so the select-warp's smoothness contract holds)."""
+    from cuda_optical_flow_2_tpu.kernels import lk_step_fused
+    from cuda_optical_flow_2_tpu.ops.warp import warp_bilinear
+
+    prev, nxt = _pair(rng, 64, 96)
+    ys, xs = np.mgrid[0:64, 0:96]
+    flow = jnp.asarray(
+        np.stack(
+            [2.0 + 0.01 * xs - 0.008 * ys, -1.0 + 0.006 * xs + 0.012 * ys], -1
+        ),
+        jnp.float32,
+    )
+    cfg = of.LKConfig(
+        levels=1, window=19, window_weights=weights, use_pallas=False,
+        max_displacement=8, iterations=1,
+    )
+    fc = jnp.clip(flow, -8, 8)
+    want = np.asarray(fc + _lk_residual_xla(prev, warp_bilinear(nxt, fc), cfg))
+    got = np.asarray(
+        lk_step_fused.lk_level_step(prev, nxt, flow, cfg, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
 def test_fused_batched(rng):
     prev, nxt = _pair(rng, 48, 64)
     prev2, nxt2 = _pair(rng, 48, 64)

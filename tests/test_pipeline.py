@@ -48,6 +48,31 @@ def test_iterations_refine():
     assert e3 < 0.3
 
 
+def test_weighted_window_stable_under_iteration():
+    """The box window's negative transfer sidelobes make re-warping DIVERGE
+    (error grows with iterations); "tri"/"gauss" weightings are
+    monotone-stable and strictly more accurate at every iteration count
+    (LKConfig.window_weights, docs/studies/lk_window_study.py)."""
+    prev, nxt = make_translating_pair(128, 160, dx=2, dy=1, period=14)
+
+    def run(ww, iters):
+        cfg = of.LKConfig(
+            levels=2, window=19, temporal_kernel="gauss3", iterations=iters,
+            use_pallas=False, window_weights=ww,
+        )
+        return _epe(
+            np.asarray(of.pyramidal_lk(_gray(prev), _gray(nxt), cfg)), 2.0, 1.0
+        )
+
+    box2, box6 = run("box", 2), run("box", 6)
+    for ww in ("tri", "gauss"):
+        w2, w6 = run(ww, 2), run(ww, 6)
+        assert w2 < box2, (ww, w2, box2)
+        # iterating must not blow up (box does: error grows with iterations)
+        assert w6 < w2 * 1.5 + 0.01, (ww, w2, w6)
+        assert w6 < box6, (ww, w6, box6)
+
+
 def test_pyramid_recovers_large_shift():
     # 6-pixel shift is far outside a single-level 11x11 window's pull-in
     # range; the pyramid (coarse-to-fine warp) must recover it.
