@@ -132,18 +132,45 @@ def cv_dis(prev, nxt):
     return d.calc(prev.astype(np.uint8), nxt.astype(np.uint8), None)
 
 
-def run_lk(prev, nxt):
+def run_lk(prev, nxt, window_weights: str = "box"):
     import cuda_optical_flow_2_tpu as of
 
     cfg = of.LKConfig(
         levels=3, window=19, iterations=2, temporal_kernel="gauss3",
-        use_pallas=False, max_displacement=8,
+        use_pallas=False, max_displacement=8, window_weights=window_weights,
     )
     return np.asarray(
         of.pyramidal_lk(
             jnp.asarray(prev, jnp.float32), jnp.asarray(nxt, jnp.float32), cfg
         )
     )
+
+
+def cv_lk_dense(prev, nxt, stride: int = 2):
+    """Dense-LK anchor: cv2.calcOpticalFlowPyrLK on a dense stride-``stride``
+    pixel grid, bilinearly splatted back to a full (H, W, 2) field with NaN
+    where the tracker reports failure (status=0) — the independent
+    implementation of the same algorithm family (pyramidal LK, 19x19
+    window, 3 levels).  Returns (flow, valid_mask)."""
+    ys, xs = np.mgrid[0:H:stride, 0:W:stride]
+    pts = np.stack([xs.ravel(), ys.ravel()], -1).astype(np.float32)
+    moved, status, _ = cv2.calcOpticalFlowPyrLK(
+        prev.astype(np.uint8), nxt.astype(np.uint8),
+        pts.reshape(-1, 1, 2), None, winSize=(19, 19), maxLevel=2,
+    )
+    d = (moved.reshape(-1, 2) - pts).reshape(ys.shape + (2,))
+    ok = (status.reshape(ys.shape) == 1)
+    flow = np.full((H, W, 2), np.nan, np.float32)
+    valid = np.zeros((H, W), bool)
+    flow[::stride, ::stride] = np.where(ok[..., None], d, np.nan)
+    valid[::stride, ::stride] = ok
+    return flow, valid
+
+
+def masked_epe(a, b, valid):
+    m = valid[MARGIN:-MARGIN, MARGIN:-MARGIN]
+    d = (a - b)[MARGIN:-MARGIN, MARGIN:-MARGIN][m]
+    return float(np.hypot(d[..., 0], d[..., 1]).mean())
 
 
 def main() -> None:
@@ -157,19 +184,23 @@ def main() -> None:
             ("FB/coeff", lambda p, n: run_fb(p, n, "coeff"), cv_fb),
             ("FB/image", lambda p, n: run_fb(p, n, "image"), cv_fb),
             ("DIS", run_dis, cv_dis),
-            ("LK-dense", run_lk, None),
         ):
             ours = ours_fn(prev, nxt)
-            if cv_fn is None:
-                print(
-                    f"{name:<26} {label:<12} "
-                    f"{interior_epe(ours, truth):>7.3f} {'-':>7} {'-':>7}"
-                )
-                continue
             cvf = cv_fn(prev, nxt)
             print(
                 f"{name:<26} {label:<12} {interior_epe(ours, truth):>7.3f} "
                 f"{interior_epe(cvf, truth):>7.3f} {interior_epe(ours, cvf):>7.3f}"
+            )
+        # Dense LK vs cv2's pyramidal LK evaluated on a dense stride-2 grid
+        # (status-masked) — the anchor VERDICT r3 asked for: the same
+        # algorithm family, independently implemented.
+        cvf, valid = cv_lk_dense(prev, nxt)
+        for label, ww in (("LK/box", "box"), ("LK/gauss", "gauss")):
+            ours = run_lk(prev, nxt, ww)
+            print(
+                f"{name:<26} {label:<12} {interior_epe(ours, truth):>7.3f} "
+                f"{masked_epe(cvf, truth, valid):>7.3f} "
+                f"{masked_epe(ours, cvf, valid):>7.3f}"
             )
 
     # --- sparse: corners + tracks on the natural translation case ---------

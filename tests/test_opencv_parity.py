@@ -155,6 +155,87 @@ def test_dis_vs_opencv(cases, case):
     assert _epe(ours, cvf) < 0.25
 
 
+def _cv_lk_dense(prev, nxt, stride=2):
+    """cv2.calcOpticalFlowPyrLK on a dense stride-2 grid, status-masked —
+    the dense-LK anchor (same algorithm family, independent implementation).
+    Returns (flow, valid) at full resolution with NaN off-grid/failed."""
+    ys, xs = np.mgrid[0:H:stride, 0:W:stride]
+    pts = np.stack([xs.ravel(), ys.ravel()], -1).astype(np.float32)
+    moved, status, _ = cv2.calcOpticalFlowPyrLK(
+        prev.astype(np.uint8), nxt.astype(np.uint8),
+        pts.reshape(-1, 1, 2), None, winSize=(19, 19), maxLevel=2,
+    )
+    d = (moved.reshape(-1, 2) - pts).reshape(ys.shape + (2,))
+    ok = status.reshape(ys.shape) == 1
+    flow = np.full((H, W, 2), np.nan, np.float32)
+    valid = np.zeros((H, W), bool)
+    flow[::stride, ::stride] = np.where(ok[..., None], d, np.nan)
+    valid[::stride, ::stride] = ok
+    return flow, valid
+
+
+def _masked_epe(a, b, valid):
+    m = valid[MARGIN:-MARGIN, MARGIN:-MARGIN]
+    d = (a - b)[MARGIN:-MARGIN, MARGIN:-MARGIN][m]
+    return float(np.hypot(d[..., 0], d[..., 1]).mean())
+
+
+@pytest.mark.parametrize("case", ["translate_smooth", "rotate_smooth",
+                                  "translate_natural"])
+def test_dense_lk_vs_opencv_pyrlk(cases, case):
+    """The flagship: dense pyramidal LK vs cv2.calcOpticalFlowPyrLK on a
+    dense status-masked grid (VERDICT r3 item 1).  With the gauss window
+    the measured x-epe is 0.008-0.038 px (study); the box window's is up
+    to 0.195 px — the box window's negative transfer sidelobes, see
+    LKConfig.window_weights and docs/studies/lk_window_study.py.  Bounds:
+    gauss x-epe < 0.1, and both implementations beat truth independently."""
+    import cuda_optical_flow_2_tpu as of
+
+    prev, nxt, truth = cases[case]
+    cfg = of.LKConfig(
+        levels=3, window=19, iterations=2, temporal_kernel="gauss3",
+        use_pallas=False, max_displacement=8, window_weights="gauss",
+    )
+    ours = np.asarray(
+        of.pyramidal_lk(
+            jnp.asarray(prev, jnp.float32), jnp.asarray(nxt, jnp.float32), cfg
+        )
+    )
+    cvf, valid = _cv_lk_dense(prev, nxt)
+    # >90% of interior GRID points must be tracked (valid covers only the
+    # stride-2 grid, i.e. 1/4 of all pixels)
+    grid_ok = valid[MARGIN:-MARGIN:2, MARGIN:-MARGIN:2]
+    assert grid_ok.mean() > 0.9
+    assert _epe(ours, truth) < 0.12
+    assert _masked_epe(cvf, truth, valid) < 0.1   # the anchor itself
+    assert _masked_epe(ours, cvf, valid) < 0.12
+
+
+def test_dense_lk_gauss_window_beats_box(cases):
+    """The documented accuracy mechanism, pinned externally: on natural
+    texture the gauss window agrees with the cv2 anchor ~10x closer than
+    the reference-parity box window."""
+    import cuda_optical_flow_2_tpu as of
+
+    prev, nxt, _ = cases["translate_natural"]
+    cvf, valid = _cv_lk_dense(prev, nxt)
+
+    def xepe(ww):
+        cfg = of.LKConfig(
+            levels=3, window=19, iterations=2, temporal_kernel="gauss3",
+            use_pallas=False, max_displacement=8, window_weights=ww,
+        )
+        ours = np.asarray(
+            of.pyramidal_lk(
+                jnp.asarray(prev, jnp.float32), jnp.asarray(nxt, jnp.float32),
+                cfg,
+            )
+        )
+        return _masked_epe(ours, cvf, valid)
+
+    assert xepe("gauss") < xepe("box") / 3
+
+
 def test_min_eigenvalue_map_vs_opencv(cases):
     """Our Shi-Tomasi score plane equals cv2.cornerMinEigenVal (same 19x19
     block, Sobel ksize 3) up to cv2's fixed normalization: measured
