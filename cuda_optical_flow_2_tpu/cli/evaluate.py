@@ -31,6 +31,18 @@ artifacts); they are scored only by flow statistics.
 
     of2-eval --dataset DIR --model lk --levels 4 --window 19
     of2-eval --dataset DIR --model dis --out /tmp/eval   # + flow-color PNGs
+
+**Streaming mode** (``--streaming [--warm-start] [--compare-cold]``):
+chains of consecutive pairs (flat-sequence / Sintel layouts, where
+pair[i].second == pair[i+1].first) run through the carried-state
+``models.streaming.step`` instead of stateless per-pair flow, scoring each
+transition against its truth — the dataset-harness accuracy view of the
+recommended serving configuration (warm start + shallow pyramid, docs/
+PERF.md).  Each record carries ``seq``/``t``; the summary adds chain count
+and first/last-third EPE (drift/lock-loss indicator), and
+``--compare-cold`` reports the stateless EPE next to every record.
+
+    of2-eval --dataset DIR --streaming --warm-start --levels 1 --window 15
 """
 
 from __future__ import annotations
@@ -308,9 +320,6 @@ def evaluate_pair(
     """
     import jax.numpy as jnp
 
-    from cuda_optical_flow_2_tpu.utils import io as uio
-    from cuda_optical_flow_2_tpu.utils import metrics, viz
-
     prev, nxt = frames if frames is not None else _load_pair(pair)
     if prev.shape != nxt.shape:
         raise ValueError(
@@ -329,6 +338,21 @@ def evaluate_pair(
     rec: dict = {"pair": pair["name"], "shape": [h, w]}
     if (bh, bw) != (h, w):
         rec["padded_shape"] = [bh, bw]
+    rec.update(_score_flow(pair, flow, (h, w), margin))
+    _write_artifacts(pair, flow, out_dir)
+    return rec
+
+
+def _score_flow(
+    pair: dict, flow: np.ndarray, shape: tuple[int, int], margin: int
+) -> dict:
+    """Score a computed flow against the pair's truth (or flow stats when
+    truthless) — the scoring half of :func:`evaluate_pair`, shared with the
+    streaming evaluation path."""
+    from cuda_optical_flow_2_tpu.utils import io as uio
+    from cuda_optical_flow_2_tpu.utils import metrics
+
+    h, w = shape
     occ = None
     if pair.get("occ"):
         occ = uio.read_image(pair["occ"])
@@ -342,23 +366,113 @@ def evaluate_pair(
                 f"{pair['name']}: ground truth shape {truth.shape[:2]} does "
                 f"not match frames {(h, w)}"
             )
-        rec.update(metrics.evaluate_flow(flow, truth, margin=margin, occ=occ))
-    else:
-        rec.update({f"flow_{k}": v for k, v in metrics.flow_stats(flow).items()})
+        return metrics.evaluate_flow(flow, truth, margin=margin, occ=occ)
+    return {f"flow_{k}": v for k, v in metrics.flow_stats(flow).items()}
 
-    if out_dir:
-        os.makedirs(out_dir, exist_ok=True)
-        viz.write_png(
-            os.path.join(out_dir, f"{pair['name']}_color.png"),
-            viz.flow_to_color(flow),
-        )
-        uio.write_flo(os.path.join(out_dir, f"{pair['name']}.flo"), flow)
-        # KITTI-encoded 16-bit artifact named per the truth convention, so an
-        # --out directory is directly consumable as flow-PNG ground truth.
-        uio.write_flow_png(
-            os.path.join(out_dir, f"{pair['name']}_flow.png"), flow
-        )
-    return rec
+
+def _write_artifacts(pair: dict, flow: np.ndarray, out_dir: str | None) -> None:
+    if not out_dir:
+        return
+    from cuda_optical_flow_2_tpu.utils import io as uio
+    from cuda_optical_flow_2_tpu.utils import viz
+
+    os.makedirs(out_dir, exist_ok=True)
+    viz.write_png(
+        os.path.join(out_dir, f"{pair['name']}_color.png"),
+        viz.flow_to_color(flow),
+    )
+    uio.write_flo(os.path.join(out_dir, f"{pair['name']}.flo"), flow)
+    # KITTI-encoded 16-bit artifact named per the truth convention, so an
+    # --out directory is directly consumable as flow-PNG ground truth.
+    uio.write_flow_png(os.path.join(out_dir, f"{pair['name']}_flow.png"), flow)
+
+
+def _chain_pairs(pairs: list[dict]) -> list[list[dict]]:
+    """Group pairs into streaming chains: consecutive pairs that share a
+    frame file (pair[i].second == pair[i+1].first) form one chain — the
+    shape flat-sequence and Sintel layouts produce.  Isolated pairs (KITTI,
+    pair-directories) become length-1 chains, for which streaming reduces
+    to the cold pairwise evaluation."""
+    chains: list[list[dict]] = []
+    for pair in pairs:
+        if chains and chains[-1][-1]["second"] == pair["first"]:
+            chains[-1].append(pair)
+        else:
+            chains.append([pair])
+    return chains
+
+
+def _run_streaming(
+    pairs: list[dict],
+    cfg,
+    margin: int,
+    out_dir: str | None,
+    bucket: int,
+    warm_start: bool,
+    flow_fn=None,
+) -> tuple[list[dict], int]:
+    """Streaming evaluation (VERDICT r3 item 3): run each chain of
+    consecutive frames through ``models.streaming.step`` with carried state
+    (optionally warm-started from the previous pair's flow) and score every
+    transition's flow against that pair's truth — the dataset-harness
+    accuracy view of the serving configuration PERF.md recommends
+    (warm-start + shallow pyramid), which the stateless per-pair path
+    cannot score.
+
+    ``flow_fn`` (optional, jitted stateless pairwise flow) adds a
+    ``cold_epe_mean`` field per scored record so warm-start drift /
+    lock-loss is visible directly against the cold path.
+
+    Returns (records, number_of_chains).  Each record carries ``seq`` (chain
+    index) and ``t`` (step index within the chain).
+    """
+    import jax.numpy as jnp
+
+    from cuda_optical_flow_2_tpu.models import streaming
+
+    records: list[dict] = []
+    chains = _chain_pairs(pairs)
+    for ci, chain in enumerate(chains):
+        prev = _load_gray(chain[0]["first"])
+        h, w = prev.shape
+        bh, bw = _bucket_shape((h, w), bucket)
+
+        def padded(frame: np.ndarray) -> np.ndarray:
+            if frame.shape != (h, w):
+                raise ValueError(
+                    f"chain {ci}: frame shape drift {frame.shape} vs {(h, w)}"
+                )
+            if (bh, bw) != (h, w):
+                frame = np.pad(
+                    frame, ((0, bh - h), (0, bw - w)), mode="edge"
+                )
+            return frame
+
+        state = streaming.init_state(jnp.asarray(padded(prev)), cfg)
+        for t, pair in enumerate(chain):
+            nxt = _load_gray(pair["second"])
+            state, flow = streaming.step(
+                state, jnp.asarray(padded(nxt)), cfg, warm_start
+            )
+            flow = np.asarray(flow)[:h, :w]
+            rec: dict = {
+                "pair": pair["name"], "shape": [h, w], "seq": ci, "t": t,
+            }
+            if (bh, bw) != (h, w):
+                rec["padded_shape"] = [bh, bw]
+            rec.update(_score_flow(pair, flow, (h, w), margin))
+            if flow_fn is not None and pair["truth"] is not None:
+                cold = np.asarray(
+                    flow_fn(
+                        jnp.asarray(padded(prev)), jnp.asarray(padded(nxt))
+                    )
+                )[:h, :w]
+                cold_rec = _score_flow(pair, cold, (h, w), margin)
+                rec["cold_epe_mean"] = cold_rec.get("epe_mean")
+            _write_artifacts(pair, flow, out_dir)
+            records.append(rec)
+            prev = nxt
+    return records, len(chains)
 
 
 def main(argv=None) -> None:
@@ -399,7 +513,27 @@ def main(argv=None) -> None:
         " flow cropped back) so varying-shape datasets compile once per"
         " bucket instead of once per shape; 0 = exact shapes",
     )
+    ap.add_argument(
+        "--streaming", action="store_true",
+        help="evaluate chains of consecutive frames through the carried-"
+        "state streaming step (models.streaming) instead of stateless "
+        "per-pair flow; pairs sharing a frame file form one chain "
+        "(flat-sequence / Sintel layouts)",
+    )
+    ap.add_argument(
+        "--warm-start", action="store_true",
+        help="with --streaming: seed each pair with the previous pair's "
+        "flow (the PERF.md serving configuration, e.g. --levels 1)",
+    )
+    ap.add_argument(
+        "--compare-cold", action="store_true",
+        help="with --streaming: also run the stateless pairwise flow per "
+        "pair and report cold_epe_mean next to each streaming record "
+        "(lock-loss / drift visibility)",
+    )
     args = ap.parse_args(argv)
+    if (args.warm_start or args.compare_cold) and not args.streaming:
+        ap.error("--warm-start/--compare-cold require --streaming")
 
     import jax
 
@@ -440,7 +574,59 @@ def main(argv=None) -> None:
     flow_fn = jax.jit(_step)
 
     layout, pairs = _discover(args.dataset, sintel_pass=args.sintel_pass)
-    scored: list[dict] = []
+    if args.streaming:
+        records, n_chains = _run_streaming(
+            pairs, cfg, margin, args.out, args.bucket, args.warm_start,
+            flow_fn=flow_fn if args.compare_cold else None,
+        )
+        scored = []
+        for rec in records:
+            print(_json_line(rec), flush=True)
+            if "epe_mean" in rec:
+                scored.append(rec)
+        summary: dict = {
+            "aggregate": True,
+            "model": type(cfg).__name__ if args.preset else args.model,
+            **({"preset": args.preset} if args.preset else {}),
+            "layout": layout,
+            "mode": "streaming-warm" if args.warm_start else "streaming",
+            "pairs": len(pairs),
+            "chains": n_chains,
+            "pairs_with_truth": len(scored),
+        }
+        if scored:
+            for key in (
+                "epe_mean", "angular_deg_mean", "fl_all", "bad_1px",
+                "bad_3px", "epe_matched", "epe_unmatched", "cold_epe_mean",
+            ):
+                vals = [
+                    r[key]
+                    for r in scored
+                    if r.get(key) is not None and np.isfinite(r[key])
+                ]
+                if vals:
+                    summary[key] = float(np.mean(vals))
+            # Drift indicator: mean EPE over the first vs last third of each
+            # chain's timeline (lock loss shows as late >> early).
+            third = [
+                r for r in scored if r.get("seq") is not None
+            ]
+            if third:
+                by_seq: dict = {}
+                for r in third:
+                    by_seq.setdefault(r["seq"], []).append(r)
+                early, late = [], []
+                for seq in by_seq.values():
+                    seq.sort(key=lambda r: r["t"])
+                    k = max(1, len(seq) // 3)
+                    early += [r["epe_mean"] for r in seq[:k]]
+                    late += [r["epe_mean"] for r in seq[-k:]]
+                if early and late:
+                    summary["epe_early_third"] = float(np.mean(early))
+                    summary["epe_late_third"] = float(np.mean(late))
+        print(_json_line(summary), flush=True)
+        return
+    scored = []
     # One decode worker prefetches the NEXT pair's frames while the device
     # evaluates the current one (PNG inflate + grayscale are host work that
     # would otherwise serialize with compute — the FrameStream doctrine,

@@ -102,6 +102,70 @@ def test_eval_cli_end_to_end(tmp_path, capsys):
     assert (out / "frame_0000_color.png").exists()
 
 
+def test_chain_pairs_grouping(tmp_path):
+    """Consecutive pairs sharing a frame file chain; isolated pairs are
+    length-1 chains."""
+    from cuda_optical_flow_2_tpu.cli import evaluate
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    _write_dataset_flat(flat, n_frames=4)
+    pairs = evaluate.discover_pairs(str(flat))
+    chains = evaluate._chain_pairs(pairs)
+    assert [len(c) for c in chains] == [3]
+
+    # two independent pair directories -> two length-1 chains
+    for name in ("a", "b"):
+        sub = tmp_path / "mb" / name
+        sub.mkdir(parents=True)
+        _write_dataset_flat(sub, n_frames=2)
+    pairs = evaluate.discover_pairs(str(tmp_path / "mb"))
+    chains = evaluate._chain_pairs(pairs)
+    assert [len(c) for c in chains] == [1, 1]
+
+
+def test_eval_cli_streaming_warm_start(tmp_path, capsys):
+    """--streaming --warm-start scores the carried-state serving
+    configuration (VERDICT r3 item 3): per-record seq/t fields, a
+    streaming-warm summary with chain count and drift thirds, and with
+    --compare-cold the stateless EPE next to each record.  On a constant-
+    velocity sequence the warm path must track at least as well as cold."""
+    from cuda_optical_flow_2_tpu.cli import evaluate
+
+    data = tmp_path / "data"
+    data.mkdir()
+    _write_dataset_flat(data, n_frames=5, velocity=(2.0, 1.0))
+    evaluate.main([
+        "--dataset", str(data), "--streaming", "--warm-start",
+        "--compare-cold", "--levels", "1", "--window", "15", "--no-pallas",
+        "--margin", "12",
+    ])
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    recs, agg = lines[:-1], lines[-1]
+    assert agg["mode"] == "streaming-warm"
+    assert agg["pairs"] == 4 == agg["pairs_with_truth"]
+    assert agg["chains"] == 1
+    assert {"epe_early_third", "epe_late_third", "cold_epe_mean"} <= set(agg)
+    assert agg["epe_mean"] < 0.5
+    # no lock loss on constant velocity
+    assert agg["epe_late_third"] < agg["epe_early_third"] * 2 + 0.05
+    assert [r["t"] for r in recs] == [0, 1, 2, 3]
+    assert all(r["seq"] == 0 and "cold_epe_mean" in r for r in recs)
+    # warm steps (t >= 1) must beat or match their cold counterpart here
+    warm_after = np.mean([r["epe_mean"] for r in recs[1:]])
+    cold_after = np.mean([r["cold_epe_mean"] for r in recs[1:]])
+    assert warm_after <= cold_after + 0.02
+
+
+def test_eval_cli_streaming_flag_validation(tmp_path, capsys):
+    from cuda_optical_flow_2_tpu.cli import evaluate
+    import pytest
+
+    with pytest.raises(SystemExit):
+        evaluate.main(["--dataset", str(tmp_path), "--warm-start"])
+    capsys.readouterr()
+
+
 def test_flow_png_round_trip(tmp_path):
     """KITTI flow-PNG codec: 1/64-px quantization, invalid pixels -> NaN."""
     rng = np.random.default_rng(3)
