@@ -103,6 +103,13 @@ class DISConfig:
       refine_iterations: variational-refinement Jacobi sweeps per level
         (0 disables refinement).
       refine_alpha: refinement smoothness weight (as HSConfig.alpha).
+        Default 20.0 = cv2.VariationalRefinement's alpha default; the
+        round-3 default of 10.0 under-smoothed — measured 2-5x worse EPE
+        across the whole anchor harness (docs/studies/dis_gap_study.py:
+        natural-texture translation 0.059 -> 0.029 at alpha=20, 0.012 at
+        40).  Larger alpha keeps improving these smooth-truth cases but
+        blurs real motion discontinuities harder (our penalty is quadratic,
+        not Charbonnier), so the default stays at the anchor's value.
       temporal_kernel: "dt3" (smoothed difference, default — see module
         docstring for the measurement), "delta" (paper-faithful direct
         difference) or "gauss3".
@@ -120,10 +127,15 @@ class DISConfig:
     window: int = 9
     mean_normalize: bool = True
     refine_iterations: int = 5
-    refine_alpha: float = 10.0
+    refine_alpha: float = 20.0
     temporal_kernel: str = "dt3"
     det_eps: float = 1e-8
     window_method: str = "sep_conv"
+    # Window weighting for the mean-normalized sums ("box"/"tri"/"gauss",
+    # see LKConfig.window_weights): the flat window's negative transfer
+    # sidelobes bias the iterated GN steps exactly as in LK — measured on
+    # the anchor harness in docs/studies/dis_gap_study.py.
+    window_weights: str = "box"
     prefilter: Optional[BilateralConfig] = None
     use_pallas: bool = True
     max_displacement: int = 32
@@ -154,6 +166,8 @@ class DISConfig:
             raise ValueError(f"refine_alpha must be > 0, got {self.refine_alpha}")
         if self.temporal_kernel not in ("delta", "dt3", "gauss3"):
             raise ValueError(f"unknown temporal_kernel {self.temporal_kernel!r}")
+        if self.window_weights not in ("box", "tri", "gauss"):
+            raise ValueError(f"unknown window_weights {self.window_weights!r}")
         if self.c_max < 0:
             raise ValueError(f"c_max must be >= 0, got {self.c_max}")
         if self.d_local < 1:
@@ -175,6 +189,7 @@ def _lk_like(config: DISConfig) -> LKConfig:
         warp_mode="bilinear",
         det_eps=config.det_eps,
         window_method=config.window_method,
+        window_weights=config.window_weights,
         normalize_gradients=True,
         max_displacement=config.max_displacement,
         prefilter=config.prefilter,
@@ -193,11 +208,13 @@ def _dis_residual_xla(
     it = temporal_gradient(prev, warped, config.temporal_kernel, normalize=True)
     if config.mean_normalize:
         sums = centered_structure_tensor_sums(
-            ix, iy, it, config.window, config.window_method
+            ix, iy, it, config.window, config.window_method,
+            weights=config.window_weights,
         )
     else:
         sums = structure_tensor_sums(
-            ix, iy, it, config.window, config.window_method
+            ix, iy, it, config.window, config.window_method,
+            config.window_weights,
         )
     if config.det_eps == 0.0:
         return solve_2x2_unguarded(*sums)
