@@ -54,9 +54,12 @@ class LKConfig:
         0.09 -> 0.46 px over 8 iterations on a natural-texture translation)
         and the converged field keeps a smooth ~0.1 px error floor.  "tri"
         (min transfer -0.01) and "gauss" (-0.002) are monotone-stable and
-        cut the same case to 0.02 / 0.008 px — see
-        docs/studies/lk_window_study.py and the ACCURACY section of
-        docs/PERF.md for the measured envelopes and TPU cost.
+        cut the same case to 0.02 / 0.008 px.  Measured 1080p headline cost
+        (interleaved A/B, docs/studies/window_weights_tpu_study.py): tri
+        -1.6 %, gauss -8.6 % vs box.  Default "tri" (the accuracy win is
+        ~5x for ~free); "gauss" is the maximum-accuracy point; "box" is the
+        reference's flat sum (REFERENCE_GPU/REFERENCE_CPU pin it).  See
+        docs/studies/lk_window_study.py and docs/PERF.md ACCURACY.
       max_displacement: per-level warp displacement budget in pixels (flow is
         clamped to this before sampling).  Bounds the TPU select-warp kernel's
         cost (linear in it) and the trackable per-level motion; the reference
@@ -95,7 +98,7 @@ class LKConfig:
     warp_mode: str = "bilinear"
     det_eps: float = 1e-8
     window_method: str = "sep_conv"
-    window_weights: str = "box"
+    window_weights: str = "tri"
     normalize_gradients: bool = True
     max_displacement: int = 32
     prefilter: Optional[BilateralConfig] = None
@@ -143,12 +146,14 @@ REFERENCE_GPU = LKConfig(
     window=19,
     temporal_kernel="dt3",
     normalize_gradients=False,
+    window_weights="box",  # the reference's flat srm sums
     prefilter=BilateralConfig(),
 )
 
 # The reference CPU twin operating point (OptFlowCPU.cpp:344-345, :336-338).
 REFERENCE_CPU = LKConfig(
-    levels=4, window=9, temporal_kernel="gauss3", normalize_gradients=False
+    levels=4, window=9, temporal_kernel="gauss3", normalize_gradients=False,
+    window_weights="box",
 )
 
 # BASELINE.json config 4: 5-level pyramidal LK, 15x15 window, 1080p.

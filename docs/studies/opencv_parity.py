@@ -195,7 +195,9 @@ def main() -> None:
         # (status-masked) — the anchor VERDICT r3 asked for: the same
         # algorithm family, independently implemented.
         cvf, valid = cv_lk_dense(prev, nxt)
-        for label, ww in (("LK/box", "box"), ("LK/gauss", "gauss")):
+        for label, ww in (
+            ("LK/box", "box"), ("LK/tri", "tri"), ("LK/gauss", "gauss")
+        ):
             ours = run_lk(prev, nxt, ww)
             print(
                 f"{name:<26} {label:<12} {interior_epe(ours, truth):>7.3f} "
