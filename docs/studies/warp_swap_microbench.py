@@ -41,7 +41,9 @@ from cuda_optical_flow_2_tpu.utils.profiling import device_time
 TO, WP = 136, 2048
 D_LOCAL, C_MAX, CHUNK = 7, 1, 8
 NCANDS = 2 * C_MAX + 2
-RV = D_LOCAL + C_MAX + 2 + CHUNK      # rows the vertical-second pass reaches
+# rows the vertical-second pass reaches, sublane-aligned (Mosaic rejects
+# dynamic sublane rotates on non-multiple-of-8 row extents)
+RV = -(-(D_LOCAL + C_MAX + 2 + CHUNK) // 8) * 8
 GI = TO + 2 * 64                      # current img tile rows
 GIH = TO + 2 * RV                     # swapped pass-1 row extent
 N_TILES = 9
