@@ -17,9 +17,9 @@ Run (TPU): python docs/studies/roofline_trace_study.py
 from __future__ import annotations
 
 import glob
-import gzip
 import json
 import os
+import sys
 import time
 
 os.environ.setdefault(
@@ -52,25 +52,34 @@ def chained(cfg, iters):
 
 
 def parse_xspace(path: str) -> dict[str, float]:
-    """Sum device-plane event durations by event name (us)."""
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    """Sum device-track trace-event durations by event name (us).
 
-    xspace = xplane_pb2.XSpace()
-    with open(path, "rb") as f:
-        xspace.ParseFromString(f.read())
+    Uses xprof's trace_viewer conversion (the xplane proto module is not
+    shipped standalone in this environment)."""
+    from xprof.convert import raw_to_tool_data
+
+    data, _ = raw_to_tool_data.xspace_to_tool_data([path], "trace_viewer", {})
+    trace = json.loads(data)
+    events = trace.get("traceEvents", [])
+    # device tracks: pid names that are NOT the host CPU process
+    pid_names = {
+        e["pid"]: e["args"].get("name", "")
+        for e in events
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+    }
+    dev_pids = {
+        pid for pid, name in pid_names.items()
+        if "TPU" in name or "Device" in name or "/device" in name.lower()
+    }
     totals: dict[str, float] = {}
-    planes = []
-    for plane in xspace.planes:
-        if "TPU" in plane.name or "/device:" in plane.name:
-            planes.append(plane)
-    if not planes:  # fall back to every non-host plane
-        planes = [p for p in xspace.planes if "Host" not in p.name]
-    for plane in planes:
-        meta = {m.id: m.name for m in plane.event_metadata.values()}
-        for line in plane.lines:
-            for ev in line.events:
-                name = meta.get(ev.metadata_id, str(ev.metadata_id))
-                totals[name] = totals.get(name, 0.0) + ev.duration_ps / 1e6
+    for e in events:
+        if e.get("ph") == "X" and "dur" in e:
+            if dev_pids and e.get("pid") not in dev_pids:
+                continue
+            name = e.get("name", "?")
+            totals[name] = totals.get(name, 0.0) + float(e["dur"])
+    if not totals:
+        print("trace pids:", pid_names)
     return totals  # us
 
 
@@ -110,23 +119,45 @@ def main() -> None:
         return
     totals = parse_xspace(files[-1])
     if not totals:
-        print("xplane parsed but no device events — plane names:")
-        from tensorboard_plugin_profile.protobuf import xplane_pb2
-
-        xspace = xplane_pb2.XSpace()
-        with open(files[-1], "rb") as f:
-            xspace.ParseFromString(f.read())
-        for p in xspace.planes:
-            print("  plane:", p.name, "lines:", len(p.lines))
         return
 
-    dev_total_us = sum(totals.values())
-    per_frame_dev = dev_total_us / (ITERS + 1) / 1e3  # ms, fn ran 1+ITERS frames? fn=ITERS
-    print(f"\ndevice events total: {dev_total_us / 1e3:.2f} ms over {ITERS} frames "
-          f"=> {dev_total_us / ITERS / 1e3:.3f} ms/frame")
-    print("\ntop kernels (us total over the traced run):")
-    for name, us in sorted(totals.items(), key=lambda kv: -kv[1])[:20]:
-        print(f"  {us:10.1f} us  {us / ITERS:8.2f} us/frame  {name[:90]}")
+    def us_pf(name: str) -> float:
+        return totals.get(name, 0.0) / ITERS
+
+    run_pf = max(
+        (us for n, us in totals.items() if n.startswith("jit_run")), default=0.0
+    ) / ITERS
+    step_pf = us_pf("jit(lk_level_step)")
+    dot_pf = us_pf("dot_general")
+    print(f"\nmeasured (device trace, per frame):")
+    print(f"  whole pipeline        {run_pf:8.1f} us  "
+          f"(wall-clock chained said {per_frame_wall * 1e6:.1f} us — "
+          f"{run_pf / (per_frame_wall * 1e6) * 100:.1f}%)")
+    print(f"  fused level steps     {step_pf:8.1f} us  ({step_pf / run_pf * 100:.1f}%)")
+    print(f"  pyramid dot_general   {dot_pf:8.1f} us  ({dot_pf / run_pf * 100:.1f}%)")
+    other = run_pf - step_pf - dot_pf
+    print(f"  everything else       {other:8.1f} us  ({other / run_pf * 100:.1f}%)"
+          f"  [upsample/pad/mul fusions]")
+
+    # analytic cost model comparison (bench.py)
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+    import bench
+
+    cost = bench._cost_model(cfg, H, W)
+    vpu_floor_us = cost["vpu_ops"] / bench.VPU_PEAK * 1e6
+    mxu_floor_us = cost["mxu_flops"] / bench.MXU_PEAK_F32 * 1e6
+    hbm_floor_us = cost["hbm_bytes"] / bench.HBM_PEAK * 1e6
+    print(f"\nanalytic floors (bench.py _cost_model, per frame):")
+    print(f"  VPU op floor          {vpu_floor_us:8.1f} us  -> measured fused-step "
+          f"time = {step_pf / vpu_floor_us:.1f}x the floor")
+    print(f"  MXU flop floor        {mxu_floor_us:8.1f} us  -> measured dot time = "
+          f"{dot_pf / mxu_floor_us:.1f}x the floor")
+    print(f"  HBM byte floor        {hbm_floor_us:8.1f} us  (whole-pipeline "
+          f"measured time = {run_pf / hbm_floor_us:.1f}x -> not HBM-bound)")
+
+    print("\ntop events (us/frame):")
+    for name, us in sorted(totals.items(), key=lambda kv: -kv[1])[:16]:
+        print(f"  {us / ITERS:9.2f}  {name[:90]}")
 
 
 if __name__ == "__main__":
