@@ -98,10 +98,20 @@ def _cost_model(cfg: of.LKConfig, h: int, w: int) -> dict:
     vert = (2 * d + 1) * (1 + 2 * ncands)
     warp_ops = vert + 3 * vert + 8  # + bilinear blend
     # residual: Sobel x/y + temporal stencils (shift form), 5 products,
-    # separable window sums (log-depth shift-adds), guarded 2x2 solve
+    # separable window sums (per axis: log-depth shift-adds for "box", two
+    # iterated box passes + a scale for "tri", window-tap symmetric-pair
+    # FMAs for "gauss" — kernels/lk_fused._win_sum), guarded 2x2 solve
     import math
 
-    resid_ops = 24 + 5 + 5 * 2 * max(1, math.ceil(math.log2(cfg.window))) + 18
+    log_w = max(1, math.ceil(math.log2(cfg.window)))
+    ww = getattr(cfg, "window_weights", "box")
+    if ww == "tri":
+        win_axis_ops = 2 * log_w + 1
+    elif ww == "gauss":
+        win_axis_ops = cfg.window // 2 + 1
+    else:
+        win_axis_ops = log_w
+    resid_ops = 24 + 5 + 5 * 2 * win_axis_ops + 18
     vpu_ops = (warp_ops + resid_ops) * level_px
 
     # D_h @ x @ D_w^T per pyramid transition, x2 frames
