@@ -432,6 +432,11 @@ def _run_streaming(
 
     records: list[dict] = []
     chains = _chain_pairs(pairs)
+    # Same decode-prefetch doctrine as the cold loop: one worker decodes the
+    # next frame while the device runs the current step.
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
     for ci, chain in enumerate(chains):
         prev = _load_gray(chain[0]["first"])
         h, w = prev.shape
@@ -449,8 +454,11 @@ def _run_streaming(
             return frame
 
         state = streaming.init_state(jnp.asarray(padded(prev)), cfg)
+        pending = pool.submit(_load_gray, chain[0]["second"])
         for t, pair in enumerate(chain):
-            nxt = _load_gray(pair["second"])
+            nxt = pending.result()
+            if t + 1 < len(chain):
+                pending = pool.submit(_load_gray, chain[t + 1]["second"])
             state, flow = streaming.step(
                 state, jnp.asarray(padded(nxt)), cfg, warm_start
             )
@@ -472,6 +480,7 @@ def _run_streaming(
             _write_artifacts(pair, flow, out_dir)
             records.append(rec)
             prev = nxt
+    pool.shutdown(wait=False)
     return records, len(chains)
 
 
