@@ -301,6 +301,39 @@ def test_discover_and_eval_sintel_layout(tmp_path, capsys):
     assert agg["epe_mean"] < 0.5
 
 
+def test_eval_cli_streaming_sintel_chains(tmp_path, capsys):
+    """Sintel layout under --streaming: each sequence forms its own chain
+    (pairs share frame files within a sequence but not across), so the
+    carried state resets per sequence."""
+    from cuda_optical_flow_2_tpu.cli import evaluate
+    from cuda_optical_flow_2_tpu.utils import viz
+
+    h, w, velocity = 96, 128, (2.0, 1.0)
+    frames = uio.synthetic_sequence(4, h, w, velocity=velocity, period=24)
+    truth = np.full((h, w, 2), velocity, np.float32)
+    for seq in ("alley_1", "bandage_2"):
+        fdir = tmp_path / "final" / seq
+        gdir = tmp_path / "flow" / seq
+        fdir.mkdir(parents=True)
+        gdir.mkdir(parents=True)
+        for t in range(4):
+            viz.write_png(str(fdir / f"frame_{t + 1:04d}.png"), frames[t])
+            if t < 3:
+                uio.write_flo(str(gdir / f"frame_{t + 1:04d}.flo"), truth)
+
+    evaluate.main([
+        "--dataset", str(tmp_path), "--streaming", "--warm-start",
+        "--levels", "1", "--window", "15", "--no-pallas", "--margin", "12",
+    ])
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    recs, agg = lines[:-1], lines[-1]
+    assert agg["chains"] == 2 and agg["pairs"] == 6
+    assert agg["mode"] == "streaming-warm"
+    assert [r["seq"] for r in recs] == [0, 0, 0, 1, 1, 1]
+    assert [r["t"] for r in recs] == [0, 1, 2, 0, 1, 2]
+    assert agg["epe_mean"] < 0.5
+
+
 def test_eval_cli_preset(tmp_path, capsys):
     """--preset runs a named operating point; family implied by config type."""
     from cuda_optical_flow_2_tpu.cli import evaluate
