@@ -47,16 +47,98 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+# Slow tier (VERDICT r3 item 6): every test measured >= 10 s in the round-4
+# full-suite durations run (334 tests, 49:25 total; this list sums 2474 s).
+# `pytest -m "not slow"` is the fast iteration tier (~8 min, still covers
+# every feature area with at least one sub-10s test); the FULL suite is the
+# pre-commit / nightly gate — no coverage is tiered out of it.  Centralized
+# here (instead of 65 decorators across 15 files) so the list stays in one
+# reviewable place next to its measurement provenance; parametrized entries
+# name the slow parameter only.
+SLOW_TESTS = frozenset({
+    "test_pallas.py::test_band_geometry_fuzz",
+    "test_parallel.py::test_spatial_pallas_all_families",
+    "test_parallel.py::test_spatial_prefilter_all_families",
+    "test_parallel.py::test_spatial_dis_pallas_matches_unsharded_pallas",
+    "test_pallas.py::test_random_config_parity_sweep",
+    "test_parallel.py::test_grid_fused_pallas_matches_unsharded",
+    "test_dis.py::test_dis_dispatch_forced_interpret",
+    "test_dis.py::test_dis_fused_half_upsample_matches",
+    "test_debug.py::test_hs_and_tvl1_sweep_stages",
+    "test_parallel.py::test_grid_flow_model_generic",
+    "test_parallel.py::test_spatial_pallas_matches_xla_tp_and_unsharded",
+    "test_parallel.py::test_spatial_tvl1_matches_unsharded",
+    "test_debug.py::test_lk_stage_report_backends_agree",
+    "test_examples.py::test_example_runs[learned_refinement]",
+    "test_pallas.py::test_fb_band_geometry_fuzz",
+    "test_parallel.py::test_spatial_fb_select_warp_nonfused",
+    "test_median.py::test_tvl1_median_filtering_config",
+    "test_pallas.py::test_pipeline_with_pallas_warp_matches_xla",
+    "test_pallas.py::test_warp_select_band_matches_full_image",
+    "test_pipeline.py::test_pipeline_fused_half_upsample_dispatch",
+    "test_pallas.py::test_fb_band_step_matches_full_image",
+    "test_pallas.py::test_band_step_matches_full_image",
+    "test_farneback.py::test_fb_step_fused_odd_sizes",
+    "test_pallas.py::test_lk_band_step_interior_pad_rows_excluded_from_recentering",
+    "test_farneback.py::test_fb_expand_dispatch_forced_interpret",
+    "test_farneback.py::test_fb_dispatch_forced_interpret",
+    "test_parallel.py::test_spatial_dis_matches_unsharded",
+    "test_differentiability.py::test_all_families_differentiable",
+    "test_pallas.py::test_fb_band_step_interior_pad_rows_excluded_from_recentering",
+    "test_debug.py::test_fb_tolerance_decomposes_per_stage",
+    "test_pallas.py::test_lk_step_fused_half_upsample_matches_xla_upsample",
+    "test_pallas.py::test_lk_step_fused_batched",
+    "test_parallel.py::test_interpret_mode_is_part_of_cached_jit_keys",
+    "test_streaming.py::test_warm_start_model_generic",
+    "test_tvl1.py::test_tvl1_dispatch_forced_interpret",
+    "test_pallas.py::test_lk_step_fused_matches_xla_composition",
+    "test_parallel.py::test_halo_exchange_counts_hoisted",
+    "test_pallas.py::test_bilateral_kernel_matches_xla",
+    "test_pallas.py::test_warp_select_band_zero_filled_boundary_halo",
+    "test_evaluate.py::test_eval_cli_preset",
+    "test_parallel.py::test_sharded_flow_model_generic",
+    "test_farneback.py::test_fb_step_fused_matches_xla_image",
+    "test_parallel.py::test_spatial_fb_matches_unsharded",
+    "test_examples.py::test_example_runs[frame_interpolation]",
+    "test_pallas.py::test_select_warp_matches_gather_on_smooth_flow",
+    "test_dis.py::test_batched_matches_single",
+    "test_dis.py::test_large_displacement_beats_plain_lk",
+    "test_pallas.py::test_select_warp_exact_on_large_uniform_flow",
+    "test_pipeline.py::test_odd_sizes_recover_translation",
+    "test_tvl1.py::test_preserves_motion_discontinuity_vs_hs",
+    "test_pallas.py::test_prefilter_dispatches_to_kernel",
+    "test_opencv_parity.py::test_dis_vs_opencv[translate_smooth]",
+    "test_pallas.py::test_fused_step_weighted_window_matches_xla[tri]",
+    "test_cli.py::test_demo_tvl1_model",
+    "test_pallas.py::test_select_warp_out_of_bounds_keeps_pixels",
+    "test_pallas.py::test_lk_step_fused_over_budget_flow_matches_twin",
+    "test_tvl1.py::test_translation_accuracy",
+    "test_dis.py::test_refine_offset_kernel_matches_xla",
+    "test_examples.py::test_example_runs[spatial_tp]",
+    "test_parallel.py::test_spatial_fb_gaussian_window_matches_unsharded",
+    "test_tvl1.py::test_streaming_tvl1_matches_pairwise",
+    "test_pallas.py::test_fused_step_weighted_window_matches_xla[gauss]",
+    "test_golden.py::test_compat_cpu_matches_golden",
+    "test_parallel.py::test_spatial_hs_matches_unsharded",
+    "test_pipeline.py::test_prefilter_path_runs",
+})
+
+
 def pytest_collection_modifyitems(config, items):
-    if not _TPU_MODE:
+    if _TPU_MODE:
+        skip = pytest.mark.skip(
+            reason="OF2_TEST_TPU=1 runs only tests/test_tpu_device.py "
+            "(platform/x64 pinning is process-global)"
+        )
+        for item in items:
+            if item.fspath.basename != "test_tpu_device.py":
+                item.add_marker(skip)
         return
-    skip = pytest.mark.skip(
-        reason="OF2_TEST_TPU=1 runs only tests/test_tpu_device.py "
-        "(platform/x64 pinning is process-global)"
-    )
     for item in items:
-        if item.fspath.basename != "test_tpu_device.py":
-            item.add_marker(skip)
+        name = item.nodeid.split("::")[-1]
+        key = f"{item.fspath.basename}::{name}"
+        if key in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
 
 
 @pytest.fixture
