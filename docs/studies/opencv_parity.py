@@ -191,6 +191,30 @@ def main() -> None:
                 f"{name:<26} {label:<12} {interior_epe(ours, truth):>7.3f} "
                 f"{interior_epe(cvf, truth):>7.3f} {interior_epe(ours, cvf):>7.3f}"
             )
+        # HS and TV-L1: cv2 5.0 ships no implementation of either (the
+        # optflow contrib module is gone), so they cannot be cross-anchored
+        # directly — they are scored on the SAME truth harness where the
+        # other three families are externally validated (indirect anchor).
+        from cuda_optical_flow_2_tpu.models.horn_schunck import (
+            HSConfig, pyramidal_hs,
+        )
+        from cuda_optical_flow_2_tpu.models.tvl1 import (
+            TVL1Config, pyramidal_tvl1,
+        )
+
+        hs = np.asarray(pyramidal_hs(
+            jnp.asarray(prev, jnp.float32), jnp.asarray(nxt, jnp.float32),
+            HSConfig(levels=3, iterations=60, use_pallas=False),
+        ))
+        tv = np.asarray(pyramidal_tvl1(
+            jnp.asarray(prev, jnp.float32), jnp.asarray(nxt, jnp.float32),
+            TVL1Config(levels=3, use_pallas=False),
+        ))
+        for label, f in (("HS", hs), ("TVL1", tv)):
+            print(
+                f"{name:<26} {label:<12} "
+                f"{interior_epe(f, truth):>7.3f} {'n/a':>7} {'n/a':>7}"
+            )
         # Dense LK vs cv2's pyramidal LK evaluated on a dense stride-2 grid
         # (status-masked) — the anchor VERDICT r3 asked for: the same
         # algorithm family, independently implemented.
@@ -245,7 +269,7 @@ def main() -> None:
             f"({len(pts)} ours vs {len(cv_pts)} cv)"
         )
 
-    flow = run_lk(prev, nxt)
+    flow = run_lk(prev, nxt, "tri")  # production default weighting
     moved, alive = tracking.advect_points(
         jnp.asarray(flow), jnp.asarray(pts, jnp.float32)
     )

@@ -240,6 +240,32 @@ def test_dense_lk_gauss_window_beats_box(cases):
     assert xepe("gauss") < xepe("box") / 3
 
 
+@pytest.mark.parametrize("case", ["translate_smooth", "rotate_smooth",
+                                  "translate_natural"])
+def test_hs_and_tvl1_on_anchored_harness(cases, case):
+    """HS and TV-L1 cannot be cross-anchored against OpenCV (cv2 5.0 ships
+    neither — the optflow contrib module is gone), so they are pinned on
+    the SAME truth harness where FB/DIS/LK are externally validated.
+    Measured: TV-L1 0.000/0.015/0.000 (best in harness, at FB's level);
+    HS 0.077/0.045/0.151 (the quadratic-penalty global method's documented
+    envelope).  Bounds ~2x measured."""
+    from cuda_optical_flow_2_tpu.models.horn_schunck import (
+        HSConfig, pyramidal_hs,
+    )
+    from cuda_optical_flow_2_tpu.models.tvl1 import TVL1Config, pyramidal_tvl1
+
+    prev, nxt, truth = cases[case]
+    p, n = jnp.asarray(prev, jnp.float32), jnp.asarray(nxt, jnp.float32)
+    tv = np.asarray(
+        pyramidal_tvl1(p, n, TVL1Config(levels=3, use_pallas=False))
+    )
+    assert _epe(tv, truth) < 0.05
+    hs = np.asarray(
+        pyramidal_hs(p, n, HSConfig(levels=3, iterations=60, use_pallas=False))
+    )
+    assert _epe(hs, truth) < 0.3
+
+
 def test_min_eigenvalue_map_vs_opencv(cases):
     """Our Shi-Tomasi score plane equals cv2.cornerMinEigenVal (same 19x19
     block, Sobel ksize 3) up to cv2's fixed normalization: measured
@@ -284,8 +310,9 @@ def test_good_features_contained_in_opencv_corners(cases):
 
 def test_tracks_vs_opencv_pyrlk(cases):
     """Dense-flow-derived tracks vs the classic sparse pyramidal-LK tracker
-    on the same corners: measured mean disagreement 0.15 px (truth EPE 0.15
-    ours / 0.00 cv on pure translation); bound 0.5 px."""
+    on the same corners: measured mean disagreement 0.038 px at the
+    production (tri) window default (round 3's box window measured 0.15);
+    bound 0.2 px (~5x measured)."""
     import cuda_optical_flow_2_tpu as of
     from cuda_optical_flow_2_tpu.models import confidence, tracking
 
@@ -315,6 +342,6 @@ def test_tracks_vs_opencv_pyrlk(cases):
     cv_moved, ok = cv_moved.reshape(-1, 2), status.reshape(-1) == 1
     assert ok.mean() > 0.9
     true_moved = pts + np.array([[2.0, 1.0]])
-    assert np.hypot(*(moved - true_moved).T).mean() < 0.5
-    assert np.hypot(*(cv_moved[ok] - true_moved[ok]).T).mean() < 0.5
-    assert np.hypot(*(moved[ok] - cv_moved[ok]).T).mean() < 0.5
+    assert np.hypot(*(moved - true_moved).T).mean() < 0.2
+    assert np.hypot(*(cv_moved[ok] - true_moved[ok]).T).mean() < 0.2
+    assert np.hypot(*(moved[ok] - cv_moved[ok]).T).mean() < 0.2
