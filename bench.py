@@ -125,6 +125,12 @@ def _cost_model(cfg: of.LKConfig, h: int, w: int) -> dict:
 
 
 def _chained(p: jax.Array, n: jax.Array, iters: int, cfg: of.LKConfig) -> jax.Array:
+    # The s*1e-20 perturbation is the serialization mechanism: each
+    # iteration's input depends on the previous result, so XLA cannot elide
+    # or overlap iterations.  Measured alternatives (round 4): an
+    # `optimization_barrier((p, s))` chain IS elided (XLA hoists the
+    # loop-invariant body; reports ~150k fps), and the perturbation's own
+    # cost is <2 % (412 vs 416 fps same-session) — so the mul chain stays.
     def body(_, s):
         flow = of.pyramidal_lk(p + s * jnp.float32(1e-20), n, cfg)
         return jnp.mean(flow)
