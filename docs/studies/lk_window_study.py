@@ -40,10 +40,14 @@ Findings (CPU, study cases from opencv_parity.py):
    anchor itself scores 0.001/0.016/0.000 on these cases —
    docs/studies/opencv_parity.py.)
 
-5. The residual ~0.01-0.03 px gap vs the cv2 anchor is the remaining
-   operator set (Sobel + smoothed temporal difference vs cv2's Scharr-type
-   gradients and unsmoothed It with ~30 convergence-tested iterations);
-   documented as the accuracy envelope, not pursued further.
+5. The residual ~0.01-0.03 px gap vs the cv2 anchor is NOT the
+   derivative-operator pair: a matched derivative-of-smoothing set
+   (Dx = {-1,0,1}/2 (x) {1,2,1}/4, It smoothed by the same 2-D kernel) was
+   prototyped under the gauss window and measured slightly WORSE on every
+   case (natural it2 0.0100 vs Sobel's 0.0083; smooth 0.033 vs 0.026).
+   The envelope is attributed to bilinear-warp interpolation bias at
+   fractional displacements + cv2's per-point convergence-tested
+   iterations; documented, not pursued further.
 
 Run: python docs/studies/lk_window_study.py          (CPU, ~3 min)
 """

@@ -99,6 +99,23 @@ def test_compiled_headline_clears_target():
     assert 1.0 / secs > 60.0, f"{1.0 / secs:.1f} fps at 256x512"
 
 
+@pytest.mark.parametrize("weights", ["box", "gauss"])
+def test_compiled_weighted_windows_match_xla(weights):
+    """The non-default window weightings on compiled Mosaic (the default
+    "tri" rides every other test here): per-stage parity vs the XLA twin
+    for box (reference sums) and gauss (max-accuracy point)."""
+    import cuda_optical_flow_2_tpu as of
+    from cuda_optical_flow_2_tpu.utils.debug import stage_report
+
+    prev, nxt = _pair()
+    cfg = of.LKConfig(levels=2, window=9, iterations=2, window_weights=weights)
+    report = stage_report(prev, nxt, cfg, backends=("pallas",))
+    assert report
+    for row in report:
+        assert np.isfinite(row.max_abs), row
+        assert row.mean_abs < 1e-2, row
+
+
 @pytest.mark.parametrize("model", ["lk", "hs", "fb", "tvl1", "dis"])
 def test_compiled_spatial_tp_matches_unsharded(model):
     """Spatial TP on COMPILED Mosaic (VERDICT r3 item 7): a 1-device-mesh
