@@ -157,6 +157,25 @@ def test_eval_cli_streaming_warm_start(tmp_path, capsys):
     assert warm_after <= cold_after + 0.02
 
 
+def test_eval_cli_streaming_model_generic(tmp_path, capsys):
+    """--streaming rides the model-generic streaming.step: a non-LK family
+    (DIS) scores chains with carried state too."""
+    from cuda_optical_flow_2_tpu.cli import evaluate
+
+    data = tmp_path / "data"
+    data.mkdir()
+    _write_dataset_flat(data, n_frames=4, velocity=(1.0, 0.0))
+    evaluate.main([
+        "--dataset", str(data), "--streaming", "--model", "dis",
+        "--levels", "3", "--no-pallas", "--margin", "12",
+    ])
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    agg = lines[-1]
+    assert agg["mode"] == "streaming" and agg["model"] == "dis"
+    assert agg["pairs"] == 3 == agg["pairs_with_truth"]
+    assert agg["epe_mean"] < 0.5
+
+
 def test_eval_cli_streaming_flag_validation(tmp_path, capsys):
     from cuda_optical_flow_2_tpu.cli import evaluate
     import pytest
