@@ -58,7 +58,10 @@ class LKConfig:
         (interleaved A/B, docs/studies/window_weights_tpu_study.py): tri
         -1.6 %, gauss -8.6 % vs box.  Default "tri" (the accuracy win is
         ~5x for ~free); "gauss" is the maximum-accuracy point; "box" is the
-        reference's flat sum (REFERENCE_GPU/REFERENCE_CPU pin it).  See
+        reference's flat sum (REFERENCE_GPU/REFERENCE_CPU pin it).  The
+        gauss sigma (window/6) is a measured compromise — narrower (w/8)
+        favors pure translation, wider (w/4) favors rotation/shear; no
+        single sigma dominates (round-4 sweep).  See
         docs/studies/lk_window_study.py and docs/PERF.md ACCURACY.
       max_displacement: per-level warp displacement budget in pixels (flow is
         clamped to this before sampling).  Bounds the TPU select-warp kernel's
