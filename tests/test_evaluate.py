@@ -176,6 +176,51 @@ def test_eval_cli_streaming_model_generic(tmp_path, capsys):
     assert agg["epe_mean"] < 0.5
 
 
+def test_eval_cli_streaming_detects_lock_loss(tmp_path, capsys):
+    """The harness-level lock-loss view (VERDICT r3 item 3): on an
+    accelerating ramp (1..6 px/frame) with a single-level pyramid, the
+    cold stateless path loses lock while warm streaming tracks — visible
+    directly in the records as cold_epe_mean >> epe_mean on late pairs."""
+    from cuda_optical_flow_2_tpu.cli import evaluate
+    from cuda_optical_flow_2_tpu.utils import viz
+
+    rng = np.random.default_rng(0)
+    h, w = 96, 128
+    base = rng.random((h, w)).astype(np.float32)
+    tex = np.pad(base, 1, mode="wrap")
+    tex = sum(tex[i:i + h, j:j + w] for i in range(3) for j in range(3)) / 9
+    tex = (tex - tex.min()) / (np.ptp(tex) + 1e-6) * 255
+    shifts = np.cumsum([0, 1, 2, 3, 4, 5, 6])
+    data = tmp_path / "ramp"
+    data.mkdir()
+    for t, s in enumerate(shifts):
+        frame = np.roll(tex, -int(s), axis=1)
+        viz.write_png(
+            str(data / f"frame_{t:04d}.png"),
+            np.repeat(frame[..., None].astype(np.uint8), 3, -1),
+        )
+        if t < len(shifts) - 1:
+            vel = float(shifts[t + 1] - s)
+            uio.write_flo(
+                str(data / f"frame_{t:04d}.flo"),
+                np.full((h, w, 2), (-vel, 0.0), np.float32),
+            )
+    evaluate.main([
+        "--dataset", str(data), "--streaming", "--warm-start",
+        "--compare-cold", "--levels", "1", "--window", "11",
+        "--iterations", "2", "--no-pallas", "--margin", "20",
+    ])
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    recs = lines[:-1]
+    late = [r for r in recs if r["t"] >= 4]   # 5-6 px/frame
+    assert late
+    for r in late:
+        assert r["epe_mean"] < 1.0, r            # warm: still locked
+        assert r["cold_epe_mean"] > 2.0, r       # cold: lost lock
+    agg = lines[-1]
+    assert agg["cold_epe_mean"] > 2 * agg["epe_mean"]
+
+
 def test_eval_cli_streaming_flag_validation(tmp_path, capsys):
     from cuda_optical_flow_2_tpu.cli import evaluate
     import pytest
