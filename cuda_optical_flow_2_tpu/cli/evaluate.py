@@ -617,8 +617,11 @@ def main(argv=None) -> None:
                     summary[key] = float(np.mean(vals))
             # Drift indicator: mean EPE over the first vs last third of each
             # chain's timeline (lock loss shows as late >> early).
+            # Finite-filtered like the aggregates above: one degenerate
+            # pair's inf/NaN EPE must not null out the drift indicator.
             third = [
-                r for r in scored if r.get("seq") is not None
+                r for r in scored
+                if r.get("seq") is not None and np.isfinite(r["epe_mean"])
             ]
             if third:
                 by_seq: dict = {}

@@ -259,20 +259,27 @@ def _lk_stages(prev_l, nxt_l, flow_in, config, n_bands):
             return gx, gy, gt
         return None
 
+    weights = getattr(config, "window_weights", "box")
+
     def window_sums(backend):
         if backend == "xla":
             return structure_tensor_sums(
-                ix, iy, it, config.window, config.window_method
+                ix, iy, it, config.window, config.window_method, weights
             )
         if backend == "banded":
             return banded(
                 lambda a, b, c: structure_tensor_sums(
-                    a, b, c, config.window, config.window_method
+                    a, b, c, config.window, config.window_method, weights
                 ),
                 config.window // 2,
                 n_bands,
             )(ix, iy, it)
         if backend == "oracle":
+            if weights != "box":
+                # The reference's srm sums are inherently flat — there is no
+                # oracle twin for a weighted window; skip the row rather
+                # than compare mismatched computations.
+                return None
             w = config.window
             gx, gy, gt = (np.asarray(a, np.float32) for a in (ix, iy, it))
             return tuple(
@@ -281,7 +288,9 @@ def _lk_stages(prev_l, nxt_l, flow_in, config, n_bands):
             )
         return None
 
-    sums = structure_tensor_sums(ix, iy, it, config.window, config.window_method)
+    sums = structure_tensor_sums(
+        ix, iy, it, config.window, config.window_method, weights
+    )
 
     def solve(backend):
         if backend == "xla":

@@ -395,13 +395,16 @@ class FrameStream:
         handle = lib.of2_stream_open_v4l2(device.encode(), w, h, prefetch)
         if not handle:
             rc = v4l2_probe(device, w, h)[0]
+            # The probe stops after format negotiation (probe_only), so a
+            # clean probe (rc 0) after a failed open means the LATER setup
+            # stages — MMAP buffer request, stream start, or the prefetch
+            # ring allocation — failed; the probe cannot distinguish them.
             reason = {
-                0: "ring allocation failed",
+                0: "buffer setup / stream start / ring allocation failed "
+                   "(device negotiates but cannot start MMAP streaming)",
                 -1: "cannot open device",
                 -2: "not a V4L2 streaming-capture device",
                 -3: "no supported pixel format (YUYV/GREY)",
-                -4: "buffer setup failed",
-                -5: "stream start failed",
             }.get(rc, f"error {rc}")
             raise ValueError(f"cannot open camera {device}: {reason}")
         hh = ctypes.c_int()

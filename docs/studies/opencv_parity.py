@@ -151,7 +151,11 @@ def cv_lk_dense(prev, nxt, stride: int = 2):
     pixel grid, bilinearly splatted back to a full (H, W, 2) field with NaN
     where the tracker reports failure (status=0) — the independent
     implementation of the same algorithm family (pyramidal LK, 19x19
-    window, 3 levels).  Returns (flow, valid_mask)."""
+    window, 3 levels).  Returns (flow, valid_mask).
+
+    TWIN of tests/test_opencv_parity.py::_cv_lk_dense — keep the anchor
+    parameters (stride, winSize, maxLevel, status masking) identical in
+    both, or the CI bounds stop matching this study's envelopes."""
     ys, xs = np.mgrid[0:H:stride, 0:W:stride]
     pts = np.stack([xs.ravel(), ys.ravel()], -1).astype(np.float32)
     moved, status, _ = cv2.calcOpticalFlowPyrLK(

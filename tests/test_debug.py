@@ -20,7 +20,13 @@ def test_lk_stage_report_backends_agree():
     prev, nxt = _pair(128, 64)
     # iterations=1: the stage runners take one canonical flow_in; iteration
     # count only multiplies the interpret-mode cost of the level/flow rows.
-    cfg = of.LKConfig(levels=2, window=9, iterations=1, max_displacement=8.0)
+    # window_weights="box": the oracle backend is the reference's flat srm
+    # twin, which only exists for the box window (weighted configs skip the
+    # oracle window_sums row — pinned below).
+    cfg = of.LKConfig(
+        levels=2, window=9, iterations=1, max_displacement=8.0,
+        window_weights="box",
+    )
     rep = _by_key(
         stage_report(
             prev, nxt, cfg, backends=("pallas", "banded", "oracle"), n_bands=4
@@ -38,6 +44,26 @@ def test_lk_stage_report_backends_agree():
     assert rep[(0, "gradients", "oracle")].max_abs < 1e-4
     assert rep[(0, "solve", "oracle")].max_abs < 1e-5
     assert rep[(0, "window_sums", "oracle")].max_abs < 0.1
+
+
+def test_lk_stage_report_weighted_window():
+    """Weighted-window configs: the window_sums/solve stages use the
+    configured weighting (ADVICE r4 — they previously always ran box), and
+    the oracle window_sums row is SKIPPED (the reference's flat srm sums
+    have no weighted twin)."""
+    prev, nxt = _pair(128, 64)
+    cfg = of.LKConfig(
+        levels=1, window=9, iterations=1, max_displacement=8.0,
+        window_weights="tri",
+    )
+    rep = _by_key(
+        stage_report(prev, nxt, cfg, backends=("banded", "oracle"), n_bands=4)
+    )
+    assert (0, "window_sums", "banded") in rep
+    assert rep[(0, "window_sums", "banded")].max_abs == 0.0
+    assert (0, "window_sums", "oracle") not in rep
+    # solve still has an oracle twin (it consumes the configured sums)
+    assert rep[(0, "solve", "oracle")].max_abs < 1e-5
 
 
 def test_fb_tolerance_decomposes_per_stage():

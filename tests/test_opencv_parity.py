@@ -162,7 +162,14 @@ def test_dis_vs_opencv(cases, case):
 def _cv_lk_dense(prev, nxt, stride=2):
     """cv2.calcOpticalFlowPyrLK on a dense stride-2 grid, status-masked —
     the dense-LK anchor (same algorithm family, independent implementation).
-    Returns (flow, valid) at full resolution with NaN off-grid/failed."""
+    Returns (flow, valid) at full resolution with NaN off-grid/failed.
+
+    TWIN of docs/studies/opencv_parity.py::cv_lk_dense (the study is a
+    standalone script, so the definition is duplicated rather than
+    imported): the anchor parameters — stride 2, winSize (19, 19),
+    maxLevel 2, status masking — must stay identical in both, or the
+    test bounds stop being verifiable against the study's measured
+    envelopes."""
     ys, xs = np.mgrid[0:H:stride, 0:W:stride]
     pts = np.stack([xs.ravel(), ys.ravel()], -1).astype(np.float32)
     moved, status, _ = cv2.calcOpticalFlowPyrLK(
