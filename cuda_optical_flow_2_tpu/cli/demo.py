@@ -109,6 +109,12 @@ def main(argv=None) -> None:
     ap.add_argument("--levels", type=int, default=4)
     ap.add_argument("--window", type=int, default=19)
     ap.add_argument(
+        "--window-weights", default=None, choices=("box", "tri", "gauss"),
+        help="integration-window weighting for lk/dis (default: the "
+        "config's default, 'tri' for lk / 'box' for dis — see "
+        "LKConfig.window_weights)",
+    )
+    ap.add_argument(
         "--iterations", type=int, default=None,
         help="LK solver iterations (default 1) / HS sweeps per level (default 100)",
     )
@@ -243,6 +249,8 @@ def main(argv=None) -> None:
             levels=args.levels,
             window=args.window if args.window % 2 else args.window + 1,
             iterations=args.iterations if args.iterations is not None else 2,
+            **({} if args.window_weights is None
+               else {"window_weights": args.window_weights}),
             prefilter=prefilter,
             use_pallas=not args.no_pallas,
         )
@@ -273,6 +281,8 @@ def main(argv=None) -> None:
             window=args.window,
             iterations=args.iterations if args.iterations is not None else 1,
             temporal_kernel=args.temporal_kernel,
+            **({} if args.window_weights is None
+               else {"window_weights": args.window_weights}),
             prefilter=prefilter,
             use_pallas=not args.no_pallas,
         )

@@ -506,6 +506,11 @@ def main(argv=None) -> None:
     ap.add_argument("--window", type=int, default=19)
     ap.add_argument("--iterations", type=int, default=None,
                     help="per-level iterations/sweeps (model default if unset)")
+    ap.add_argument(
+        "--window-weights", default=None, choices=("box", "tri", "gauss"),
+        help="integration-window weighting for lk/dis (default: the config's"
+        " default — see LKConfig.window_weights)",
+    )
     ap.add_argument("--no-pallas", action="store_true")
     ap.add_argument(
         "--margin", type=int, default=None,
@@ -568,6 +573,10 @@ def main(argv=None) -> None:
         cfg = _model_cfg(args.model, lk, args.no_pallas)
         if args.iterations is not None and hasattr(cfg, "iterations"):
             cfg = type(cfg)(**{**cfg.__dict__, "iterations": args.iterations})
+        if args.window_weights is not None and hasattr(cfg, "window_weights"):
+            cfg = type(cfg)(
+                **{**cfg.__dict__, "window_weights": args.window_weights}
+            )
         margin = args.margin if args.margin is not None else args.window
 
     # The Python body runs once per XLA trace, so `compiles` counts distinct
