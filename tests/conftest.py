@@ -134,11 +134,28 @@ def pytest_collection_modifyitems(config, items):
             if item.fspath.basename != "test_tpu_device.py":
                 item.add_marker(skip)
         return
+    matched = set()
+    collected_modules = set()
     for item in items:
         name = item.nodeid.split("::")[-1]
         key = f"{item.fspath.basename}::{name}"
+        collected_modules.add(item.fspath.basename)
         if key in SLOW_TESTS:
             item.add_marker(pytest.mark.slow)
+            matched.add(key)
+    # Drift guard: a renamed/removed test must not silently fall out of the
+    # slow tier (the fast tier would quietly grow past its budget).  Only
+    # entries whose MODULE was collected are checked, so single-file runs
+    # don't flag entries from other modules.
+    stale = {
+        k for k in SLOW_TESTS - matched
+        if k.split("::")[0] in collected_modules
+    }
+    if stale:
+        raise pytest.UsageError(
+            "SLOW_TESTS entries match no collected test (renamed/removed? "
+            f"update tests/conftest.py): {sorted(stale)}"
+        )
 
 
 @pytest.fixture
