@@ -47,6 +47,15 @@ HBM_PEAK = 819e9
 MXU_PEAK_F32 = 49e12
 VPU_PEAK = 6.1e12
 
+# Trace-calibrated issued-work factor: a parsed jax.profiler XSpace trace of
+# this exact headline program measured the fused level steps issuing ~6.2x
+# the algorithmic VPU floor (rolls, masks, select lowering, int32 planes —
+# docs/studies/roofline_trace_study.py; docs/PERF.md "End-to-end roofline").
+# vpu_util_issued_est = floor util x this factor approximates the real
+# VPU-issue busy fraction (~0.75-0.8 at the round-4 headline), so the floor
+# field cannot be misread as "87% headroom" (VERDICT r4 item 5).
+VPU_ISSUED_FACTOR = 6.2
+
 
 def _cost_model(cfg: of.LKConfig, h: int, w: int) -> dict:
     """Analytic per-pair HBM bytes, VPU op floor and MXU FLOPs.
@@ -56,9 +65,10 @@ def _cost_model(cfg: of.LKConfig, h: int, w: int) -> dict:
     intermediate HBM round trips; halo re-reads ignored, <2%).  The VPU
     count is the ALGORITHMIC FLOOR of the select-gather warp + residual
     (docs/PERF.md "Level-0 kernel pass budget"): issued ops also include
-    rolls/masks the floor excludes, so vpu_util is a lower bound on busy-ness
-    and an upper bound on headroom.  MXU counts the two banded decimation
-    matmuls per pyramid level (ops/pyramid.py).
+    rolls/masks the floor excludes, so vpu_util_floor is a lower bound on
+    busy-ness (vpu_util_issued_est applies the trace-calibrated factor).
+    MXU counts the two banded decimation matmuls per pyramid level
+    (ops/pyramid.py).
     """
     from cuda_optical_flow_2_tpu.kernels.lk_step_fused import half_geometry_ok
 
@@ -108,7 +118,10 @@ def _cost_model(cfg: of.LKConfig, h: int, w: int) -> dict:
     if ww == "tri":
         win_axis_ops = 2 * log_w + 1
     elif ww == "gauss":
-        win_axis_ops = cfg.window // 2 + 1
+        # Per symmetric tap pair the kernel issues ~2 rolls + 2 adds + 1 FMA
+        # (kernels/lk_fused._win_sum), i.e. ~5 ops x window//2 pairs + the
+        # center tap — not 1 op per tap (ADVICE r4).
+        win_axis_ops = 5 * (cfg.window // 2) + 1
     else:
         win_axis_ops = log_w
     resid_ops = 24 + 5 + 5 * 2 * win_axis_ops + 18
@@ -175,12 +188,20 @@ def main() -> None:
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
                 # Roofline accounting (docs/PERF.md "End-to-end roofline"):
                 # achieved HBM/VPU/MXU throughput from the analytic per-pair
-                # cost model vs v5e peaks.  vpu_util uses the ALGORITHMIC
-                # op floor, so it lower-bounds occupancy.
+                # cost model vs v5e peaks.  vpu_util_floor uses the
+                # ALGORITHMIC op floor (a lower bound on busy-ness);
+                # vpu_util_issued_est applies the trace-calibrated 6.2x
+                # issued-work factor (see VPU_ISSUED_FACTOR) and is the
+                # honest utilization estimate.
                 "hbm_gbps": round(cost["hbm_bytes"] * fps / 1e9, 1),
                 "hbm_util": round(cost["hbm_bytes"] * fps / HBM_PEAK, 4),
                 "vpu_gops": round(cost["vpu_ops"] * fps / 1e9, 1),
-                "vpu_util": round(cost["vpu_ops"] * fps / VPU_PEAK, 4),
+                "vpu_util_floor": round(cost["vpu_ops"] * fps / VPU_PEAK, 4),
+                "vpu_util_issued_est": round(
+                    min(1.0, cost["vpu_ops"] * fps / VPU_PEAK * VPU_ISSUED_FACTOR),
+                    4,
+                ),
+                "vpu_issued_factor": VPU_ISSUED_FACTOR,
                 "mxu_gflops": round(cost["mxu_flops"] * fps / 1e9, 1),
                 "mxu_util": round(cost["mxu_flops"] * fps / MXU_PEAK_F32, 4),
             }

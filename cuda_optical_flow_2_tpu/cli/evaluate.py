@@ -426,17 +426,32 @@ def _run_streaming(
     Returns (records, number_of_chains).  Each record carries ``seq`` (chain
     index) and ``t`` (step index within the chain).
     """
-    import jax.numpy as jnp
-
-    from cuda_optical_flow_2_tpu.models import streaming
-
-    records: list[dict] = []
     chains = _chain_pairs(pairs)
     # Same decode-prefetch doctrine as the cold loop: one worker decodes the
     # next frame while the device runs the current step.
     from concurrent.futures import ThreadPoolExecutor
 
     pool = ThreadPoolExecutor(max_workers=1)
+    try:
+        records = _run_chains(
+            chains, cfg, margin, out_dir, bucket, warm_start, flow_fn, pool
+        )
+    finally:
+        # An exception mid-chain (frame-shape drift, decode failure in
+        # _score_flow) must not leak the pool and its pending decode thread
+        # (ADVICE r4).
+        pool.shutdown(wait=False, cancel_futures=True)
+    return records, len(chains)
+
+
+def _run_chains(
+    chains, cfg, margin, out_dir, bucket, warm_start, flow_fn, pool
+) -> list[dict]:
+    import jax.numpy as jnp
+
+    from cuda_optical_flow_2_tpu.models import streaming
+
+    records: list[dict] = []
     for ci, chain in enumerate(chains):
         prev = _load_gray(chain[0]["first"])
         h, w = prev.shape
@@ -480,8 +495,7 @@ def _run_streaming(
             _write_artifacts(pair, flow, out_dir)
             records.append(rec)
             prev = nxt
-    pool.shutdown(wait=False)
-    return records, len(chains)
+    return records
 
 
 def main(argv=None) -> None:
@@ -499,11 +513,14 @@ def main(argv=None) -> None:
             "reference_gpu", "reference_cpu", "paper_1080p",
             "tvl1_realtime", "dis_realtime",
         ),
-        help="named operating point (overrides --model/--levels/--window/"
-        "--iterations; the model family is implied by the preset's config type)",
+        help="named operating point (fixes the model family and every "
+        "config knob; combining it with an explicit --levels/--window/"
+        "--iterations/--window-weights is an error, not a silent override)",
     )
-    ap.add_argument("--levels", type=int, default=4)
-    ap.add_argument("--window", type=int, default=19)
+    ap.add_argument("--levels", type=int, default=None,
+                    help="pyramid depth (default 4)")
+    ap.add_argument("--window", type=int, default=None,
+                    help="integration window side (default 19)")
     ap.add_argument("--iterations", type=int, default=None,
                     help="per-level iterations/sweeps (model default if unset)")
     ap.add_argument(
@@ -560,6 +577,24 @@ def main(argv=None) -> None:
 
         import cuda_optical_flow_2_tpu.models as models
 
+        # A preset fixes every config knob; an explicitly-passed conflicting
+        # flag must error, not vanish (VERDICT r4 item 7 — these used to be
+        # applied only in the non-preset branch, i.e. silently dropped).
+        conflicting = [
+            flag
+            for flag, val in (
+                ("--levels", args.levels),
+                ("--window", args.window),
+                ("--iterations", args.iterations),
+                ("--window-weights", args.window_weights),
+            )
+            if val is not None
+        ]
+        if conflicting:
+            ap.error(
+                f"--preset {args.preset} fixes the config knobs; drop "
+                f"{'/'.join(conflicting)} or select them without a preset"
+            )
         cfg = getattr(models, args.preset.upper(), None)
         if cfg is None:
             cfg = getattr(of, args.preset.upper())
@@ -569,7 +604,9 @@ def main(argv=None) -> None:
             cfg, "window", getattr(cfg, "winsize", 16)
         )
     else:
-        lk = of.LKConfig(levels=args.levels, window=args.window)
+        levels = args.levels if args.levels is not None else 4
+        window = args.window if args.window is not None else 19
+        lk = of.LKConfig(levels=levels, window=window)
         cfg = _model_cfg(args.model, lk, args.no_pallas)
         if args.iterations is not None and hasattr(cfg, "iterations"):
             cfg = type(cfg)(**{**cfg.__dict__, "iterations": args.iterations})
@@ -577,7 +614,7 @@ def main(argv=None) -> None:
             cfg = type(cfg)(
                 **{**cfg.__dict__, "window_weights": args.window_weights}
             )
-        margin = args.margin if args.margin is not None else args.window
+        margin = args.margin if args.margin is not None else window
 
     # The Python body runs once per XLA trace, so `compiles` counts distinct
     # compiled shapes — with --bucket that is the number of buckets, which

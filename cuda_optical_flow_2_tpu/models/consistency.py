@@ -20,7 +20,12 @@ import jax.numpy as jnp
 
 from cuda_optical_flow_2_tpu.ops.warp import warp_bilinear
 
-__all__ = ["fb_consistency", "occlusion_mask", "consistent_flow"]
+__all__ = [
+    "fb_consistency",
+    "occlusion_mask",
+    "occlusion_score",
+    "consistent_flow",
+]
 
 
 def fb_consistency(
@@ -51,8 +56,21 @@ def occlusion_mask(
     occluded where |cycle|^2 > alpha * (|F_fw|^2 + |F_bw(x+F_fw)|^2) + beta.
     Returns True where the flow should NOT be trusted.
     """
+    return occlusion_score(flow_fw, flow_bw, alpha=alpha) > beta
+
+
+def occlusion_score(
+    flow_fw: jax.Array, flow_bw: jax.Array, alpha: float = 0.01
+) -> jax.Array:
+    """Continuous occlusion evidence: ``|cycle|^2 - alpha * mag^2``.
+
+    :func:`occlusion_mask` is exactly ``occlusion_score(...) > beta`` — the
+    score is the thresholdable form, so precision/recall tradeoffs can be
+    swept over ``beta`` from ONE forward/backward flow pair (the layered-
+    motion benchmark's PR curves, docs/studies/layered_motion_study.py).
+    """
     cyc2, mag2 = _cycle_terms(flow_fw, flow_bw)
-    return cyc2 > alpha * mag2 + beta
+    return cyc2 - alpha * mag2
 
 
 def _cycle_terms(

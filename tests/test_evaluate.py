@@ -3,6 +3,7 @@
 import json
 
 import numpy as np
+import pytest
 
 from cuda_optical_flow_2_tpu.utils import io as uio
 from cuda_optical_flow_2_tpu.utils import metrics
@@ -431,6 +432,24 @@ def test_eval_cli_preset(tmp_path, capsys):
     agg = json.loads(capsys.readouterr().out.splitlines()[-1])
     assert agg["model"] == "TVL1Config" and agg["preset"] == "tvl1_realtime"
     assert agg["epe_mean"] < 0.3
+
+
+@pytest.mark.parametrize(
+    "flag", [("--levels", "2"), ("--window", "9"), ("--iterations", "3"),
+             ("--window-weights", "tri")],
+    ids=lambda f: f[0],
+)
+def test_eval_cli_preset_conflicting_flag_errors(tmp_path, capsys, flag):
+    """--preset + an explicitly-passed overridden knob errors instead of
+    silently dropping the flag (VERDICT r4 item 7)."""
+    from cuda_optical_flow_2_tpu.cli import evaluate
+
+    with pytest.raises(SystemExit) as exc:
+        evaluate.main([
+            "--dataset", str(tmp_path), "--preset", "tvl1_realtime", *flag,
+        ])
+    assert exc.value.code == 2
+    assert flag[0] in capsys.readouterr().err
 
 
 def test_eval_cli_without_truth(tmp_path, capsys):

@@ -18,6 +18,7 @@ EXAMPLES = [
     "gradient_alignment",
     "frame_interpolation",
     "learned_refinement",
+    "live_stream",
 ]
 
 
