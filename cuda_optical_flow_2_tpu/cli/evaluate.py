@@ -43,6 +43,15 @@ and first/last-third EPE (drift/lock-loss indicator), and
 ``--compare-cold`` reports the stateless EPE next to every record.
 
     of2-eval --dataset DIR --streaming --warm-start --levels 1 --window 15
+
+``--recover-levels N`` (with ``--warm-start``) arms the on-device
+scene-cut check: a warm seed that fails the coarse-level photometric
+acquisition check (``--recover-ratio``, default 0.7) is dropped and the
+pair re-acquired over an N-level pyramid — the serving configuration then
+survives content cuts (models.streaming.RecoveryConfig).
+
+    of2-eval --dataset DIR --streaming --warm-start --levels 1 \\
+             --recover-levels 3
 """
 
 from __future__ import annotations
@@ -410,6 +419,7 @@ def _run_streaming(
     bucket: int,
     warm_start: bool,
     flow_fn=None,
+    recovery=None,
 ) -> tuple[list[dict], int]:
     """Streaming evaluation (VERDICT r3 item 3): run each chain of
     consecutive frames through ``models.streaming.step`` with carried state
@@ -423,6 +433,10 @@ def _run_streaming(
     ``cold_epe_mean`` field per scored record so warm-start drift /
     lock-loss is visible directly against the cold path.
 
+    ``recovery`` (optional :class:`models.streaming.RecoveryConfig`, needs
+    ``warm_start``) arms the on-device scene-cut check + deep
+    re-acquisition in every streaming step.
+
     Returns (records, number_of_chains).  Each record carries ``seq`` (chain
     index) and ``t`` (step index within the chain).
     """
@@ -434,7 +448,8 @@ def _run_streaming(
     pool = ThreadPoolExecutor(max_workers=1)
     try:
         records = _run_chains(
-            chains, cfg, margin, out_dir, bucket, warm_start, flow_fn, pool
+            chains, cfg, margin, out_dir, bucket, warm_start, flow_fn, pool,
+            recovery,
         )
     finally:
         # An exception mid-chain (frame-shape drift, decode failure in
@@ -445,7 +460,8 @@ def _run_streaming(
 
 
 def _run_chains(
-    chains, cfg, margin, out_dir, bucket, warm_start, flow_fn, pool
+    chains, cfg, margin, out_dir, bucket, warm_start, flow_fn, pool,
+    recovery=None,
 ) -> list[dict]:
     import jax.numpy as jnp
 
@@ -468,14 +484,14 @@ def _run_chains(
                 )
             return frame
 
-        state = streaming.init_state(jnp.asarray(padded(prev)), cfg)
+        state = streaming.init_state(jnp.asarray(padded(prev)), cfg, recovery)
         pending = pool.submit(_load_gray, chain[0]["second"])
         for t, pair in enumerate(chain):
             nxt = pending.result()
             if t + 1 < len(chain):
                 pending = pool.submit(_load_gray, chain[t + 1]["second"])
             state, flow = streaming.step(
-                state, jnp.asarray(padded(nxt)), cfg, warm_start
+                state, jnp.asarray(padded(nxt)), cfg, warm_start, recovery
             )
             flow = np.asarray(flow)[:h, :w]
             rec: dict = {
@@ -562,9 +578,24 @@ def main(argv=None) -> None:
         "pair and report cold_epe_mean next to each streaming record "
         "(lock-loss / drift visibility)",
     )
+    ap.add_argument(
+        "--recover-levels", type=int, default=None, metavar="N",
+        help="with --warm-start: arm on-device scene-cut detection; when "
+        "the warm seed fails the photometric acquisition check the pair is "
+        "re-solved from scratch over an N-level pyramid "
+        "(models.streaming.RecoveryConfig)",
+    )
+    ap.add_argument(
+        "--recover-ratio", type=float, default=0.7,
+        help="seed-validity threshold: drop the seed when its warped "
+        "residual >= RATIO x the zero-flow residual at the deepest carried "
+        "level (default 0.7 — see models.streaming.RecoveryConfig)",
+    )
     args = ap.parse_args(argv)
     if (args.warm_start or args.compare_cold) and not args.streaming:
         ap.error("--warm-start/--compare-cold require --streaming")
+    if args.recover_levels is not None and not args.warm_start:
+        ap.error("--recover-levels requires --streaming --warm-start")
 
     import jax
 
@@ -629,10 +660,18 @@ def main(argv=None) -> None:
     flow_fn = jax.jit(_step)
 
     layout, pairs = _discover(args.dataset, sintel_pass=args.sintel_pass)
+    recovery = None
+    if args.recover_levels is not None:
+        from cuda_optical_flow_2_tpu.models.streaming import RecoveryConfig
+
+        recovery = RecoveryConfig(
+            levels=args.recover_levels, ratio=args.recover_ratio
+        )
     if args.streaming:
         records, n_chains = _run_streaming(
             pairs, cfg, margin, args.out, args.bucket, args.warm_start,
             flow_fn=flow_fn if args.compare_cold else None,
+            recovery=recovery,
         )
         scored = []
         for rec in records:
@@ -645,6 +684,11 @@ def main(argv=None) -> None:
             **({"preset": args.preset} if args.preset else {}),
             "layout": layout,
             "mode": "streaming-warm" if args.warm_start else "streaming",
+            **(
+                {"recover_levels": recovery.levels}
+                if recovery is not None
+                else {}
+            ),
             "pairs": len(pairs),
             "chains": n_chains,
             "pairs_with_truth": len(scored),

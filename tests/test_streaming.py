@@ -239,3 +239,134 @@ def test_unbounded_stream_soak_bounded_memory(tmp_path):
     assert count >= 1200  # 6 good file frames + 1200 synthetic, minus seams
     growth_kb = rss_kb() - rss_warm
     assert growth_kb < 32 * 1024, f"RSS grew {growth_kb} kB over the soak"
+
+
+def _banded_texture(rng, h, w):
+    """Band-limited random texture (the lock-loss test's construction)."""
+    base = rng.random((h, w)).astype(np.float32)
+    tex = np.pad(base, 1, mode="wrap")
+    tex = sum(tex[i : i + h, j : j + w] for i in range(3) for j in range(3)) / 9
+    return (tex - tex.min()) / (np.ptp(tex) + 1e-6) * 255
+
+
+def test_scene_cut_recovery_reacquires_lock():
+    """VERDICT r4 item 3: a content cut with valid decodes feeds a stale
+    warm seed to the next pair; at the serving depth (levels=1) the single
+    level cannot re-acquire 5 px motion from a garbage seed, so one cut
+    loses lock for the rest of the stream.  With a RecoveryConfig the
+    on-device photometric check drops the invalid seed and the pair
+    re-solves over a deeper pyramid — post-cut pairs return to pre-cut EPE.
+    """
+    rng = np.random.default_rng(0)
+    h, w = 96, 128
+    tex_a = _banded_texture(rng, h, w)
+    tex_b = _banded_texture(rng, h, w)
+    # Scene A: 5 px/frame leftward; hard cut; scene B: 5 px/frame RIGHTWARD
+    # (the stale seed is 10 px wrong after the cut).
+    frames = [np.roll(tex_a, -5 * t, axis=1) for t in range(5)]
+    frames += [np.roll(tex_b, 5 * t, axis=1) for t in range(5)]
+    truth_u = {i: -5.0 for i in (1, 2, 3, 4)} | {i: 5.0 for i in (6, 7, 8, 9)}
+    cfg = of.LKConfig(levels=1, window=11, iterations=2, use_pallas=False)
+    rec = streaming.RecoveryConfig(levels=3)
+
+    def epes(recovery):
+        out = {}
+        for i, flow in streaming.process_sequence(
+            frames, cfg, warm_start=True, recovery=recovery
+        ):
+            if i not in truth_u:
+                continue  # the cut pair has no correspondence
+            f = np.asarray(flow)[20:-20, 20:-20]
+            out[i] = float(
+                np.hypot(f[..., 0] - truth_u[i], f[..., 1]).mean()
+            )
+        return out
+
+    with_rec = epes(rec)
+    without = epes(None)
+    # Pre-cut: recovery also fixes the cold-start acquisition (pair 1 solves
+    # at the deep config — acquire deep, track shallow).
+    assert all(with_rec[i] < 0.5 for i in (1, 2, 3, 4)), with_rec
+    # The cut pair itself (old scene vs new scene) has no correspondence;
+    # its flow is garbage in every policy — not asserted.
+    # Post-cut: recovery re-acquires; the plain warm path stays lost.
+    assert all(with_rec[i] < 0.5 for i in (6, 7, 8, 9)), with_rec
+    assert all(without[i] > 2.0 for i in (6, 7, 8, 9)), without
+
+
+def test_recovery_requires_warm_start():
+    import pytest
+
+    frames = io.synthetic_sequence(3, 64, 96, velocity=(1.0, 0.0))
+    cfg = of.LKConfig(levels=1, window=9, use_pallas=False)
+    rec = streaming.RecoveryConfig(levels=2)
+    with pytest.raises(ValueError, match="warm_start"):
+        list(streaming.process_sequence(frames, cfg, recovery=rec))
+
+
+def test_recovery_keeps_valid_seeds_on_tracking_branch():
+    """On a clean constant-velocity stream the acquisition check passes on
+    every pair, so the recovery policy rides the warm tracking branch: its
+    accuracy equals the plain warm path and the two policies' flows
+    converge toward each other as the (deliberately different) acquisition
+    of pair 1 washes out of the seed chain.  Measured on this stream:
+    interior |delta| 0.028 -> 0.0035 px mean over pairs 1..4, EPE equal to
+    <=1e-3 throughout."""
+    frames = io.synthetic_sequence(5, 96, 128, velocity=(2.0, 1.0))
+    cfg = of.LKConfig(levels=2, window=9, iterations=2, use_pallas=False)
+    rec = streaming.RecoveryConfig(levels=3)
+    plain = dict(streaming.process_sequence(frames, cfg, warm_start=True))
+    with_rec = dict(
+        streaming.process_sequence(frames, cfg, warm_start=True, recovery=rec)
+    )
+    deltas, epe_gaps = [], []
+    for i in sorted(plain):
+        a = np.asarray(plain[i])[16:-16, 16:-16]
+        b = np.asarray(with_rec[i])[16:-16, 16:-16]
+        deltas.append(float(np.abs(a - b).mean()))
+        epe_gaps.append(
+            abs(
+                float(np.hypot(a[..., 0] - 2, a[..., 1] - 1).mean())
+                - float(np.hypot(b[..., 0] - 2, b[..., 1] - 1).mean())
+            )
+        )
+    assert deltas[-1] < 0.01, deltas            # policies converged
+    assert deltas[-1] < 0.5 * deltas[0], deltas  # ...and still converging
+    assert max(epe_gaps) < 5e-3, epe_gaps       # equal accuracy throughout
+
+
+def test_recovery_state_depth_mismatch_errors():
+    import pytest
+
+    frames = io.synthetic_sequence(2, 64, 96, velocity=(1.0, 0.0))
+    cfg = of.LKConfig(levels=1, window=9, use_pallas=False)
+    rec = streaming.RecoveryConfig(levels=3)
+    state = streaming.init_state(jnp.asarray(frames[0], jnp.float32), cfg)
+    with pytest.raises(ValueError, match="pyramid levels"):
+        streaming.step(
+            state, jnp.asarray(frames[1], jnp.float32), cfg, True, rec
+        )
+
+
+def test_recovery_static_scene_stays_on_tracking_branch():
+    """A static scene has r_seed ~= r_zero (both ~sensor noise), which the
+    ratio test alone would flag every frame — the seed_floor guard keeps
+    the ~0 seed and the stream on the warm tracking branch.  Detection:
+    solve flows must match the plain warm path exactly (the deep branch
+    would differ at least in border behavior)."""
+    rng = np.random.default_rng(1)
+    frame = (rng.random((96, 128)) * 255).astype(np.float32)
+    frames = [frame + rng.normal(0, 1.0, frame.shape).astype(np.float32)
+              for _ in range(4)]
+    cfg = of.LKConfig(levels=1, window=11, iterations=2, use_pallas=False)
+    rec = streaming.RecoveryConfig(levels=3)
+    plain = dict(streaming.process_sequence(frames, cfg, warm_start=True))
+    wrec = dict(
+        streaming.process_sequence(frames, cfg, warm_start=True, recovery=rec)
+    )
+    # pair 1 acquires deep by design; pairs 2+ must ride the same shallow
+    # tracking branch as the plain warm path (near-zero seeds both sides).
+    for i in (2, 3):
+        a, b = np.asarray(plain[i]), np.asarray(wrec[i])
+        assert np.abs(a - b).max() < 0.05, (i, np.abs(a - b).max())
+        assert np.abs(b).max() < 0.5  # and the flow itself is ~static
