@@ -92,6 +92,7 @@ def _hs_kernel(
     alpha2: float,
     temporal_mask,
     with_offset: bool = False,
+    robust: tuple[float, float] | None = None,
 ):
     if with_offset:
         off_ref, u_ref, v_ref, uo_ref, vo_ref = refs
@@ -112,7 +113,6 @@ def _hs_kernel(
         # ix*u + iy*v + (it_warped - ix*u0 - iy*v0); the caller passes the
         # -(ix*u0 + iy*v0) plane here.
         it = it + off_ref[0]
-    inv_denom = 1.0 / (jnp.float32(alpha2) + ix * ix + iy * iy)
 
     i = pl.program_id(1)
     row_ids = lax.broadcasted_iota(jnp.int32, (g, wp), 0)
@@ -132,16 +132,63 @@ def _hs_kernel(
     twelfth = jnp.float32(1.0 / 12.0)
     third = jnp.float32(1.0 / 3.0)
 
-    for _ in range(k):
+    def avg(x):
         # HS neighbor average (cross 1/6, diagonals 1/12, center 0) ==
         # (sep121 - 4*center)/12; identical weights to the XLA twin.
-        u_bar = _sep121(u) * twelfth - u * third
-        v_bar = _sep121(v) * twelfth - v * third
-        rate = (ix * u_bar + iy * v_bar + it) * inv_denom
-        # Re-zeroing outside the image enforces the zero-pad boundary and
-        # kills wraparound contamination in the pad ring (module docstring).
-        u = jnp.where(inside, u_bar - ix * rate, zero)
-        v = jnp.where(inside, v_bar - iy * rate, zero)
+        return _sep121(x) * twelfth - x * third
+
+    if robust is None:
+        inv_denom = 1.0 / (jnp.float32(alpha2) + ix * ix + iy * iy)
+        for _ in range(k):
+            u_bar = avg(u)
+            v_bar = avg(v)
+            rate = (ix * u_bar + iy * v_bar + it) * inv_denom
+            # Re-zeroing outside the image enforces the zero-pad boundary
+            # and kills wraparound contamination in the pad ring (module
+            # docstring).
+            u = jnp.where(inside, u_bar - ix * rate, zero)
+            v = jnp.where(inside, v_bar - iy * rate, zero)
+    else:
+        # Lagged-diffusivity Charbonnier (models/dis robust refinement):
+        # per-pixel data weight wd = ed/sqrt(r^2+ed^2) and smoothness
+        # weight ws = es/sqrt(|grad u|^2+|grad v|^2+es^2), both normalized
+        # to (0, 1] so es,ed -> inf recovers the quadratic path in the
+        # interior.  (At the image border the S normalization with ws=0
+        # outside is a Neumann-style boundary — missing neighbors drop out
+        # of the average — instead of the quadratic path's zero-pad
+        # Dirichlet drag; a deliberate, documented deviation.)
+        # The weights are FROZEN for this chunk's k sweeps (recomputed from
+        # the incoming flow at every chunk = the classic lagged/IRLS outer
+        # iteration); the inner Jacobi update solves the per-pixel 2x2
+        # system  alpha^2 (S w - [U;V]) + wd g (g.w + it) = 0  in closed
+        # form (Sherman-Morrison), with edge weights ws_ij=(ws_i+ws_j)/2:
+        #   U = (ws*avg(u) + avg(ws*u))/2,  S = (ws + avg(ws))/2.
+        ed, es = robust
+        r = ix * u + iy * v + it
+        wd = jnp.float32(ed) * lax.rsqrt(r * r + jnp.float32(ed * ed))
+        half = jnp.float32(0.5)
+        du = (_roll(u, -1, 1) - _roll(u, 1, 1)) * half
+        dv = (_roll(v, -1, 1) - _roll(v, 1, 1)) * half
+        su = (_roll(u, -1, 0) - _roll(u, 1, 0)) * half
+        sv = (_roll(v, -1, 0) - _roll(v, 1, 0)) * half
+        g2 = du * du + dv * dv + su * su + sv * sv
+        ws = jnp.float32(es) * lax.rsqrt(g2 + jnp.float32(es * es))
+        # Outside the image ws must read as 0 (the XLA twin's zero-shift
+        # boundary); u,v pad zeros already make U's outside terms vanish,
+        # but S sees neighbor ws directly.
+        ws = jnp.where(inside, ws, zero)
+        s_plane = (ws + avg(ws)) * half
+        inv_s = 1.0 / jnp.maximum(s_plane, jnp.float32(1e-12))
+        inv_denom = 1.0 / (
+            jnp.float32(alpha2) * jnp.maximum(s_plane, jnp.float32(1e-12))
+            + wd * (ix * ix + iy * iy)
+        )
+        for _ in range(k):
+            u_bar = (ws * avg(u) + avg(ws * u)) * half * inv_s
+            v_bar = (ws * avg(v) + avg(ws * v)) * half * inv_s
+            rate = wd * (ix * u_bar + iy * v_bar + it) * inv_denom
+            u = jnp.where(inside, u_bar - ix * rate, zero)
+            v = jnp.where(inside, v_bar - iy * rate, zero)
 
     uo_ref[:] = u[halo_y : halo_y + tile_h]
     vo_ref[:] = v[halo_y : halo_y + tile_h]
@@ -158,7 +205,12 @@ def _pick_tile_h(wp: int, halo_y: int, h: int) -> int:
     return 8
 
 
-@functools.partial(jax.jit, static_argnames=("iterations", "alpha", "temporal_kernel", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "iterations", "alpha", "temporal_kernel", "interpret", "robust"
+    ),
+)
 def hs_relax(
     prev: jax.Array,
     nxt: jax.Array,
@@ -169,6 +221,7 @@ def hs_relax(
     temporal_kernel: str,
     interpret: bool = False,
     it_offset: jax.Array | None = None,
+    robust: tuple[float, float] | None = None,
 ) -> jax.Array:
     """``iterations`` Jacobi sweeps of Horn-Schunck on (..., H, W) frames.
 
@@ -180,12 +233,19 @@ def hs_relax(
     before relaxing — the linearization term for refining a TOTAL flow
     around a warp point (models/dis._refine passes -(ix*u0 + iy*v0), with
     ``flow_init`` the total flow and ``nxt`` the warped frame).
+
+    ``robust`` (optional ``(eps_data, eps_smooth)``) switches the quadratic
+    penalties to normalized Charbonnier with lagged diffusivity: per-pixel
+    data/smoothness weights are recomputed from the current flow once per
+    ``MAX_SWEEPS``-sweep chunk and frozen within it (the IRLS outer loop
+    rides the existing time-tiling for free).  ``eps -> inf`` recovers the
+    quadratic path.  See models/dis.DISConfig.refine_penalty.
     """
     h = prev.shape[-2]
     return _relax_impl(
         prev, nxt, flow_init, jnp.zeros((1,), jnp.int32), h,
         iterations=iterations, alpha=alpha, temporal_kernel=temporal_kernel,
-        interpret=interpret, it_offset=it_offset,
+        interpret=interpret, it_offset=it_offset, robust=robust,
     )
 
 
@@ -202,6 +262,7 @@ def hs_relax_band(
     interpret: bool = False,
     vma: tuple[str, ...] = (),
     it_offset: jax.Array | None = None,
+    robust: tuple[float, float] | None = None,
 ) -> jax.Array:
     """ONE chunk of ``sweeps`` Jacobi sweeps on a row BAND of an
     ``h_global``-row image.
@@ -215,7 +276,10 @@ def hs_relax_band(
     ``sweeps`` must fit one kernel invocation (<= ``MAX_SWEEPS``) — chunking
     across exchanges is the caller's job, since each chunk needs fresh
     neighbor rows.  ``vma`` names the shard_map mesh axes the band varies
-    over.
+    over.  ``robust`` as in :func:`hs_relax`; the per-chunk weights are
+    computed in-kernel from the incoming band, so the caller's
+    ``sweeps + 2`` halo contract is unchanged (the weights' one-row
+    gradient ring lands inside the same 2-row frame-gradient ring).
     """
     if sweeps > _MAX_SWEEPS:
         raise ValueError(
@@ -225,7 +289,7 @@ def hs_relax_band(
     return _relax_impl(
         prev, nxt, flow_init, row0_arr, h_global,
         iterations=sweeps, alpha=alpha, temporal_kernel=temporal_kernel,
-        interpret=interpret, vma=vma, it_offset=it_offset,
+        interpret=interpret, vma=vma, it_offset=it_offset, robust=robust,
     )
 
 
@@ -233,7 +297,7 @@ def hs_relax_band(
     jax.jit,
     static_argnames=(
         "h_global", "iterations", "alpha", "temporal_kernel", "interpret",
-        "vma",
+        "vma", "robust",
     ),
 )
 def _relax_impl(
@@ -249,6 +313,7 @@ def _relax_impl(
     interpret: bool,
     vma: tuple[str, ...] = (),
     it_offset: jax.Array | None = None,
+    robust: tuple[float, float] | None = None,
 ) -> jax.Array:
     lead = prev.shape[:-2]
     h, w = prev.shape[-2:]
@@ -263,7 +328,11 @@ def _relax_impl(
     b = x.shape[0]
 
     k = min(_MAX_SWEEPS, iterations)
-    halo_y = _round_up(k, _SUBLANE)
+    # Robust mode: the lagged weights at trapezoid distance k read chunk-
+    # start flow one row further (their central-difference ring), so the
+    # band halo is k+1 — at k=8/16 exactly, rounding k alone would let the
+    # outermost row's wraparound-contaminated weight leak into the output.
+    halo_y = _round_up(k + (1 if robust is not None else 0), _SUBLANE)
     halo_x = 1
     wp = _round_up(w + 2 * halo_x, _LANE)
     tile_h = _pick_tile_h(wp, halo_y, h)
@@ -313,6 +382,7 @@ def _relax_impl(
             alpha2=alpha * alpha,
             temporal_mask=tmask,
             with_offset=offp is not None,
+            robust=robust,
         )
         shape = jax.ShapeDtypeStruct(
             (b, ht * tile_h, wp), jnp.float32, vma=frozenset(vma)

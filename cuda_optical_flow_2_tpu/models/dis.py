@@ -49,6 +49,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from cuda_optical_flow_2_tpu.config import BilateralConfig, LKConfig
@@ -108,8 +109,25 @@ class DISConfig:
         across the whole anchor harness (docs/studies/dis_gap_study.py:
         natural-texture translation 0.059 -> 0.029 at alpha=20, 0.012 at
         40).  Larger alpha keeps improving these smooth-truth cases but
-        blurs real motion discontinuities harder (our penalty is quadratic,
-        not Charbonnier), so the default stays at the anchor's value.
+        blurs real motion discontinuities harder under the quadratic
+        penalty, so the quadratic default stays at the anchor's value.
+        With ``refine_penalty="charbonnier"`` the smoothness weight
+        collapses at discontinuities, decoupling that tradeoff — see
+        refine_penalty.
+      refine_penalty: "quadratic" (HS form) or "charbonnier" (normalized
+        Charbonnier data + smoothness penalties via lagged diffusivity:
+        per-pixel weights ``wd = ed/sqrt(r^2+ed^2)``,
+        ``ws = es/sqrt(|grad w|^2+es^2)`` recomputed once per time-tiled
+        chunk — the paper's robust penalties, the documented round-3/4
+        substitution removed).  Charbonnier reaches the quadratic
+        alpha=40 smooth-texture accuracy WITHOUT its boundary blur
+        (docs/studies/charbonnier_study.py): use ``refine_alpha~=40`` with
+        it.  eps -> inf recovers the quadratic path exactly.
+      refine_eps_data: Charbonnier data scale ed (intensity units; weights
+        halve at |residual| ~= ed).
+      refine_eps_smooth: Charbonnier smoothness scale es (flow-gradient
+        units per pixel; diffusivity halves where |grad w| ~= es — the
+        knee between "smooth region" and "motion boundary").
       temporal_kernel: "dt3" (smoothed difference, default — see module
         docstring for the measurement), "delta" (paper-faithful direct
         difference) or "gauss3".
@@ -128,6 +146,9 @@ class DISConfig:
     mean_normalize: bool = True
     refine_iterations: int = 5
     refine_alpha: float = 20.0
+    refine_penalty: str = "quadratic"
+    refine_eps_data: float = 3.0
+    refine_eps_smooth: float = 0.1
     temporal_kernel: str = "dt3"
     det_eps: float = 1e-8
     window_method: str = "sep_conv"
@@ -164,6 +185,18 @@ class DISConfig:
             )
         if self.refine_alpha <= 0:
             raise ValueError(f"refine_alpha must be > 0, got {self.refine_alpha}")
+        if self.refine_penalty not in ("quadratic", "charbonnier"):
+            raise ValueError(
+                f"unknown refine_penalty {self.refine_penalty!r}"
+            )
+        if self.refine_eps_data <= 0:
+            raise ValueError(
+                f"refine_eps_data must be > 0, got {self.refine_eps_data}"
+            )
+        if self.refine_eps_smooth <= 0:
+            raise ValueError(
+                f"refine_eps_smooth must be > 0, got {self.refine_eps_smooth}"
+            )
         if self.temporal_kernel not in ("delta", "dt3", "gauss3"):
             raise ValueError(f"unknown temporal_kernel {self.temporal_kernel!r}")
         if self.window_weights not in ("box", "tri", "gauss"):
@@ -287,6 +320,7 @@ def _refine(
             jnp.maximum(counts, 1.0)
         )
 
+    robust = _robust_eps(config)
     if config.use_pallas:
         from cuda_optical_flow_2_tpu.kernels import hs_sweep
 
@@ -300,10 +334,16 @@ def _refine(
                 temporal_kernel=config.temporal_kernel,
                 interpret=hs_sweep.interpret_forced(),
                 it_offset=off,
+                robust=robust,
             )
 
     tmask = MASKS[config.temporal_kernel]
     it = stencil2d(warped - prev, tmask / tmask.sum()) + off
+    if robust is not None:
+        return _robust_relax_xla(
+            flow, ix, iy, it, config.refine_iterations,
+            config.refine_alpha, robust,
+        )
     denom = config.refine_alpha**2 + ix * ix + iy * iy
 
     def sweep(uv, _):
@@ -313,6 +353,74 @@ def _refine(
         return jnp.stack([u_bar - ix * rate, v_bar - iy * rate], axis=-1), None
 
     uv, _ = lax.scan(sweep, flow, None, length=config.refine_iterations)
+    return uv
+
+
+def _robust_eps(config: DISConfig) -> tuple[float, float] | None:
+    """(eps_data, eps_smooth) for the Charbonnier penalty, else None."""
+    if config.refine_penalty != "charbonnier":
+        return None
+    return (config.refine_eps_data, config.refine_eps_smooth)
+
+
+# Central-difference masks for the lagged-diffusivity flow gradient; the
+# sign convention matches kernels/hs_sweep's rolls (du[x] = (u[x-1] -
+# u[x+1])/2 — only the squared magnitude is used).
+_DXC = np.array([[0.5, 0.0, -0.5]], np.float32)
+_DYC = _DXC.T
+
+
+def _robust_relax_xla(
+    flow: jax.Array,
+    ix: jax.Array,
+    iy: jax.Array,
+    it: jax.Array,
+    iterations: int,
+    alpha: float,
+    robust: tuple[float, float],
+) -> jax.Array:
+    """XLA twin of the kernel's Charbonnier mode (kernels/hs_sweep).
+
+    Identical chunk semantics: lagged weights recomputed from the current
+    flow every ``hs_sweep.MAX_SWEEPS`` sweeps and frozen within the chunk,
+    so interpret-mode and XLA backends see the same outer/inner iteration
+    split.  Zero-shift boundary throughout (stencil2d / _avg3x3), matching
+    the kernel's re-zeroed pad ring.
+    """
+    from cuda_optical_flow_2_tpu.kernels import hs_sweep
+
+    ed, es = robust
+    alpha2 = alpha * alpha
+
+    def chunk(uv, sweeps: int) -> jax.Array:
+        u, v = uv[..., 0], uv[..., 1]
+        r = ix * u + iy * v + it
+        wd = ed * lax.rsqrt(r * r + ed * ed)
+        g2 = (
+            stencil2d(u, _DXC) ** 2
+            + stencil2d(v, _DXC) ** 2
+            + stencil2d(u, _DYC) ** 2
+            + stencil2d(v, _DYC) ** 2
+        )
+        ws = es * lax.rsqrt(g2 + es * es)
+        s_plane = jnp.maximum((ws + _avg3x3(ws)) * 0.5, 1e-12)
+        inv_s = 1.0 / s_plane
+        inv_denom = 1.0 / (alpha2 * s_plane + wd * (ix * ix + iy * iy))
+        for _ in range(sweeps):
+            u_bar = (ws * _avg3x3(u) + _avg3x3(ws * u)) * 0.5 * inv_s
+            v_bar = (ws * _avg3x3(v) + _avg3x3(ws * v)) * 0.5 * inv_s
+            rate = wd * (ix * u_bar + iy * v_bar + it) * inv_denom
+            u = u_bar - ix * rate
+            v = v_bar - iy * rate
+        return jnp.stack([u, v], axis=-1)
+
+    k = min(hs_sweep.MAX_SWEEPS, iterations)
+    n_full, rem = divmod(iterations, k)
+    uv = flow
+    for _ in range(n_full):
+        uv = chunk(uv, k)
+    if rem:
+        uv = chunk(uv, rem)
     return uv
 
 

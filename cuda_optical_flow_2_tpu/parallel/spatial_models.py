@@ -32,6 +32,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from cuda_optical_flow_2_tpu.constants import MASKS
@@ -901,6 +902,11 @@ def _local_dis_refine(
     uv = flow_c
     n_chunks = -(-config.refine_iterations // k)
     sweeps_left = config.refine_iterations
+    robust = (
+        (config.refine_eps_data, config.refine_eps_smooth)
+        if config.refine_penalty == "charbonnier"
+        else None
+    )
 
     if pallas_sweep:
         from cuda_optical_flow_2_tpu.kernels import hs_sweep, lk_fused
@@ -918,30 +924,66 @@ def _local_dis_refine(
                 sweeps=s, alpha=config.refine_alpha,
                 temporal_kernel=config.temporal_kernel,
                 interpret=lk_fused.interpret_forced(), vma=(axis_name,),
-                it_offset=off_b,
+                it_offset=off_b, robust=robust,
             )
             uv = _crop_rows(uv_p, rg, -3)
         return uv
 
-    # XLA twin: k-halo gradient bands, data term constant across sweeps.
-    ck = rp - k
+    # XLA twin: k-halo gradient bands (k+1 under the Charbonnier penalty —
+    # the lagged weights' central-difference ring needs chunk-start flow
+    # one row beyond the sweep trapezoid), data term constant across
+    # sweeps, weights recomputed per chunk (models/dis._robust_relax_xla
+    # semantics on a band).
+    kh = k + (1 if robust is not None else 0)
+    ck = rp - kh
     ixk = _crop_rows(ix, ck)
     iyk = _crop_rows(iy, ck)
     itk = _crop_rows(it_w, ck) + _crop_rows(off, ck)
-    denom = config.refine_alpha**2 + ixk * ixk + iyk * iyk
+    alpha2 = config.refine_alpha**2
+    denom = alpha2 + ixk * ixk + iyk * iyk
     for _ in range(n_chunks):
         s = min(k, sweeps_left)
         sweeps_left -= s
-        uv_p = halo_exchange(uv, k, k, axis_name, n, row_axis=-3)
-        for _ in range(s):
-            u_bar = _avg3x3(uv_p[..., 0])
-            v_bar = _avg3x3(uv_p[..., 1])
-            rate = (ixk * u_bar + iyk * v_bar + itk) / denom
-            uv_p = jnp.stack(
-                [u_bar - ixk * rate, v_bar - iyk * rate], axis=-1
+        uv_p = halo_exchange(uv, kh, kh, axis_name, n, row_axis=-3)
+        if robust is not None:
+            from cuda_optical_flow_2_tpu.models.dis import _DXC, _DYC
+
+            ed, es = robust
+            u, v = uv_p[..., 0], uv_p[..., 1]
+            r = ixk * u + iyk * v + itk
+            wd = ed * lax.rsqrt(r * r + ed * ed)
+            g2 = (
+                stencil2d(u, _DXC) ** 2
+                + stencil2d(v, _DXC) ** 2
+                + stencil2d(u, _DYC) ** 2
+                + stencil2d(v, _DYC) ** 2
             )
-            uv_p = _zero_outside_global(uv_p, row0 - k, h_global, row_axis=-3)
-        uv = _crop_rows(uv_p, k, -3)
+            ws = es * lax.rsqrt(g2 + es * es)
+            ws = _zero_outside_global(ws, row0 - kh, h_global)
+            s_plane = jnp.maximum((ws + _avg3x3(ws)) * 0.5, 1e-12)
+            inv_s = 1.0 / s_plane
+            inv_denom = 1.0 / (alpha2 * s_plane + wd * (ixk * ixk + iyk * iyk))
+            for _ in range(s):
+                u_bar = (ws * _avg3x3(u) + _avg3x3(ws * u)) * 0.5 * inv_s
+                v_bar = (ws * _avg3x3(v) + _avg3x3(ws * v)) * 0.5 * inv_s
+                rate = wd * (ixk * u_bar + iyk * v_bar + itk) * inv_denom
+                uv_p = jnp.stack([u_bar - ixk * rate, v_bar - iyk * rate], -1)
+                uv_p = _zero_outside_global(
+                    uv_p, row0 - kh, h_global, row_axis=-3
+                )
+                u, v = uv_p[..., 0], uv_p[..., 1]
+        else:
+            for _ in range(s):
+                u_bar = _avg3x3(uv_p[..., 0])
+                v_bar = _avg3x3(uv_p[..., 1])
+                rate = (ixk * u_bar + iyk * v_bar + itk) / denom
+                uv_p = jnp.stack(
+                    [u_bar - ixk * rate, v_bar - iyk * rate], axis=-1
+                )
+                uv_p = _zero_outside_global(
+                    uv_p, row0 - k, h_global, row_axis=-3
+                )
+        uv = _crop_rows(uv_p, kh, -3)
     return uv
 
 
@@ -1007,6 +1049,14 @@ def spatial_pyramidal_dis(
     ``sweep_tile`` refinement sweeps run per halo exchange.  Levels below
     ``config.finest_level`` are never solved; the flow upsamples the rest of
     the way shard-locally (the unsharded finest-scale knob).
+
+    Under ``refine_penalty="charbonnier"`` the chunk size is SEMANTIC (the
+    lagged weights recompute once per chunk), so ``sweep_tile`` also sets
+    the IRLS cadence; the unsharded path recomputes every
+    ``min(kernels.hs_sweep.MAX_SWEEPS, refine_iterations)`` sweeps — pass
+    ``sweep_tile`` >= that for exact structural parity (automatic whenever
+    ``refine_iterations <= sweep_tile``).  The quadratic penalty is
+    cadence-invariant.
     """
     h, w = prev.shape[-2:]
     n = mesh.shape[axis_name]

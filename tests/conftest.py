@@ -58,11 +58,13 @@ import pytest  # noqa: E402
 SLOW_TESTS = frozenset({
     "test_pallas.py::test_band_geometry_fuzz",
     "test_parallel.py::test_spatial_pallas_all_families",
+    "test_parallel.py::test_spatial_dis_charbonnier_matches_unsharded",
     "test_parallel.py::test_spatial_prefilter_all_families",
     "test_parallel.py::test_spatial_dis_pallas_matches_unsharded_pallas",
     "test_pallas.py::test_random_config_parity_sweep",
     "test_parallel.py::test_grid_fused_pallas_matches_unsharded",
     "test_dis.py::test_dis_dispatch_forced_interpret",
+    "test_dis.py::test_charbonnier_decouples_boundary_from_smoothing",
     "test_dis.py::test_dis_fused_half_upsample_matches",
     "test_debug.py::test_hs_and_tvl1_sweep_stages",
     "test_parallel.py::test_grid_flow_model_generic",

@@ -224,3 +224,100 @@ def test_dis_fused_half_upsample_matches(monkeypatch):
     monkeypatch.setattr(lk, "_fused_half_upsample", lambda *a: False)
     want = np.asarray(dis.pyramidal_dis(p, n, cfg))
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_charbonnier_relax_kernel_matches_xla():
+    """Robust (lagged-diffusivity Charbonnier) hs_relax (interpret kernel)
+    == models.dis._robust_relax_xla, including the chunk-edge sweep counts
+    (16 = exactly one MAX_SWEEPS chunk, where the weights' extra halo row
+    matters; 33 = two chunks + remainder)."""
+    from cuda_optical_flow_2_tpu.constants import MASKS
+    from cuda_optical_flow_2_tpu.kernels import hs_sweep
+    from cuda_optical_flow_2_tpu.ops.conv import stencil2d
+    from cuda_optical_flow_2_tpu.ops.gradients import SOBEL_GAIN
+
+    rng = np.random.default_rng(0)
+    h, w = 64, 96
+    prev = jnp.asarray(rng.random((h, w)).astype(np.float32) * 255)
+    nxt = jnp.asarray(np.roll(np.asarray(prev), 2, axis=1))
+    flow0 = jnp.asarray(rng.normal(0, 2, (h, w, 2)).astype(np.float32))
+    off = jnp.asarray(rng.normal(0, 1, (h, w)).astype(np.float32))
+    s = 1.0 / SOBEL_GAIN
+    ix = stencil2d(prev, MASKS["sobel_x"] * s)
+    iy = stencil2d(prev, MASKS["sobel_y"] * s)
+    tm = MASKS["dt3"] / MASKS["dt3"].sum()
+    itg = stencil2d(nxt - prev, tm) + off
+    for iters in (5, 16, 33):
+        got = np.asarray(hs_sweep.hs_relax(
+            prev, nxt, flow0, iterations=iters, alpha=20.0,
+            temporal_kernel="dt3", interpret=True, it_offset=off,
+            robust=(3.0, 0.1)))
+        want = np.asarray(dis._robust_relax_xla(
+            flow0, ix, iy, itg, iters, 20.0, (3.0, 0.1)))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_charbonnier_eps_inf_reduces_to_quadratic_interior():
+    """eps_data, eps_smooth -> inf turns both Charbonnier weights into 1,
+    recovering the quadratic update exactly in the interior.  (The border
+    ring differs by design: robust mode's S normalization with ws=0
+    outside is a Neumann boundary instead of the quadratic zero-pad
+    Dirichlet drag — kernels/hs_sweep.py.)"""
+    p, n = _pair(96, 128, 2.0, 1.0)
+    base = dict(levels=2, iterations=2, refine_iterations=5,
+                use_pallas=False)
+    fq = np.asarray(dis.pyramidal_dis(
+        p, n, dis.DISConfig(**base, refine_penalty="quadratic")))
+    fi = np.asarray(dis.pyramidal_dis(p, n, dis.DISConfig(
+        **base, refine_penalty="charbonnier",
+        refine_eps_data=1e7, refine_eps_smooth=1e7)))
+    assert np.abs(fq[8:-8, 8:-8] - fi[8:-8, 8:-8]).max() < 5e-2
+    assert np.abs(fq[8:-8, 8:-8] - fi[8:-8, 8:-8]).mean() < 2e-3
+
+
+def test_charbonnier_decouples_boundary_from_smoothing():
+    """The round-4 documented tradeoff, removed (VERDICT r4 item 2): at
+    deep refinement the quadratic penalty trades boundary sharpness for
+    smooth-region accuracy as alpha grows; Charbonnier at the same alpha
+    matches the smooth-region accuracy while keeping the discontinuity
+    band SHARPER.  Bounds from docs/studies/charbonnier_study.py (bar
+    case, refine_iterations=20: quadratic a=80 band 2.17 / overall 0.324;
+    charbonnier a=80 band 1.99 / overall 0.278)."""
+    from cuda_optical_flow_2_tpu.utils.layered import (
+        Layer, boundary_band, layered_scene,
+    )
+
+    h, w = 192, 256
+    sc = layered_scene(
+        h, w, bg_flow=(-3.0, 0.0),
+        layers=[Layer("rect", (96.0, 128.0), (120.0, 22.0), (4.0, 0.0))],
+        seed=7,
+    )
+    base = dict(levels=4, refine_iterations=20, refine_alpha=80.0,
+                use_pallas=False, max_displacement=8)
+    interior = np.zeros((h, w), bool)
+    interior[16:-16, 16:-16] = True
+    band = boundary_band(sc.owner, 6) & interior
+
+    def metrics(cfg):
+        f = np.asarray(dis.pyramidal_dis(
+            jnp.asarray(sc.prev, jnp.float32),
+            jnp.asarray(sc.nxt, jnp.float32), cfg))
+        epe = np.hypot(*(f - sc.flow).transpose(2, 0, 1))
+        return float(epe[interior].mean()), float(epe[band].mean())
+
+    quad_all, quad_band = metrics(dis.DISConfig(**base))
+    charb_all, charb_band = metrics(dis.DISConfig(
+        **base, refine_penalty="charbonnier", refine_eps_data=10.0))
+    # same or better everywhere; band at least 5% sharper
+    assert charb_all < quad_all + 0.01, (charb_all, quad_all)
+    assert charb_band < quad_band - 0.05, (charb_band, quad_band)
+
+
+def test_charbonnier_config_validation():
+    with pytest.raises(ValueError, match="refine_penalty"):
+        dis.DISConfig(refine_penalty="huber")
+    with pytest.raises(ValueError, match="refine_eps_data"):
+        dis.DISConfig(refine_eps_data=0.0)
+    with pytest.raises(ValueError, match="refine_eps_smooth"):
+        dis.DISConfig(refine_eps_smooth=-1.0)

@@ -367,6 +367,39 @@ def test_spatial_dis_pallas_matches_unsharded_pallas(monkeypatch):
     np.testing.assert_allclose(np.asarray(flow), np.asarray(want), atol=1e-4)
 
 
+def test_spatial_dis_charbonnier_matches_unsharded(monkeypatch):
+    """Charbonnier (robust) banded refinement == unsharded, both backends.
+
+    The lagged-diffusivity weights are recomputed per chunk from band-local
+    flow with a k+1 halo (the weights' central-difference ring); parity at
+    refine_iterations <= sweep_tile, where the band chunk cadence equals
+    the unsharded one (see spatial_pyramidal_dis docstring)."""
+    from cuda_optical_flow_2_tpu.models import dis
+
+    p, n = _smooth_pair(1024, 64, dx=1, dy=2)
+    mesh = parallel.make_mesh(axis_name="space")
+    base = dict(levels=3, iterations=2, refine_iterations=5, window=9,
+                max_displacement=8, refine_penalty="charbonnier",
+                refine_alpha=40.0, refine_eps_data=10.0)
+    # XLA band twin
+    cfg = dis.DISConfig(**base, use_pallas=False)
+    flow = parallel.spatial_pyramidal_dis(p, n, cfg, mesh)
+    assert len(flow.sharding.device_set) == 8
+    want = dis.pyramidal_dis(p, n, cfg)
+    np.testing.assert_allclose(np.asarray(flow), np.asarray(want), atol=2e-2)
+    inner = np.asarray(flow)[64:-64, 16:-16]
+    med = np.median(inner, axis=(0, 1))
+    assert abs(med[0] - 1) < 0.1 and abs(med[1] - 2) < 0.1, med
+    # fused Pallas band kernels, interpret mode
+    monkeypatch.setenv("OF2_PALLAS_INTERPRET", "1")
+    cfg_p = dis.DISConfig(**base, use_pallas=True)
+    flow_p = parallel.spatial_pyramidal_dis(p, n, cfg_p, mesh)
+    want_p = dis.pyramidal_dis(p, n, cfg_p)
+    np.testing.assert_allclose(
+        np.asarray(flow_p), np.asarray(want_p), atol=1e-4
+    )
+
+
 def test_grid_flow_model_generic():
     """grid_pyramidal_flow (DP x TP on a 2-D mesh) == unsharded batch for
     every model family, via the one model-generic entry."""
