@@ -19,6 +19,7 @@ EXAMPLES = [
     "frame_interpolation",
     "learned_refinement",
     "live_stream",
+    "scene_cut_recovery",
 ]
 
 
