@@ -544,6 +544,17 @@ def main(argv=None) -> None:
         help="integration-window weighting for lk/dis (default: the config's"
         " default — see LKConfig.window_weights)",
     )
+    ap.add_argument(
+        "--refine-penalty", default=None,
+        choices=("quadratic", "charbonnier"),
+        help="DIS variational-refinement penalty (the recommended accuracy "
+        "point is --refine-penalty charbonnier --refine-alpha 40 — "
+        "docs/PERF.md 'DIS robust refinement')",
+    )
+    ap.add_argument(
+        "--refine-alpha", type=float, default=None,
+        help="DIS refinement smoothness weight (default 20.0)",
+    )
     ap.add_argument("--no-pallas", action="store_true")
     ap.add_argument(
         "--margin", type=int, default=None,
@@ -618,6 +629,8 @@ def main(argv=None) -> None:
                 ("--window", args.window),
                 ("--iterations", args.iterations),
                 ("--window-weights", args.window_weights),
+                ("--refine-penalty", args.refine_penalty),
+                ("--refine-alpha", args.refine_alpha),
             )
             if val is not None
         ]
@@ -645,6 +658,18 @@ def main(argv=None) -> None:
             cfg = type(cfg)(
                 **{**cfg.__dict__, "window_weights": args.window_weights}
             )
+        for flag, attr, val in (
+            ("--refine-penalty", "refine_penalty", args.refine_penalty),
+            ("--refine-alpha", "refine_alpha", args.refine_alpha),
+        ):
+            if val is None:
+                continue
+            if not hasattr(cfg, attr):
+                ap.error(
+                    f"{flag} applies to the dis family only "
+                    f"(got --model {args.model})"
+                )
+            cfg = type(cfg)(**{**cfg.__dict__, attr: val})
         margin = args.margin if args.margin is not None else window
 
     # The Python body runs once per XLA trace, so `compiles` counts distinct

@@ -667,3 +667,32 @@ def test_eval_sintel_empty_occ_side_stays_strict_json(tmp_path, capsys):
     assert lines[0]["epe_unmatched"] is None
     assert isinstance(agg["epe_unmatched"], float)
     assert np.isfinite(agg["epe_unmatched"])
+
+
+def test_eval_cli_refine_penalty_flags(tmp_path, capsys):
+    """--refine-penalty/--refine-alpha reach the DIS config; non-dis
+    families and presets reject them rather than silently dropping."""
+    from cuda_optical_flow_2_tpu.cli import evaluate
+
+    data = tmp_path / "data"
+    data.mkdir()
+    _write_dataset_flat(data, n_frames=2, h=64, w=96, velocity=(1.0, 0.0))
+    evaluate.main([
+        "--dataset", str(data), "--model", "dis", "--levels", "2",
+        "--window", "9", "--no-pallas", "--margin", "12",
+        "--refine-penalty", "charbonnier", "--refine-alpha", "40.0",
+    ])
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert lines[-1]["epe_mean"] < 0.5
+    with pytest.raises(SystemExit):
+        evaluate.main([
+            "--dataset", str(data), "--model", "lk",
+            "--refine-penalty", "charbonnier",
+        ])
+    capsys.readouterr()
+    with pytest.raises(SystemExit):
+        evaluate.main([
+            "--dataset", str(data), "--preset", "dis_realtime",
+            "--refine-alpha", "40.0",
+        ])
+    capsys.readouterr()
