@@ -261,10 +261,14 @@ def step(
         next_c,
         LKConfig(levels=1, use_pallas=getattr(config, "use_pallas", True)),
     )
-    r_seed = jnp.mean(jnp.abs(warp(next_c, seed_c) - prev_c))
-    r_zero = jnp.mean(jnp.abs(next_c - prev_c))
+    # Per-STREAM residual means (frames may carry leading batch dims — a
+    # batch of independent streams under DP sharding): a cut in one stream
+    # must not dilute into the batch mean.
+    r_seed = jnp.mean(jnp.abs(warp(next_c, seed_c) - prev_c), axis=(-2, -1))
+    r_zero = jnp.mean(jnp.abs(next_c - prev_c), axis=(-2, -1))
     small_seed = (
-        jnp.mean(jnp.abs(seed_c)) < jnp.float32(recovery.seed_floor)
+        jnp.mean(jnp.abs(seed_c), axis=(-3, -2, -1))
+        < jnp.float32(recovery.seed_floor)
     )
     seed_ok = small_seed | (r_seed < jnp.float32(recovery.ratio) * r_zero)
 
@@ -272,9 +276,14 @@ def step(
         return _flow(list(state.pyramid[:track]), pyr[:track], config, init)
 
     def _reacquire(_):
+        # Any invalid stream re-acquires the WHOLE batch at the deep config
+        # (a per-stream branch is impossible under jit without paying for
+        # both solves everywhere; the deep solve is the accurate cold path
+        # for every stream, so valid streams lose only throughput, and only
+        # on cut events).
         return _flow(list(state.pyramid), pyr, carry_cfg, None)
 
-    flow = lax.cond(seed_ok, _track, _reacquire, None)
+    flow = lax.cond(jnp.all(seed_ok), _track, _reacquire, None)
     return FlowState(tuple(pyr), flow), flow
 
 

@@ -370,3 +370,36 @@ def test_recovery_static_scene_stays_on_tracking_branch():
         a, b = np.asarray(plain[i]), np.asarray(wrec[i])
         assert np.abs(a - b).max() < 0.05, (i, np.abs(a - b).max())
         assert np.abs(b).max() < 0.5  # and the flow itself is ~static
+
+
+def test_scene_cut_recovery_batched_streams():
+    """A BATCH of independent streams (the DP streaming surface): a cut in
+    ONE stream triggers deep re-acquisition for the batch (per-stream
+    residuals, any-invalid policy) — the cut stream re-locks and the
+    clean stream stays accurate throughout."""
+    rng = np.random.default_rng(0)
+    h, w = 96, 128
+    tex_a = _banded_texture(rng, h, w)
+    tex_b = _banded_texture(rng, h, w)
+    tex_c = _banded_texture(rng, h, w)
+    # stream 0: scene cut at frame 5 (motion reverses); stream 1: clean
+    s0 = [np.roll(tex_a, -5 * t, axis=1) for t in range(5)]
+    s0 += [np.roll(tex_b, 5 * t, axis=1) for t in range(5)]
+    s1 = [np.roll(tex_c, -5 * t, axis=1) for t in range(10)]
+    frames = [np.stack([a, b]) for a, b in zip(s0, s1)]
+    truth_u0 = {i: -5.0 for i in (1, 2, 3, 4)} | {
+        i: 5.0 for i in (6, 7, 8, 9)
+    }
+    cfg = of.LKConfig(levels=1, window=11, iterations=2, use_pallas=False)
+    rec = streaming.RecoveryConfig(levels=3)
+    for i, flow in streaming.process_sequence(
+        frames, cfg, warm_start=True, recovery=rec
+    ):
+        f = np.asarray(flow)[:, 20:-20, 20:-20]
+        e1 = float(np.hypot(f[1, ..., 0] + 5.0, f[1, ..., 1]).mean())
+        assert e1 < 0.5, (i, e1)  # clean stream: always locked
+        if i in truth_u0:
+            e0 = float(
+                np.hypot(f[0, ..., 0] - truth_u0[i], f[0, ..., 1]).mean()
+            )
+            assert e0 < 0.5, (i, e0)  # cut stream: re-locks post-cut
