@@ -654,20 +654,18 @@ def main(argv=None) -> None:
         cfg = _model_cfg(args.model, lk, args.no_pallas)
         if args.iterations is not None and hasattr(cfg, "iterations"):
             cfg = type(cfg)(**{**cfg.__dict__, "iterations": args.iterations})
-        if args.window_weights is not None and hasattr(cfg, "window_weights"):
-            cfg = type(cfg)(
-                **{**cfg.__dict__, "window_weights": args.window_weights}
-            )
         for flag, attr, val in (
+            ("--window-weights", "window_weights", args.window_weights),
             ("--refine-penalty", "refine_penalty", args.refine_penalty),
             ("--refine-alpha", "refine_alpha", args.refine_alpha),
         ):
             if val is None:
                 continue
             if not hasattr(cfg, attr):
+                # flag-hygiene rule (VERDICT r4 item 7): an explicitly
+                # passed knob the family lacks errors, never vanishes
                 ap.error(
-                    f"{flag} applies to the dis family only "
-                    f"(got --model {args.model})"
+                    f"{flag} does not apply to --model {args.model}"
                 )
             cfg = type(cfg)(**{**cfg.__dict__, attr: val})
         margin = args.margin if args.margin is not None else window

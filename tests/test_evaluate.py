@@ -696,3 +696,16 @@ def test_eval_cli_refine_penalty_flags(tmp_path, capsys):
             "--refine-alpha", "40.0",
         ])
     capsys.readouterr()
+
+
+def test_eval_cli_family_mismatched_knob_errors(tmp_path):
+    """An explicitly-passed knob the selected family lacks errors instead
+    of silently vanishing (--window-weights with hs used to be dropped)."""
+    from cuda_optical_flow_2_tpu.cli import evaluate
+
+    with pytest.raises(SystemExit) as exc:
+        evaluate.main([
+            "--dataset", str(tmp_path), "--model", "hs",
+            "--window-weights", "tri",
+        ])
+    assert exc.value.code == 2
