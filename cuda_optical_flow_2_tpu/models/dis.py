@@ -54,7 +54,12 @@ from jax import lax
 
 from cuda_optical_flow_2_tpu.config import BilateralConfig, LKConfig
 from cuda_optical_flow_2_tpu.constants import MASKS
-from cuda_optical_flow_2_tpu.models.horn_schunck import _avg3x3
+from cuda_optical_flow_2_tpu.models.horn_schunck import (
+    _DXC,
+    _DYC,
+    _avg3x3,
+    _robust_relax_xla,
+)
 from cuda_optical_flow_2_tpu.models.lucas_kanade import (
     _interpret_forced,
     _pick_warp,
@@ -361,67 +366,6 @@ def _robust_eps(config: DISConfig) -> tuple[float, float] | None:
     if config.refine_penalty != "charbonnier":
         return None
     return (config.refine_eps_data, config.refine_eps_smooth)
-
-
-# Central-difference masks for the lagged-diffusivity flow gradient; the
-# sign convention matches kernels/hs_sweep's rolls (du[x] = (u[x-1] -
-# u[x+1])/2 — only the squared magnitude is used).
-_DXC = np.array([[0.5, 0.0, -0.5]], np.float32)
-_DYC = _DXC.T
-
-
-def _robust_relax_xla(
-    flow: jax.Array,
-    ix: jax.Array,
-    iy: jax.Array,
-    it: jax.Array,
-    iterations: int,
-    alpha: float,
-    robust: tuple[float, float],
-) -> jax.Array:
-    """XLA twin of the kernel's Charbonnier mode (kernels/hs_sweep).
-
-    Identical chunk semantics: lagged weights recomputed from the current
-    flow every ``hs_sweep.MAX_SWEEPS`` sweeps and frozen within the chunk,
-    so interpret-mode and XLA backends see the same outer/inner iteration
-    split.  Zero-shift boundary throughout (stencil2d / _avg3x3), matching
-    the kernel's re-zeroed pad ring.
-    """
-    from cuda_optical_flow_2_tpu.kernels import hs_sweep
-
-    ed, es = robust
-    alpha2 = alpha * alpha
-
-    def chunk(uv, sweeps: int) -> jax.Array:
-        u, v = uv[..., 0], uv[..., 1]
-        r = ix * u + iy * v + it
-        wd = ed * lax.rsqrt(r * r + ed * ed)
-        g2 = (
-            stencil2d(u, _DXC) ** 2
-            + stencil2d(v, _DXC) ** 2
-            + stencil2d(u, _DYC) ** 2
-            + stencil2d(v, _DYC) ** 2
-        )
-        ws = es * lax.rsqrt(g2 + es * es)
-        s_plane = jnp.maximum((ws + _avg3x3(ws)) * 0.5, 1e-12)
-        inv_s = 1.0 / s_plane
-        inv_denom = 1.0 / (alpha2 * s_plane + wd * (ix * ix + iy * iy))
-        for _ in range(sweeps):
-            u_bar = (ws * _avg3x3(u) + _avg3x3(ws * u)) * 0.5 * inv_s
-            v_bar = (ws * _avg3x3(v) + _avg3x3(ws * v)) * 0.5 * inv_s
-            rate = wd * (ix * u_bar + iy * v_bar + it) * inv_denom
-            u = u_bar - ix * rate
-            v = v_bar - iy * rate
-        return jnp.stack([u, v], axis=-1)
-
-    k = min(hs_sweep.MAX_SWEEPS, iterations)
-    n_full, rem = divmod(iterations, k)
-    uv = flow
-    for _ in range(n_full):
-        uv = chunk(uv, k)
-    if rem:
-        uv = chunk(uv, rem)
-    return uv
 
 
 def dis_level(

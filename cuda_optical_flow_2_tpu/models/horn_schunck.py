@@ -86,6 +86,18 @@ class HSConfig:
     max_displacement: int = 32
     d_local: int = 7
     c_max: int = 1
+    # Robust (Charbonnier) penalties via lagged diffusivity — the same
+    # mechanism as DISConfig.refine_penalty (kernels/hs_sweep robust mode):
+    # per-pixel data/smoothness weights frozen per time-tiled chunk,
+    # eps -> inf = quadratic.  Robust HS is a fast "TV-lite" operating
+    # point: discontinuity-preserving smoothing at HS throughput (measured
+    # on the layered benchmark — docs/PERF.md).  Note the pyramidal driver
+    # relaxes the per-level RESIDUAL, so the smoothness weight sees the
+    # residual's gradients; motion-boundary steps survive coarse-to-fine
+    # into the residual, which is what the weight needs.
+    penalty: str = "quadratic"
+    eps_data: float = 3.0
+    eps_smooth: float = 0.1
 
     def __post_init__(self) -> None:
         if self.alpha <= 0:
@@ -94,6 +106,10 @@ class HSConfig:
             raise ValueError("iterations and levels must be >= 1")
         if self.c_max < 0:
             raise ValueError(f"c_max must be >= 0, got {self.c_max}")
+        if self.penalty not in ("quadratic", "charbonnier"):
+            raise ValueError(f"unknown penalty {self.penalty!r}")
+        if self.eps_data <= 0 or self.eps_smooth <= 0:
+            raise ValueError("eps_data and eps_smooth must be > 0")
 
 
 def hs_level(
@@ -107,6 +123,7 @@ def hs_level(
     ``nxt`` should already be warped by ``flow_init`` when warm-starting from
     a coarser level (the returned flow then includes ``flow_init``).
     """
+    robust = _robust_eps(config)
     if config.use_pallas:
         from cuda_optical_flow_2_tpu.kernels import hs_sweep
 
@@ -119,15 +136,21 @@ def hs_level(
                 alpha=config.alpha,
                 temporal_kernel=config.temporal_kernel,
                 interpret=hs_sweep.interpret_forced(),
+                robust=robust,
             )
     ix, iy = spatial_gradients(prev, normalize=True)
     it = temporal_gradient(prev, nxt, config.temporal_kernel, normalize=True)
-    denom = config.alpha**2 + ix * ix + iy * iy
 
     if flow_init is None:
         uv0 = jnp.zeros(prev.shape + (2,), prev.dtype)
     else:
         uv0 = flow_init
+
+    if robust is not None:
+        return _robust_relax_xla(
+            uv0, ix, iy, it, config.iterations, config.alpha, robust
+        )
+    denom = config.alpha**2 + ix * ix + iy * iy
 
     def sweep(uv, _):
         u_bar = _avg3x3(uv[..., 0])
@@ -137,6 +160,13 @@ def hs_level(
 
     uv, _ = lax.scan(sweep, uv0, None, length=config.iterations)
     return uv
+
+
+def _robust_eps(config) -> tuple[float, float] | None:
+    """(eps_data, eps_smooth) for the Charbonnier penalty, else None."""
+    if getattr(config, "penalty", "quadratic") != "charbonnier":
+        return None
+    return (config.eps_data, config.eps_smooth)
 
 
 def _avg3x3(x: jax.Array) -> jax.Array:
@@ -162,6 +192,70 @@ def _avg3x3(x: jax.Array) -> jax.Array:
     cross = sh(-1, 0) + sh(1, 0) + sh(0, -1) + sh(0, 1)
     diag = sh(-1, -1) + sh(-1, 1) + sh(1, -1) + sh(1, 1)
     return cross * jnp.asarray(1 / 6, x.dtype) + diag * jnp.asarray(1 / 12, x.dtype)
+
+
+# Central-difference masks for the lagged-diffusivity flow gradient; the
+# sign convention matches kernels/hs_sweep's rolls (du[x] = (u[x-1] -
+# u[x+1])/2 — only the squared magnitude is used).
+_DXC = np.array([[0.5, 0.0, -0.5]], np.float32)
+_DYC = _DXC.T
+
+
+def _robust_relax_xla(
+    flow: jax.Array,
+    ix: jax.Array,
+    iy: jax.Array,
+    it: jax.Array,
+    iterations: int,
+    alpha: float,
+    robust: tuple[float, float],
+) -> jax.Array:
+    """XLA twin of the kernel's Charbonnier mode (kernels/hs_sweep).
+
+    Shared by robust HS (HSConfig.penalty) and robust DIS refinement
+    (DISConfig.refine_penalty).  Identical chunk semantics to the kernel:
+    lagged weights recomputed from the current flow every
+    ``hs_sweep.MAX_SWEEPS`` sweeps and frozen within the chunk, so
+    interpret-mode and XLA backends see the same outer/inner iteration
+    split.  Zero-shift boundary throughout (stencil2d / _avg3x3), matching
+    the kernel's re-zeroed pad ring.
+    """
+    from cuda_optical_flow_2_tpu.kernels import hs_sweep
+    from cuda_optical_flow_2_tpu.ops.conv import stencil2d
+
+    ed, es = robust
+    alpha2 = alpha * alpha
+
+    def chunk(uv, sweeps: int) -> jax.Array:
+        u, v = uv[..., 0], uv[..., 1]
+        r = ix * u + iy * v + it
+        wd = ed * lax.rsqrt(r * r + ed * ed)
+        g2 = (
+            stencil2d(u, _DXC) ** 2
+            + stencil2d(v, _DXC) ** 2
+            + stencil2d(u, _DYC) ** 2
+            + stencil2d(v, _DYC) ** 2
+        )
+        ws = es * lax.rsqrt(g2 + es * es)
+        s_plane = jnp.maximum((ws + _avg3x3(ws)) * 0.5, 1e-12)
+        inv_s = 1.0 / s_plane
+        inv_denom = 1.0 / (alpha2 * s_plane + wd * (ix * ix + iy * iy))
+        for _ in range(sweeps):
+            u_bar = (ws * _avg3x3(u) + _avg3x3(ws * u)) * 0.5 * inv_s
+            v_bar = (ws * _avg3x3(v) + _avg3x3(ws * v)) * 0.5 * inv_s
+            rate = wd * (ix * u_bar + iy * v_bar + it) * inv_denom
+            u = u_bar - ix * rate
+            v = v_bar - iy * rate
+        return jnp.stack([u, v], axis=-1)
+
+    k = min(hs_sweep.MAX_SWEEPS, iterations)
+    n_full, rem = divmod(iterations, k)
+    uv = flow
+    for _ in range(n_full):
+        uv = chunk(uv, k)
+    if rem:
+        uv = chunk(uv, rem)
+    return uv
 
 
 def horn_schunck(prev: jax.Array, nxt: jax.Array, config: HSConfig) -> jax.Array:

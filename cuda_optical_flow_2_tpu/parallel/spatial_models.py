@@ -45,7 +45,12 @@ from cuda_optical_flow_2_tpu.models.farneback import (
     solve_normal_eqs,
 )
 from cuda_optical_flow_2_tpu.config import LKConfig
-from cuda_optical_flow_2_tpu.models.horn_schunck import HSConfig, _avg3x3
+from cuda_optical_flow_2_tpu.models.horn_schunck import (
+    _DXC,
+    _DYC,
+    HSConfig,
+    _avg3x3,
+)
 from cuda_optical_flow_2_tpu.models.tvl1 import TVL1Config
 from cuda_optical_flow_2_tpu.ops.conv import stencil2d
 from cuda_optical_flow_2_tpu.ops.gradients import (
@@ -197,6 +202,9 @@ def _local_hs_relax(
     gradients per chunk from the resident frame bands (noise next to K
     sweeps — hs_sweep docstring).
     """
+    from cuda_optical_flow_2_tpu.models.horn_schunck import _robust_eps
+
+    robust = _robust_eps(config)
     if _sweep_pallas(config):
         from cuda_optical_flow_2_tpu.kernels import hs_sweep, lk_fused
 
@@ -215,12 +223,18 @@ def _local_hs_relax(
                 sweeps=s, alpha=config.alpha,
                 temporal_kernel=config.temporal_kernel,
                 interpret=lk_fused.interpret_forced(), vma=(axis_name,),
+                robust=robust,
             )
             uv = _crop_rows(uv_p, rg, -3)
         return uv
 
+    # XLA twin.  Under the Charbonnier penalty the flow band carries one
+    # extra halo row (the lagged weights' central-difference ring) and the
+    # weights are recomputed per exchange chunk — sweep_tile is the IRLS
+    # cadence, as for the DIS band twin.
     k = min(sweep_tile, config.iterations)
-    rg = k + 2
+    kh = k + (1 if robust is not None else 0)
+    rg = kh + 2
     prev_p = halo_exchange(prev, rg, rg, axis_name, n)
     nxt_p = halo_exchange(nxt, rg, rg, axis_name, n)
     ix, iy = spatial_gradients(prev_p, normalize=True)
@@ -228,7 +242,7 @@ def _local_hs_relax(
     ix = _zero_outside_global(ix, row0 - rg, h_global)
     iy = _zero_outside_global(iy, row0 - rg, h_global)
     it = _zero_outside_global(it, row0 - rg, h_global)
-    # gradient band with exactly k halo rows (the sweeps' working margin)
+    # gradient band with exactly kh halo rows (the sweeps' working margin)
     ix = _crop_rows(ix, 2)
     iy = _crop_rows(iy, 2)
     it = _crop_rows(it, 2)
@@ -240,7 +254,38 @@ def _local_hs_relax(
     for _ in range(n_chunks):
         s = min(k, sweeps_left)
         sweeps_left -= s
-        uv_p = halo_exchange(uv, k, k, axis_name, n, row_axis=-3)
+        uv_p = halo_exchange(uv, kh, kh, axis_name, n, row_axis=-3)
+        if robust is not None:
+            ed, es = robust
+            u, v = uv_p[..., 0], uv_p[..., 1]
+            r = ix * u + iy * v + it
+            wd = ed * lax.rsqrt(r * r + ed * ed)
+            g2 = (
+                stencil2d(u, _DXC) ** 2
+                + stencil2d(v, _DXC) ** 2
+                + stencil2d(u, _DYC) ** 2
+                + stencil2d(v, _DYC) ** 2
+            )
+            ws = es * lax.rsqrt(g2 + es * es)
+            ws = _zero_outside_global(ws, row0 - kh, h_global)
+            s_plane = jnp.maximum((ws + _avg3x3(ws)) * 0.5, 1e-12)
+            inv_s = 1.0 / s_plane
+            inv_denom = 1.0 / (
+                config.alpha**2 * s_plane + wd * (ix * ix + iy * iy)
+            )
+            for _ in range(s):
+                u_bar = (ws * _avg3x3(u) + _avg3x3(ws * u)) * 0.5 * inv_s
+                v_bar = (ws * _avg3x3(v) + _avg3x3(ws * v)) * 0.5 * inv_s
+                rate = wd * (ix * u_bar + iy * v_bar + it) * inv_denom
+                uv_p = jnp.stack(
+                    [u_bar - ix * rate, v_bar - iy * rate], axis=-1
+                )
+                uv_p = _zero_outside_global(
+                    uv_p, row0 - kh, h_global, row_axis=-3
+                )
+                u, v = uv_p[..., 0], uv_p[..., 1]
+            uv = _crop_rows(uv_p, kh, -3)
+            continue
         for _ in range(s):
             u_bar = _avg3x3(uv_p[..., 0])
             v_bar = _avg3x3(uv_p[..., 1])
@@ -946,8 +991,6 @@ def _local_dis_refine(
         sweeps_left -= s
         uv_p = halo_exchange(uv, kh, kh, axis_name, n, row_axis=-3)
         if robust is not None:
-            from cuda_optical_flow_2_tpu.models.dis import _DXC, _DYC
-
             ed, es = robust
             u, v = uv_p[..., 0], uv_p[..., 1]
             r = ixk * u + iyk * v + itk

@@ -59,6 +59,9 @@ SLOW_TESTS = frozenset({
     "test_pallas.py::test_band_geometry_fuzz",
     "test_parallel.py::test_spatial_pallas_all_families",
     "test_parallel.py::test_spatial_dis_charbonnier_matches_unsharded",
+    "test_parallel.py::test_spatial_hs_charbonnier_matches_unsharded",
+    "test_horn_schunck.py::test_hs_charbonnier_kernel_matches_xla",
+    "test_horn_schunck.py::test_hs_charbonnier_beats_quadratic_frontier_on_boundaries",
     "test_parallel.py::test_spatial_prefilter_all_families",
     "test_parallel.py::test_spatial_dis_pallas_matches_unsharded_pallas",
     "test_pallas.py::test_random_config_parity_sweep",

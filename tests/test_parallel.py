@@ -367,6 +367,30 @@ def test_spatial_dis_pallas_matches_unsharded_pallas(monkeypatch):
     np.testing.assert_allclose(np.asarray(flow), np.asarray(want), atol=1e-4)
 
 
+def test_spatial_hs_charbonnier_matches_unsharded(monkeypatch):
+    """Robust HS under spatial TP == unsharded, both backends.  iterations
+    <= sweep_tile so the band IRLS cadence equals the unsharded chunking
+    (see spatial_pyramidal_dis docstring — same rule for HS)."""
+    from cuda_optical_flow_2_tpu.models import horn_schunck as hs
+
+    p, n = _smooth_pair(1024, 64, dx=1, dy=2)
+    mesh = parallel.make_mesh(axis_name="space")
+    base = dict(levels=2, iterations=8, alpha=20.0, penalty="charbonnier",
+                max_displacement=8)
+    cfg = hs.HSConfig(**base, use_pallas=False)
+    flow = parallel.spatial_pyramidal_hs(p, n, cfg, mesh, sweep_tile=8)
+    assert len(flow.sharding.device_set) == 8
+    want = hs.pyramidal_hs(p, n, cfg)
+    np.testing.assert_allclose(np.asarray(flow), np.asarray(want), atol=1e-4)
+    monkeypatch.setenv("OF2_PALLAS_INTERPRET", "1")
+    cfg_p = hs.HSConfig(**base, use_pallas=True)
+    flow_p = parallel.spatial_pyramidal_hs(p, n, cfg_p, mesh, sweep_tile=8)
+    want_p = hs.pyramidal_hs(p, n, cfg_p)
+    np.testing.assert_allclose(
+        np.asarray(flow_p), np.asarray(want_p), atol=1e-4
+    )
+
+
 def test_spatial_dis_charbonnier_matches_unsharded(monkeypatch):
     """Charbonnier (robust) banded refinement == unsharded, both backends.
 
