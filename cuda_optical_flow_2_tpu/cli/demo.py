@@ -152,6 +152,12 @@ def main(argv=None) -> None:
         "(serving mode: combine with a shallow --levels)",
     )
     ap.add_argument(
+        "--recover-levels", type=int, default=None, metavar="N",
+        help="with --warm-start: on-device scene-cut detection; invalid "
+        "warm seeds re-acquire over an N-level pyramid "
+        "(models.streaming.RecoveryConfig)",
+    )
+    ap.add_argument(
         "--native-stream", action="store_true",
         help="feed frames through the native prefetching FrameStream "
         "(C++ worker + ring buffer) instead of materializing the sequence",
@@ -185,6 +191,11 @@ def main(argv=None) -> None:
         "video when the peak motion varies",
     )
     args = ap.parse_args(argv)
+    recovery = None
+    if args.recover_levels is not None:
+        if not args.warm_start:
+            ap.error("--recover-levels requires --warm-start")
+        recovery = streaming.RecoveryConfig(levels=args.recover_levels)
 
     stream = None
     if args.native_stream or args.camera:
@@ -324,7 +335,7 @@ def main(argv=None) -> None:
     video = io.Y4MWriter(args.out_video) if args.out_video else None
     try:
         for i, flow in streaming.process_sequence(
-            frame_iter, cfg, warm_start=args.warm_start
+            frame_iter, cfg, warm_start=args.warm_start, recovery=recovery
         ):
             flow_np = np.asarray(flow)
             count += 1

@@ -138,6 +138,28 @@ def test_demo_warm_start(capsys):
     assert epes[-1] < 0.6, epes
 
 
+def test_demo_warm_start_with_recovery(capsys):
+    """--recover-levels arms the scene-cut check on the demo's streaming
+    loop (flag validation + end-to-end run)."""
+    import pytest
+
+    from cuda_optical_flow_2_tpu.cli import demo
+
+    demo.main([
+        "--synthetic", "4", "--size", "64x80", "--levels", "1",
+        "--window", "11", "--no-pallas", "--warm-start",
+        "--recover-levels", "3", "--iterations", "2",
+        "--temporal-kernel", "gauss3",
+    ])
+    text = capsys.readouterr().out
+    epes = [float(l.rsplit(":", 1)[1]) for l in text.splitlines() if "EPE" in l]
+    assert len(epes) == 3
+    assert epes[-1] < 0.6, epes
+    with pytest.raises(SystemExit):
+        demo.main(["--synthetic", "2", "--recover-levels", "3"])
+    capsys.readouterr()
+
+
 def test_demo_file_frames(tmp_path, capsys):
     """--frames glob: PNG round trip through the file-input path."""
     import numpy as np
