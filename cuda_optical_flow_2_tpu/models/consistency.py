@@ -25,6 +25,7 @@ __all__ = [
     "occlusion_mask",
     "occlusion_score",
     "consistent_flow",
+    "fill_occluded_flow",
 ]
 
 
@@ -111,3 +112,87 @@ def consistent_flow(
     flow_fw = pyramidal_flow(prev, nxt, config)
     flow_bw = pyramidal_flow(nxt, prev, config)
     return flow_fw, occlusion_mask(flow_fw, flow_bw, alpha=alpha, beta=beta)
+
+
+def fill_occluded_flow(
+    flow: jax.Array,
+    occ: jax.Array,
+    iterations: int = 96,
+    beta: float = 1.0,
+) -> jax.Array:
+    """Replace occluded flow with a side-aware diffusion fill.
+
+    Flow in occluded regions is unknowable from two frames; every estimator
+    extrapolates there (the layered-motion benchmark measures 1.6-5.7 px
+    unmatched EPE, docs/PERF.md).  But the occluded pixels belong to the
+    surface being COVERED, so the right fill comes from the occludee's
+    side of the band — a plain two-sided diffusion barely helps (mixes
+    occluder and occludee flow: 2.64 -> 2.51 on the disk case), while a
+    background-side oracle fill reaches 0.46.
+
+    Side selection without truth: the occluder is the side whose flow
+    points INTO the occluded region (it is covering it).  Each trusted
+    source pixel gets weight ``exp(-beta * max(0, f . n))`` where ``n`` is
+    the inward normal of the occluded region (gradient of the blurred
+    mask); the diffusion's per-step normalization turns this into a local
+    softmin over the inward projection, so the fill is dominated by the
+    occludee.  Measured on the layered benchmark with the TRUE mask
+    (docs/studies/occlusion_fill_study.py): unmatched EPE 2.64 -> 1.84
+    (disk), 4.37 -> 3.15 (bar), 1.76 -> 0.83 (two-disks) at the defaults
+    — improvement on every case; larger beta trades cases
+    non-monotonically (numerically safe, but tuned per content).  With
+    the DETECTED mask (occlusion_mask on TV-L1 flow) the gains shrink
+    with mask quality but remain positive.  Matched pixels are returned
+    bit-identical.
+
+    Args:
+      flow: (H, W, 2) dense flow.
+      occ: (H, W) bool — True where the flow should be replaced
+        (:func:`occlusion_mask`, or dataset truth).
+      iterations: diffusion sweeps; the fill front advances one pixel per
+        sweep, so ~2x the widest occluded band is enough (default covers
+        bands up to ~45 px).
+      beta: inward-projection penalty (1/px); 0 = plain two-sided
+        diffusion.
+    Returns: (H, W, 2) flow with occluded pixels filled.
+    """
+    from jax import lax
+
+    from cuda_optical_flow_2_tpu.models.horn_schunck import (
+        _DXC,
+        _DYC,
+        _avg3x3,
+    )
+    from cuda_optical_flow_2_tpu.ops.conv import stencil2d
+
+    u = jnp.asarray(flow, jnp.float32)
+    occf = jnp.asarray(occ, jnp.float32)
+    m = occf
+    for _ in range(4):
+        m = 0.5 * _avg3x3(m) + 0.5 * occf
+    gx = -stencil2d(m, _DXC)
+    gy = -stencil2d(m, _DYC)
+    norm = jnp.sqrt(gx * gx + gy * gy) + 1e-6
+    proj = (u[..., 0] * gx + u[..., 1] * gy) / norm
+    src_w = jnp.exp(-beta * jnp.clip(proj, 0.0, 30.0))
+    trusted = (1.0 - occf) * src_w
+    keep = (1.0 - occf)[..., None] > 0
+
+    def sweep(_, state):
+        known, wgt = state
+        num = jnp.stack(
+            [_avg3x3(known[..., 0]), _avg3x3(known[..., 1])], -1
+        )
+        den = _avg3x3(wgt[..., 0])[..., None]
+        newu = num / jnp.maximum(den, 1e-9)
+        filled = (den[..., 0] > 1e-9)[..., None]
+        known = jnp.where(keep, known, jnp.where(filled, newu, known))
+        wgt = jnp.where(
+            keep, wgt, jnp.maximum(wgt, filled.astype(jnp.float32))
+        )
+        return known, wgt
+
+    known, _ = lax.fori_loop(
+        0, iterations, sweep, (u * trusted[..., None], trusted[..., None])
+    )
+    return jnp.where(keep, u, known)

@@ -62,6 +62,7 @@ SLOW_TESTS = frozenset({
     "test_parallel.py::test_spatial_hs_charbonnier_matches_unsharded",
     "test_horn_schunck.py::test_hs_charbonnier_kernel_matches_xla",
     "test_streaming.py::test_scene_cut_recovery_model_generic_dis",
+    "test_consistency.py::test_fill_occluded_flow_improves_unmatched_epe",
     "test_horn_schunck.py::test_hs_charbonnier_beats_quadratic_frontier_on_boundaries",
     "test_parallel.py::test_spatial_prefilter_all_families",
     "test_parallel.py::test_spatial_dis_pallas_matches_unsharded_pallas",

@@ -45,3 +45,52 @@ def test_consistent_flow_translating_pair():
     # interior of a clean translation: overwhelmingly consistent
     occ_in = np.asarray(occ)[24:-24, 24:-24]
     assert occ_in.mean() < 0.05
+
+
+def test_fill_occluded_flow_improves_unmatched_epe():
+    """Side-aware occlusion fill (round 5): on the layered disk case with
+    TV-L1 flow and the TRUE mask, the filled unmatched EPE improves >= 20%
+    (measured -30%: 2.63 -> 1.83, docs/studies/occlusion_fill_study.py)
+    and matched pixels are returned bit-identical."""
+    import numpy as np
+
+    from cuda_optical_flow_2_tpu.models import consistency, tvl1
+    from cuda_optical_flow_2_tpu.utils.layered import Layer, layered_scene
+
+    h, w = 192, 256
+    sc = layered_scene(
+        h, w, bg_flow=(-2.0, 1.0),
+        layers=[Layer("disk", (96.0, 128.0), 45.0, (3.0, 1.0))], seed=3,
+    )
+    cfg = tvl1.TVL1Config(levels=4, use_pallas=False, max_displacement=8)
+    fw = tvl1.pyramidal_tvl1(
+        jnp.asarray(sc.prev, jnp.float32), jnp.asarray(sc.nxt, jnp.float32),
+        cfg,
+    )
+    filled = np.asarray(
+        consistency.fill_occluded_flow(fw, jnp.asarray(sc.occ))
+    )
+    raw = np.asarray(fw)
+    interior = np.zeros((h, w), bool)
+    interior[16:-16, 16:-16] = True
+
+    def unmatched(f):
+        d = f - sc.flow
+        return float(np.hypot(d[..., 0], d[..., 1])[sc.occ & interior].mean())
+
+    np.testing.assert_array_equal(filled[~sc.occ], raw[~sc.occ])
+    assert unmatched(filled) < 0.8 * unmatched(raw), (
+        unmatched(filled), unmatched(raw)
+    )
+
+
+def test_fill_occluded_flow_noop_without_occlusion():
+    import numpy as np
+
+    from cuda_optical_flow_2_tpu.models import consistency
+
+    rng = np.random.default_rng(0)
+    flow = jnp.asarray(rng.normal(0, 2, (40, 56, 2)).astype(np.float32))
+    occ = jnp.zeros((40, 56), bool)
+    out = np.asarray(consistency.fill_occluded_flow(flow, occ, iterations=8))
+    np.testing.assert_array_equal(out, np.asarray(flow))
