@@ -99,11 +99,15 @@ def consistent_flow(
     config,
     alpha: float = 0.01,
     beta: float = 0.5,
+    fill: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Forward flow plus its occlusion mask, in one jittable call.
 
     Runs the configured model (LK/HS/FB via the config type) in both
-    directions and applies :func:`occlusion_mask`.
+    directions and applies :func:`occlusion_mask`.  With ``fill=True`` the
+    masked pixels are additionally replaced by the side-aware diffusion
+    fill (:func:`fill_occluded_flow`, single-frame-pair layout only) —
+    best-effort values where the mask says "don't trust the estimate".
 
     Returns (flow, occluded): (..., H, W, 2) and boolean (..., H, W).
     """
@@ -111,7 +115,10 @@ def consistent_flow(
 
     flow_fw = pyramidal_flow(prev, nxt, config)
     flow_bw = pyramidal_flow(nxt, prev, config)
-    return flow_fw, occlusion_mask(flow_fw, flow_bw, alpha=alpha, beta=beta)
+    occ = occlusion_mask(flow_fw, flow_bw, alpha=alpha, beta=beta)
+    if fill:
+        flow_fw = fill_occluded_flow(flow_fw, occ)
+    return flow_fw, occ
 
 
 def fill_occluded_flow(

@@ -94,3 +94,23 @@ def test_fill_occluded_flow_noop_without_occlusion():
     occ = jnp.zeros((40, 56), bool)
     out = np.asarray(consistency.fill_occluded_flow(flow, occ, iterations=8))
     np.testing.assert_array_equal(out, np.asarray(flow))
+
+
+def test_consistent_flow_fill_option():
+    """fill=True returns best-effort values at masked pixels and leaves
+    unmasked pixels identical to the fill=False flow."""
+    import numpy as np
+
+    import cuda_optical_flow_2_tpu as of
+    from cuda_optical_flow_2_tpu.models import consistency
+    from cuda_optical_flow_2_tpu.utils import io
+
+    frames = io.synthetic_sequence(2, 96, 128, velocity=(2.0, 1.0))
+    p, n = (jnp.asarray(f, jnp.float32) for f in frames)
+    cfg = of.LKConfig(levels=2, window=9, use_pallas=False)
+    flow, occ = consistency.consistent_flow(p, n, cfg)
+    filled, occ2 = consistency.consistent_flow(p, n, cfg, fill=True)
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(occ2))
+    m = ~np.asarray(occ)
+    np.testing.assert_array_equal(np.asarray(filled)[m], np.asarray(flow)[m])
+    assert np.isfinite(np.asarray(filled)).all()
