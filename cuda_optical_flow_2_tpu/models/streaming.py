@@ -100,12 +100,15 @@ class RecoveryConfig:
         the acquisition check reads the deepest one (so its warp runs at
         1/4^(levels-1) the frame area — noise next to the solve).
       ratio: the seed is dropped when ``r_seed >= ratio * r_zero`` (mean
-        |residual| at the deepest carried level).  Default 0.7: >1.5x
-        above the locked-tracking ratios and >1.2x below the stale-seed
-        ratios measured on the harness cases (tests/test_streaming.py,
-        tests/test_evaluate.py).  Raise toward 1.0 only if deep-solve
-        false positives are measurably costing throughput on content where
-        locked tracking leaves large coarse residuals.
+        |residual| at the deepest carried level).  Default 0.7, validated
+        across a 54-condition grid (texture class x velocity x noise x
+        cut type, docs/studies/recovery_threshold_study.py): every
+        harmful stale seed measures >= 0.818, so no false negative
+        appears; locked ratios are 0.27-0.56 on normal content but reach
+        0.73 on low-contrast diagonal motion — such content trips the
+        check and runs the deep (cold-accurate) solve at lower fps, the
+        designed failure direction.  Raise toward ~0.8 only to buy back
+        throughput on content like that, at a thinner lock-loss margin.
       seed_floor: keep the seed regardless of the ratio when its mean
         magnitude (px, at the deepest level's scale) is below this.
     """
