@@ -590,6 +590,13 @@ def main(argv=None) -> None:
         "(lock-loss / drift visibility)",
     )
     ap.add_argument(
+        "--fill-occlusions", action="store_true",
+        help="run the model in both directions per pair, detect occlusions "
+        "with the cycle check, and replace masked flow with the side-aware "
+        "diffusion fill (models.consistency.fill_occluded_flow) before "
+        "scoring — ~2x the flow cost; not available with --streaming",
+    )
+    ap.add_argument(
         "--recover-levels", type=int, default=None, metavar="N",
         help="with --warm-start: arm on-device scene-cut detection; when "
         "the warm seed fails the photometric acquisition check the pair is "
@@ -607,6 +614,11 @@ def main(argv=None) -> None:
         ap.error("--warm-start/--compare-cold require --streaming")
     if args.recover_levels is not None and not args.warm_start:
         ap.error("--recover-levels requires --streaming --warm-start")
+    if args.fill_occlusions and args.streaming:
+        ap.error(
+            "--fill-occlusions needs per-pair backward flow and does not "
+            "compose with --streaming"
+        )
 
     import jax
 
@@ -678,6 +690,11 @@ def main(argv=None) -> None:
     def _step(p, n):
         nonlocal compiles
         compiles += 1
+        if args.fill_occlusions:
+            from cuda_optical_flow_2_tpu.models import consistency
+
+            flow, _ = consistency.consistent_flow(p, n, cfg, fill=True)
+            return flow
         return pyramidal_flow(p, n, cfg)
 
     flow_fn = jax.jit(_step)
@@ -779,6 +796,7 @@ def main(argv=None) -> None:
         "aggregate": True,
         "model": type(cfg).__name__ if args.preset else args.model,
         **({"preset": args.preset} if args.preset else {}),
+        **({"fill_occlusions": True} if args.fill_occlusions else {}),
         "layout": layout,
         "pairs": len(pairs),
         "pairs_with_truth": len(scored),

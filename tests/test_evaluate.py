@@ -709,3 +709,65 @@ def test_eval_cli_family_mismatched_knob_errors(tmp_path):
             "--window-weights", "tri",
         ])
     assert exc.value.code == 2
+
+
+def test_eval_cli_fill_occlusions_improves_unmatched(tmp_path, capsys):
+    """--fill-occlusions (round 5): bidirectional flow + cycle-check mask +
+    side-aware fill before scoring.  On a Sintel-layout layered scene with
+    TRUE flow/occ truth, the filled run's epe_unmatched improves over the
+    plain run while epe_matched stays put (the fill cannot touch matched
+    pixels where the detector agrees)."""
+    from cuda_optical_flow_2_tpu.cli import evaluate
+    from cuda_optical_flow_2_tpu.utils import viz
+    from cuda_optical_flow_2_tpu.utils.layered import Layer, layered_scene
+
+    h, w = 192, 256
+    sc = layered_scene(
+        h, w, bg_flow=(0.5, 0.5),
+        layers=[
+            Layer("disk", (70.0, 80.0), 34.0, (2.5, -1.5)),
+            Layer("disk", (120.0, 180.0), 30.0, (-1.5, 2.5)),
+        ],
+        seed=5,
+    )
+    fdir = tmp_path / "final" / "seq"
+    gdir = tmp_path / "flow" / "seq"
+    odir = tmp_path / "occ" / "seq"
+    for d in (fdir, gdir, odir):
+        d.mkdir(parents=True)
+    for t, frame in enumerate((sc.prev, sc.nxt), start=1):
+        viz.write_png(
+            str(fdir / f"frame_{t:04d}.png"),
+            np.repeat(
+                np.clip(frame, 0, 255)[..., None].astype(np.uint8), 3, -1
+            ),
+        )
+    uio.write_flo(str(gdir / "frame_0001.flo"), sc.flow)
+    viz.write_png(
+        str(odir / "frame_0001.png"), (sc.occ * 255).astype(np.uint8)
+    )
+
+    def run(extra):
+        evaluate.main([
+            "--dataset", str(tmp_path), "--model", "tvl1", "--levels", "4",
+            "--no-pallas", "--margin", "16", *extra,
+        ])
+        return json.loads(capsys.readouterr().out.splitlines()[-1])
+
+    plain = run([])
+    filled = run(["--fill-occlusions"])
+    assert filled["fill_occlusions"] is True
+    assert filled["epe_unmatched"] < plain["epe_unmatched"] - 0.05, (
+        filled["epe_unmatched"], plain["epe_unmatched"]
+    )
+    assert abs(filled["epe_matched"] - plain["epe_matched"]) < 0.05
+
+
+def test_eval_cli_fill_occlusions_rejects_streaming(tmp_path, capsys):
+    from cuda_optical_flow_2_tpu.cli import evaluate
+
+    with pytest.raises(SystemExit):
+        evaluate.main([
+            "--dataset", str(tmp_path), "--streaming", "--fill-occlusions",
+        ])
+    capsys.readouterr()
